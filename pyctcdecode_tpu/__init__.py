@@ -1,0 +1,36 @@
+"""pyctcdecode_tpu — TPU-native CTC beam-search decoding framework.
+
+A from-scratch JAX/XLA/Pallas framework with the full capability surface of
+kensho-technologies/pyctcdecode: beam-search CTC decoding with n-gram
+shallow fusion, hotword boosting, BPE and character alphabets, streaming
+with exact state carry-over, frame-level word annotations, batch decoding,
+and model serialization — plus a vectorized on-device decode engine that
+shards utterance batches across TPU meshes.
+"""
+from .alphabet import Alphabet
+from .decoder import Beam, BeamSearchDecoderCTC, LMBeam, OutputBeam, build_ctcdecoder
+from .models import (
+    AbstractLanguageModel,
+    AbstractLMState,
+    HotwordScorer,
+    LanguageModel,
+    MultiLanguageModel,
+    NGramModel,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Alphabet",
+    "Beam",
+    "BeamSearchDecoderCTC",
+    "LMBeam",
+    "OutputBeam",
+    "AbstractLMState",
+    "AbstractLanguageModel",
+    "HotwordScorer",
+    "LanguageModel",
+    "MultiLanguageModel",
+    "NGramModel",
+    "build_ctcdecoder",
+]

@@ -1,0 +1,42 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (mirrors the reference's MockPool
+philosophy for testing parallelism without a cluster, SURVEY.md §4); the real
+TPU chip is exercised by ``bench.py`` instead so the suite stays fast and
+deterministic.
+"""
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_SAMPLE_DATA = "/root/reference/pyctcdecode/tests/sample_data"
+
+
+@pytest.fixture(scope="session")
+def libri_logits():
+    """Real 371x29 Wav2Vec2-style log-prob matrix (reference fixture)."""
+    import json
+
+    path = os.path.join(REFERENCE_SAMPLE_DATA, "libri_logits.json")
+    if not os.path.exists(path):
+        pytest.skip("reference sample data not available")
+    with open(path) as fh:
+        return np.array(json.load(fh))
+
+
+@pytest.fixture(scope="session")
+def bugs_bunny_arpa_path():
+    """Tiny handwritten 2-gram ARPA model (reference fixture)."""
+    path = os.path.join(REFERENCE_SAMPLE_DATA, "bugs_bunny_kenlm.arpa")
+    if not os.path.exists(path):
+        pytest.skip("reference sample data not available")
+    return path
