@@ -1,0 +1,539 @@
+"""TPU device engine: fixed-width vectorized CTC beam search under ``lax.scan``.
+
+This is the performance path of the framework. Where the reference walks
+Python dataclass beams through dict merges and per-word C++ LM callbacks
+(ref ``decoder.py:426-556``), this engine keeps the *entire* beam state as
+fixed-shape device arrays and runs the per-frame pipeline
+
+    expand (B beams x K tokens, masked 4-way transition)
+    -> merge (sort by 64-bit beam key + segmented logsumexp)
+    -> LM fuse (device n-gram hash tables + vocab trie, per-beam word commit)
+    -> window prune -> top-k -> optional history prune
+
+as one fused XLA program, scanned over frames. Text never exists on device:
+beams are 2x32-bit rolling hashes plus a trie node, and each frame emits a
+``(parent, token)`` backpointer pair; transcripts and word-level frame spans
+are reconstructed on host by backtracing and replaying the transition
+system (identical rules to the host engine, which is the parity oracle).
+
+Semantic parity notes (vs the host engine / reference):
+
+* merge key = (text, partial word, last token, BPE break flag); the newest
+  colliding candidate donates metadata while the *first* occurrence keeps
+  the rank position, matching dict-insertion semantics (ref decoder.py:211-224).
+* tie-breaks in top-k resolve by candidate enumeration order
+  (token-major, beam-minor, tokens ascending), matching heapq stability.
+* LM fusion reproduces the per-word fused formula and OOV/partial rules of
+  ``models/language_model.py`` using f32 table math (KenLM stores f32).
+* scores accumulate in f32 on device (vs float64 on host): logit scores may
+  drift ~1e-4 over hundreds of frames; ranking is unaffected in practice.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .alphabet import Alphabet
+from .constants import (
+    AVG_TOKEN_LEN,
+    DEFAULT_BEAM_WIDTH,
+    DEFAULT_MIN_TOKEN_LOGP,
+    DEFAULT_PRUNE_BEAMS,
+    DEFAULT_PRUNE_LOGP,
+    LOG_BASE_CHANGE_FACTOR,
+)
+from .decoder import NULL_FRAMES, OutputBeam, _normalize_whitespace
+from .models.base import NGramLMState
+from .models.device_tables import DeviceLM, build_device_lm, lm_score_words_jnp
+from .models.language_model import LanguageModel
+from .ops.hashing import hash_extend_char, hash_text_commit
+from .ops.tokens import KIND_BLANK, KIND_BOUNDARY, TokenArrays, build_token_arrays
+from .utils.logits import normalize_to_logp
+
+DEAD = -1.0e30
+DEAD_THRESH = -1.0e29
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static (compile-time) decode configuration."""
+
+    beam_width: int
+    vocab_size: int
+    k_tokens: int  # tokens expanded per frame (== vocab_size: exact parity)
+    is_bpe: bool
+    use_lm: bool
+    order: int  # 1 when no LM
+    prune_history: bool
+
+    @property
+    def ctx_width(self) -> int:
+        return max(self.order - 1, 1)
+
+    @property
+    def ring_width(self) -> int:
+        return max(self.order - 1, 1)
+
+
+def _mix_key(jnp, a, b, c, d):
+    """Fold four uint32 streams into one uint32 lane."""
+    h = a * jnp.uint32(0x01000193) ^ b
+    h = h * jnp.uint32(0x01000193) ^ c
+    return h * jnp.uint32(0x01000193) ^ d
+
+
+def _init_state(jnp, cfg: EngineConfig, start_ctx, start_ctx_len):
+    b = cfg.beam_width
+    u32z = jnp.zeros((b,), dtype=jnp.uint32)
+    i32 = functools.partial(jnp.zeros, (b,), dtype=jnp.int32)
+    logit = jnp.full((b,), DEAD, dtype=jnp.float32).at[0].set(0.0)
+    return {
+        "text_lo": u32z,
+        "text_hi": u32z,
+        "p_lo": u32z,
+        "p_hi": u32z,
+        "p_node": i32(),
+        "p_len": i32(),
+        "last_tok": jnp.where(
+            jnp.arange(b) == 0, -1, -2 - jnp.arange(b, dtype=jnp.int32)
+        ).astype(jnp.int32),
+        "force": jnp.zeros((b,), dtype=bool),
+        "logit": logit,
+        "fused": jnp.zeros((b,), dtype=jnp.float32),
+        "ctx": jnp.broadcast_to(start_ctx, (b, cfg.ctx_width)).astype(jnp.int32),
+        "ctx_len": jnp.full((b,), start_ctx_len, dtype=jnp.int32),
+        "ring_lo": jnp.zeros((b, cfg.ring_width), dtype=jnp.uint32),
+        "ring_hi": jnp.zeros((b, cfg.ring_width), dtype=jnp.uint32),
+        "n_words": i32(),
+    }
+
+
+def _commit_quantities(jnp, cfg: EngineConfig, dev: Dict, params: Dict, state: Dict):
+    """Per-beam word-commit effects (LM score, new context, text hash, ring)."""
+    commit = state["p_len"] > 0
+    t_lo, t_hi = hash_text_commit(
+        jnp, state["text_lo"], state["text_hi"], state["p_lo"], state["p_hi"]
+    )
+    text_lo_c = jnp.where(commit, t_lo, state["text_lo"])
+    text_hi_c = jnp.where(commit, t_hi, state["text_hi"])
+    ring_lo_push = jnp.concatenate(
+        [state["ring_lo"][:, 1:], state["p_lo"][:, None]], axis=1
+    )
+    ring_hi_push = jnp.concatenate(
+        [state["ring_hi"][:, 1:], state["p_hi"][:, None]], axis=1
+    )
+    ring_lo_c = jnp.where(commit[:, None], ring_lo_push, state["ring_lo"])
+    ring_hi_c = jnp.where(commit[:, None], ring_hi_push, state["ring_hi"])
+    n_words_c = state["n_words"] + commit.astype(jnp.int32)
+
+    if not cfg.use_lm:
+        zeros = jnp.zeros_like(state["fused"])
+        return {
+            "commit": commit,
+            "word_fused": zeros,
+            "ctx": state["ctx"],
+            "ctx_len": state["ctx_len"],
+            "text_lo": text_lo_c,
+            "text_hi": text_hi_c,
+            "ring_lo": ring_lo_c,
+            "ring_hi": ring_hi_c,
+            "n_words": n_words_c,
+        }
+
+    node = state["p_node"]
+    wid_raw = dev["trie_word_id"][node]
+    in_model = wid_raw >= 0
+    wid = jnp.where(in_model, wid_raw, dev["unk_id"])
+    in_uni = dev["trie_is_uni_word"][node]
+    is_oov = (dev["has_unigrams"] & ~in_uni) | ~in_model
+    raw10, new_ctx, new_ctx_len = lm_score_words_jnp(
+        dev, cfg.order, dev["unk_prob10"], state["ctx"], state["ctx_len"], wid
+    )
+    raw10 = raw10 + params["unk_offset"] * is_oov.astype(jnp.float32)
+    word_fused = params["alpha"] * raw10 * np.float32(LOG_BASE_CHANGE_FACTOR) + params["beta"]
+    word_fused = jnp.where(commit, word_fused, 0.0)
+    return {
+        "commit": commit,
+        "word_fused": word_fused,
+        "ctx": jnp.where(commit[:, None], new_ctx, state["ctx"]),
+        "ctx_len": jnp.where(commit, new_ctx_len, state["ctx_len"]),
+        "text_lo": text_lo_c,
+        "text_hi": text_hi_c,
+        "ring_lo": ring_lo_c,
+        "ring_hi": ring_hi_c,
+        "n_words": n_words_c,
+    }
+
+
+def _merge_and_rank(jnp, cfg, kl, kh, logit_flat, lm_extra_fn, beam_prune_logp):
+    """Sort by key, segmented-logsumexp merge, window prune, top-k.
+
+    ``lm_extra_fn(src)`` maps a donor-row gather index to the non-acoustic
+    score addend (fused + partial) for that row. Returns
+    ``(top_scores, top_logit, src)`` where ``src[b]`` is the flat candidate
+    index donating metadata for output beam ``b``.
+    """
+    import jax
+
+    c = kl.shape[0]
+    arange_c = jnp.arange(c, dtype=jnp.int32)
+    _, _, perm = jax.lax.sort(
+        (kh, kl, arange_c), dimension=0, is_stable=True, num_keys=2
+    )
+    skh = kh[perm]
+    skl = kl[perm]
+    slogit = logit_flat[perm]
+    first = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=bool),
+            (skh[1:] != skh[:-1]) | (skl[1:] != skl[:-1]),
+        ]
+    )
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    m = jax.ops.segment_max(slogit, seg, num_segments=c)
+    tot = jax.ops.segment_sum(jnp.exp(slogit - m[seg]), seg, num_segments=c)
+    merged = m + jnp.log(tot)
+    last_pos = jax.ops.segment_max(arange_c, seg, num_segments=c)
+    donor = perm[last_pos[seg]]  # newest member of my segment (flat index)
+
+    score_sorted = jnp.where(first, merged[seg], DEAD)
+    src_sorted = jnp.where(first, donor, perm)
+    # scatter back to candidate enumeration order (rank tie-break order)
+    merged_logit = jnp.full((c,), DEAD, dtype=slogit.dtype).at[perm].set(score_sorted)
+    src = jnp.zeros((c,), dtype=jnp.int32).at[perm].set(src_sorted)
+
+    live = merged_logit > DEAD_THRESH
+    lm_score = jnp.where(live, merged_logit + lm_extra_fn(src), DEAD)
+    mx = jnp.max(lm_score)
+    keep = lm_score >= mx + beam_prune_logp
+    sc = jnp.where(keep & live, lm_score, DEAD)
+    top_scores, top_idx = jax.lax.top_k(sc, cfg.beam_width)
+    return top_scores, merged_logit[top_idx], src[top_idx]
+
+
+def make_decode_fn(
+    cfg: EngineConfig,
+    tokens: TokenArrays,
+    device_lm: Optional[DeviceLM],
+):
+    """Build the jittable one-utterance decode function.
+
+    Returns ``fn(logp [T,V] f32, n_frames i32, params [6] f32, start_ctx
+    [ctx_w] i32, start_ctx_len i32) -> outputs`` where outputs hold the final
+    ranked beams plus per-frame backpointers for host-side reconstruction.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    tok_dev = {
+        "kind": jnp.asarray(tokens.kind),
+        "piece_len": jnp.asarray(tokens.piece_len),
+        "raw_chars": jnp.asarray(tokens.raw_chars),
+        "raw_len": jnp.asarray(tokens.raw_len),
+        "right_bound": jnp.asarray(tokens.right_bound),
+        "seed_lo": jnp.asarray(tokens.seed_hash_lo),
+        "seed_hi": jnp.asarray(tokens.seed_hash_hi),
+    }
+    if device_lm is not None:
+        dev = device_lm.as_device()
+        dev["unk_id"] = device_lm.unk_id
+        dev["eos_id"] = device_lm.eos_id
+        dev["unk_prob10"] = np.float32(device_lm.unk_prob10)
+        dev["has_unigrams"] = device_lm.has_unigrams
+        dev["seed_node_arr"] = dev["seed_node"]
+    else:
+        dev = {}
+    b = cfg.beam_width
+    k = cfg.k_tokens
+    v = cfg.vocab_size
+    c = b * k
+    lmax = tokens.max_piece_len
+
+    def _params_dict(params):
+        return {
+            "token_min_logp": params[0],
+            "beam_prune_logp": params[1],
+            "alpha": params[2],
+            "beta": params[3],
+            "unk_offset": params[4],
+            "score_boundary": params[5] > 0.5,
+        }
+
+    def _flatten(x):
+        """[B, K, ...] -> [K*B, ...] in token-major order (ref enumeration)."""
+        return jnp.swapaxes(x, 0, 1).reshape((c,) + x.shape[2:])
+
+    def decode(logp, n_frames, params, start_ctx, start_ctx_len):
+        prm = _params_dict(params)
+        state0 = _init_state(jnp, cfg, start_ctx, start_ctx_len)
+
+        def step(state, xs):
+            logp_row, t = xs
+            active = t < n_frames
+            if k < v:
+                _, toks = jax.lax.top_k(logp_row, k)
+                toks = jnp.sort(toks).astype(jnp.int32)
+                tok_logp = logp_row[toks]
+            else:
+                toks = jnp.arange(v, dtype=jnp.int32)
+                tok_logp = logp_row
+            argmax_tok = jnp.argmax(logp_row).astype(jnp.int32)
+            admit = (tok_logp >= prm["token_min_logp"]) | (toks == argmax_tok)
+
+            tok_kind = tok_dev["kind"][toks]
+            blank = tok_kind == KIND_BLANK
+            boundary_kind = tok_kind == KIND_BOUNDARY
+            tok_right = tok_dev["right_bound"][toks]
+            tok_plen = tok_dev["piece_len"][toks]  # boundary piece length
+            tok_rlen = tok_dev["raw_len"][toks]  # raw label length
+
+            alive = state["logit"] > DEAD_THRESH
+            cm = _commit_quantities(jnp, cfg, dev, prm, state)
+
+            # ---- transition classes [B, K]
+            stay = blank[None, :] | (state["last_tok"][:, None] == toks[None, :])
+            if cfg.is_bpe:
+                as_boundary = ~stay & (boundary_kind[None, :] | state["force"][:, None])
+            else:
+                as_boundary = ~stay & boundary_kind[None, :]
+            as_regular = ~stay & ~as_boundary
+
+            # ---- partial-word extension walk (regular children, raw label)
+            ext_lo = jnp.broadcast_to(state["p_lo"][:, None], (b, k))
+            ext_hi = jnp.broadcast_to(state["p_hi"][:, None], (b, k))
+            if cfg.use_lm:
+                ext_node = jnp.broadcast_to(state["p_node"][:, None], (b, k))
+            for l in range(lmax):
+                cid = tok_dev["raw_chars"][toks, l]  # [K]
+                has = (cid >= 0)[None, :]
+                cid_b = jnp.broadcast_to(jnp.maximum(cid, 0)[None, :], (b, k))
+                nlo, nhi = hash_extend_char(jnp, ext_lo, ext_hi, cid_b)
+                ext_lo = jnp.where(has, nlo, ext_lo)
+                ext_hi = jnp.where(has, nhi, ext_hi)
+                if cfg.use_lm:
+                    ext_node = jnp.where(
+                        has, dev["trie_next"][ext_node, cid_b], ext_node
+                    )
+
+            seed_lo = jnp.broadcast_to(tok_dev["seed_lo"][toks][None, :], (b, k))
+            seed_hi = jnp.broadcast_to(tok_dev["seed_hi"][toks][None, :], (b, k))
+            p_lo_n = jnp.where(
+                stay, state["p_lo"][:, None], jnp.where(as_boundary, seed_lo, ext_lo)
+            )
+            p_hi_n = jnp.where(
+                stay, state["p_hi"][:, None], jnp.where(as_boundary, seed_hi, ext_hi)
+            )
+            p_len_n = jnp.where(
+                stay,
+                state["p_len"][:, None],
+                jnp.where(
+                    as_boundary,
+                    tok_plen[None, :],
+                    state["p_len"][:, None] + tok_rlen[None, :],
+                ),
+            )
+            if cfg.use_lm:
+                seed_node = jnp.broadcast_to(dev["seed_node_arr"][toks][None, :], (b, k))
+                p_node_n = jnp.where(
+                    stay,
+                    state["p_node"][:, None],
+                    jnp.where(as_boundary, seed_node, ext_node),
+                )
+            else:
+                p_node_n = jnp.zeros((b, k), dtype=jnp.int32)
+
+            text_lo_n = jnp.where(as_boundary, cm["text_lo"][:, None], state["text_lo"][:, None])
+            text_hi_n = jnp.where(as_boundary, cm["text_hi"][:, None], state["text_hi"][:, None])
+            fused_n = state["fused"][:, None] + jnp.where(as_boundary, cm["word_fused"][:, None], 0.0)
+            ctx_n = jnp.where(
+                as_boundary[:, :, None], cm["ctx"][:, None, :], state["ctx"][:, None, :]
+            )
+            ctx_len_n = jnp.where(as_boundary, cm["ctx_len"][:, None], state["ctx_len"][:, None])
+            ring_lo_n = jnp.where(
+                as_boundary[:, :, None], cm["ring_lo"][:, None, :], state["ring_lo"][:, None, :]
+            )
+            ring_hi_n = jnp.where(
+                as_boundary[:, :, None], cm["ring_hi"][:, None, :], state["ring_hi"][:, None, :]
+            )
+            n_words_n = jnp.where(as_boundary, cm["n_words"][:, None], state["n_words"][:, None])
+            last_n = jnp.broadcast_to(toks[None, :], (b, k)).astype(jnp.int32)
+            force_n = jnp.where(as_boundary, tok_right[None, :], state["force"][:, None])
+            logit_n = jnp.where(
+                alive[:, None], state["logit"][:, None] + tok_logp[None, :], DEAD
+            )
+            valid = alive[:, None] & admit[None, :]
+
+            # ---- merge keys
+            kl = _mix_key(
+                jnp,
+                text_lo_n,
+                p_lo_n,
+                (last_n + 2).astype(jnp.uint32),
+                force_n.astype(jnp.uint32),
+            )
+            kh = _mix_key(
+                jnp,
+                text_hi_n,
+                p_hi_n,
+                (last_n + 2).astype(jnp.uint32),
+                force_n.astype(jnp.uint32),
+            ) & jnp.uint32(0x7FFFFFFF)
+            flat_idx = jnp.arange(c, dtype=jnp.uint32)
+            kl_f = jnp.where(_flatten(valid), _flatten(kl), flat_idx)
+            kh_f = jnp.where(_flatten(valid), _flatten(kh), jnp.uint32(0xFFFFFFFF))
+            logit_f = jnp.where(_flatten(valid), _flatten(logit_n), DEAD)
+
+            fields = {
+                "text_lo": _flatten(text_lo_n),
+                "text_hi": _flatten(text_hi_n),
+                "p_lo": _flatten(p_lo_n),
+                "p_hi": _flatten(p_hi_n),
+                "p_node": _flatten(p_node_n),
+                "p_len": _flatten(p_len_n),
+                "last_tok": _flatten(last_n),
+                "force": _flatten(force_n),
+                "fused": _flatten(fused_n),
+                "ctx": _flatten(ctx_n),
+                "ctx_len": _flatten(ctx_len_n),
+                "ring_lo": _flatten(ring_lo_n),
+                "ring_hi": _flatten(ring_hi_n),
+                "n_words": _flatten(n_words_n),
+            }
+
+            def lm_extra(src):
+                if not cfg.use_lm:
+                    return fields["fused"][src]
+                node_m = fields["p_node"][src]
+                plen_m = fields["p_len"][src]
+                is_pref = dev["trie_is_uni_prefix"][node_m]
+                punk = prm["unk_offset"] * (~is_pref).astype(jnp.float32)
+                plen_f = plen_m.astype(jnp.float32)
+                punk = jnp.where(
+                    plen_m > AVG_TOKEN_LEN, punk * plen_f / AVG_TOKEN_LEN, punk
+                )
+                pscore = jnp.where(plen_m > 0, punk, 0.0)
+                return fields["fused"][src] + pscore
+
+            top_scores, top_logit, src = _merge_and_rank(
+                jnp, cfg, kl_f, kh_f, logit_f, lm_extra, prm["beam_prune_logp"]
+            )
+            sel_alive = top_scores > DEAD_THRESH
+            parent = (src % b).astype(jnp.int32)
+            token_sel = toks[src // b].astype(jnp.int32)
+
+            new_state = {key: fields[key][src] for key in fields}
+            new_state["logit"] = jnp.where(sel_alive, top_logit, DEAD)
+            new_state["last_tok"] = jnp.where(
+                sel_alive, new_state["last_tok"], -2 - jnp.arange(b, dtype=jnp.int32)
+            )
+
+            if cfg.prune_history:
+                hk = [
+                    new_state["p_lo"],
+                    new_state["p_hi"],
+                    new_state["last_tok"].astype(jnp.uint32),
+                    jnp.minimum(new_state["n_words"], cfg.ring_width).astype(jnp.uint32),
+                ]
+                hk += [new_state["ring_lo"][:, i] for i in range(cfg.ring_width)]
+                hk += [new_state["ring_hi"][:, i] for i in range(cfg.ring_width)]
+                eq = jnp.ones((b, b), dtype=bool)
+                for f in hk:
+                    eq &= f[:, None] == f[None, :]
+                lower = jnp.tril(jnp.ones((b, b), dtype=bool), k=-1)
+                dup = jnp.any(eq & lower, axis=1)
+                new_state["logit"] = jnp.where(dup, DEAD, new_state["logit"])
+                new_state["last_tok"] = jnp.where(
+                    dup, -2 - jnp.arange(b, dtype=jnp.int32), new_state["last_tok"]
+                )
+
+            # inactive (padded) frames pass state through untouched
+            out_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    jnp.reshape(active, (-1,) + (1,) * (new.ndim - 1))
+                    if new.ndim
+                    else active,
+                    new,
+                    old,
+                ),
+                new_state,
+                state,
+            )
+            parent = jnp.where(active, parent, jnp.arange(b, dtype=jnp.int32))
+            token_sel = jnp.where(active, token_sel, -1)
+            return out_state, (parent, token_sel)
+
+        t_idx = jnp.arange(logp.shape[0], dtype=jnp.int32)
+        final_state, (parents, trace) = jax.lax.scan(step, state0, (logp, t_idx))
+
+        # ---- finalize: force-commit partials, merge by text, eos-score
+        fin = _finalize(jnp, cfg, dev, prm, final_state)
+        return {
+            "parents": parents,
+            "trace": trace,
+            "beam_src": fin["src"],
+            "logit": fin["logit"],
+            "lm_score": fin["score"],
+            "ctx": fin["ctx"],
+            "ctx_len": fin["ctx_len"],
+        }
+
+    return decode
+
+
+def _finalize(jnp, cfg: EngineConfig, dev: Dict, prm: Dict, state: Dict):
+    """Commit trailing partials, merge same-text beams, apply </s> scoring."""
+    b = cfg.beam_width
+    alive = state["logit"] > DEAD_THRESH
+    commit = state["p_len"] > 0
+    t_lo, t_hi = hash_text_commit(
+        jnp, state["text_lo"], state["text_hi"], state["p_lo"], state["p_hi"]
+    )
+    text_lo = jnp.where(commit, t_lo, state["text_lo"])
+    text_hi = jnp.where(commit, t_hi, state["text_hi"])
+
+    if cfg.use_lm:
+        node = state["p_node"]
+        wid_raw = dev["trie_word_id"][node]
+        in_model = (wid_raw >= 0) & commit
+        wid = jnp.where(in_model, wid_raw, dev["unk_id"])
+        in_uni = dev["trie_is_uni_word"][node] & commit
+        is_oov = (dev["has_unigrams"] & ~in_uni) | ~in_model
+        raw10, ctx2, ctx2_len = lm_score_words_jnp(
+            dev, cfg.order, dev["unk_prob10"], state["ctx"], state["ctx_len"], wid
+        )
+        eos = jnp.full((b,), dev["eos_id"], dtype=jnp.int32)
+        eos10, _, _ = lm_score_words_jnp(
+            dev, cfg.order, dev["unk_prob10"], ctx2, ctx2_len, eos
+        )
+        raw = raw10 + prm["unk_offset"] * is_oov.astype(jnp.float32)
+        raw = raw + jnp.where(prm["score_boundary"], eos10, 0.0)
+        word_fused = prm["alpha"] * raw * np.float32(LOG_BASE_CHANGE_FACTOR) + prm["beta"]
+        fused = state["fused"] + word_fused
+    else:
+        fused = state["fused"]
+        ctx2 = state["ctx"]
+        ctx2_len = state["ctx_len"]
+
+    kl = text_lo
+    kh = text_hi & jnp.uint32(0x7FFFFFFF)
+    arange_b = jnp.arange(b, dtype=jnp.uint32)
+    kl = jnp.where(alive, kl, arange_b)
+    kh = jnp.where(alive, kh, jnp.uint32(0xFFFFFFFF))
+    logit_f = jnp.where(alive, state["logit"], DEAD)
+
+    def lm_extra(src):
+        return fused[src]
+
+    score, logit, src = _merge_and_rank(
+        jnp, cfg, kl, kh, logit_f, lm_extra, prm["beam_prune_logp"]
+    )
+    return {
+        "src": src,
+        "logit": logit,
+        "score": score,
+        "ctx": ctx2[src],
+        "ctx_len": ctx2_len[src],
+    }

@@ -1,0 +1,389 @@
+"""Device-resident LM tables: n-gram hash tables and a packed vocab trie.
+
+The reference scores beams through per-word C++ callbacks into KenLM
+(ref ``language_model.py:306-360``); a TPU cannot call back to the host per
+word, so this module compiles the same model into flat arrays probed
+on-device with gathers:
+
+* **n-gram tables** — one open-addressing, linear-probing hash table per
+  order. Slots store the *full* id key (exact compare, so lookups are
+  collision-free), the log10 probability and the backoff weight. Linear
+  probing keeps probe windows contiguous in HBM.
+* **vocab trie** — a packed character trie over the LM vocabulary plus the
+  known-unigram set. Beams carry their in-progress word as a trie node id;
+  one gather per consumed character advances it. Node flags answer every
+  string question the decoder asks: "is this partial a prefix of a known
+  unigram" (ref ``language_model.py:326-336``), "what is this completed
+  word's LM id", "is it in the unigram set / the LM vocab"
+  (OOV rule, ref ``language_model.py:349-353``).
+
+Everything is built host-side as numpy and moved to device once per model;
+lookup functions are pure jnp and shape-static, safe under ``jit``/``scan``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..ops.hashing import fnv1a
+from ..ops.tokens import TokenArrays
+from .language_model import LanguageModel
+from .ngram import BOS_WORD, EOS_WORD, UNK_WORD, NGramTables
+
+_MIN_TABLE = 8
+_LOAD_FACTOR = 0.5
+
+
+# --------------------------------------------------------------------------
+# n-gram hash tables
+# --------------------------------------------------------------------------
+@dataclasses.dataclass
+class HashTable:
+    """One order's open-addressing table (numpy arrays)."""
+
+    keys: np.ndarray  # int32 [size, n], -1 = empty
+    probs: np.ndarray  # float32 [size]
+    backoffs: np.ndarray  # float32 [size]
+    max_probes: int
+
+    @property
+    def size(self) -> int:
+        return int(self.keys.shape[0])
+
+    @property
+    def width(self) -> int:
+        return int(self.keys.shape[1])
+
+
+def _build_hash_table(
+    entries: Dict[Tuple[int, ...], Tuple[np.float32, np.float32]], n: int
+) -> HashTable:
+    count = len(entries)
+    size = _MIN_TABLE
+    while size * _LOAD_FACTOR < max(count, 1):
+        size *= 2
+    while True:
+        keys = np.full((size, n), -1, dtype=np.int32)
+        probs = np.zeros(size, dtype=np.float32)
+        backoffs = np.zeros(size, dtype=np.float32)
+        max_probes = 1
+        ok = True
+        if count:
+            all_keys = np.array(list(entries.keys()), dtype=np.int32).reshape(count, n)
+            hashes = fnv1a(np, all_keys)
+            vals = list(entries.values())
+            mask = size - 1
+            for row in range(count):
+                slot = int(hashes[row]) & mask
+                probes = 1
+                while keys[slot, 0] != -1 or (n > 1 and keys[slot, 1] != -1):
+                    slot = (slot + 1) & mask
+                    probes += 1
+                    if probes > 64:
+                        ok = False
+                        break
+                if not ok:
+                    break
+                keys[slot] = all_keys[row]
+                probs[slot] = vals[row][0]
+                backoffs[slot] = vals[row][1]
+                max_probes = max(max_probes, probes)
+        if ok:
+            return HashTable(keys, probs, backoffs, max_probes)
+        size *= 2  # displacement got pathological; rebuild sparser
+
+
+def lookup_jnp(table_dev: Dict, query: "object", valid: "object"):
+    """Probe one order's table for a batch of keys.
+
+    ``table_dev``: dict of jnp arrays (keys/probs/backoffs + ints).
+    ``query``: int32 ``[Q, n]``; ``valid``: bool ``[Q]``.
+    Returns ``(found [Q] bool, prob [Q] f32, backoff [Q] f32)``.
+    """
+    import jax.numpy as jnp
+
+    keys = table_dev["keys"]
+    size, n = keys.shape
+    max_probes = table_dev["max_probes"]
+    mask = size - 1
+    h = fnv1a(jnp, query)
+    base = (h & jnp.uint32(mask)).astype(jnp.int32)
+    offs = jnp.arange(max_probes, dtype=jnp.int32)
+    idx = (base[:, None] + offs[None, :]) & mask  # [Q, P]
+    cand = keys[idx]  # [Q, P, n]
+    hit = jnp.all(cand == query[:, None, :], axis=-1) & valid[:, None]
+    found = jnp.any(hit, axis=-1)
+    sel = jnp.argmax(hit, axis=-1)
+    slot = jnp.take_along_axis(idx, sel[:, None], axis=1)[:, 0]
+    prob = jnp.where(found, table_dev["probs"][slot], 0.0)
+    backoff = jnp.where(found, table_dev["backoffs"][slot], 0.0)
+    return found, prob, backoff
+
+
+# --------------------------------------------------------------------------
+# packed char trie
+# --------------------------------------------------------------------------
+@dataclasses.dataclass
+class PackedTrie:
+    """Char trie as flat arrays. Node 0 = root; node ``dead`` swallows."""
+
+    next: np.ndarray  # int32 [N, n_chars]
+    word_id: np.ndarray  # int32 [N] (-1: not a vocab word terminal)
+    is_uni_word: np.ndarray  # bool [N] (terminal of a known-unigram)
+    is_uni_prefix: np.ndarray  # bool [N] (prefix of a known-unigram)
+    min_completion: np.ndarray  # int32 [N] shortest key length through node
+    dead: int
+
+    @property
+    def n_nodes(self) -> int:
+        return int(self.next.shape[0])
+
+
+class _TrieBuilder:
+    def __init__(self, n_chars: int) -> None:
+        self.n_chars = n_chars
+        self.next: List[np.ndarray] = [np.full(n_chars, -1, dtype=np.int64)]
+        self.word_id: List[int] = [-1]
+        self.is_uni_word: List[bool] = [False]
+        self.is_uni_prefix: List[bool] = [False]
+        self.min_completion: List[int] = [0]
+
+    def insert(self, key_ids: List[int], depth_len: int) -> int:
+        node = 0
+        if self.min_completion[0] == 0 or depth_len < self.min_completion[0]:
+            self.min_completion[0] = depth_len
+        for cid in key_ids:
+            nxt = self.next[node][cid]
+            if nxt < 0:
+                nxt = len(self.next)
+                self.next[node][cid] = nxt
+                self.next.append(np.full(self.n_chars, -1, dtype=np.int64))
+                self.word_id.append(-1)
+                self.is_uni_word.append(False)
+                self.is_uni_prefix.append(False)
+                self.min_completion.append(depth_len)
+            elif depth_len < self.min_completion[nxt]:
+                self.min_completion[nxt] = depth_len
+            node = int(nxt)
+        return node
+
+    def pack(self) -> PackedTrie:
+        n = len(self.next)
+        dead = n
+        nxt = np.full((n + 1, self.n_chars), dead, dtype=np.int32)
+        table = np.stack(self.next) if n else np.zeros((0, self.n_chars), np.int64)
+        nxt[:n] = np.where(table >= 0, table, dead).astype(np.int32)
+        return PackedTrie(
+            next=nxt,
+            word_id=np.append(np.array(self.word_id, np.int32), -1),
+            is_uni_word=np.append(np.array(self.is_uni_word, bool), False),
+            is_uni_prefix=np.append(np.array(self.is_uni_prefix, bool), False),
+            min_completion=np.append(np.array(self.min_completion, np.int32), 0),
+            dead=dead,
+        )
+
+
+def build_vocab_trie(
+    vocab: Dict[str, int],
+    unigram_set,
+    char2id: Dict[str, int],
+    unk_id: int,
+) -> PackedTrie:
+    """Trie over LM vocab words (carrying word ids) and known unigrams."""
+    builder = _TrieBuilder(len(char2id))
+
+    def _ids(word: str) -> Optional[List[int]]:
+        out = []
+        for ch in word:
+            cid = char2id.get(ch)
+            if cid is None:
+                return None  # contains a char no decodable string can produce
+            out.append(cid)
+        return out
+
+    for word, wid in vocab.items():
+        if wid == unk_id or word in (BOS_WORD, EOS_WORD):
+            continue
+        ids = _ids(word)
+        if ids is None:
+            continue
+        node = builder.insert(ids, len(word))
+        builder.word_id[node] = wid
+    for word in unigram_set:
+        ids = _ids(word)
+        if ids is None:
+            continue
+        node = builder.insert(ids, len(word))
+        builder.is_uni_word[node] = True
+        # mark the whole path as a unigram prefix
+        cur = 0
+        builder.is_uni_prefix[0] = True
+        for cid in ids:
+            cur = int(builder.next[cur][cid])
+            builder.is_uni_prefix[cur] = True
+    return builder.pack()
+
+
+def trie_seed_nodes(trie: PackedTrie, tokens: TokenArrays) -> np.ndarray:
+    """Node reached from the root by each token's piece (boundary seeding)."""
+    v = tokens.vocab_size
+    seeds = np.zeros(v, dtype=np.int32)
+    for t in range(v):
+        node = 0
+        for j in range(int(tokens.piece_len[t])):
+            cid = int(tokens.piece_chars[t, j])
+            node = int(trie.next[node, cid])
+        seeds[t] = node
+    return seeds
+
+
+# --------------------------------------------------------------------------
+# bundle
+# --------------------------------------------------------------------------
+@dataclasses.dataclass
+class DeviceLM:
+    """Everything the device scan needs to score a shallow-fusion n-gram LM."""
+
+    order: int
+    unk_id: int
+    eos_id: int
+    unk_prob10: float  # unigram log10 prob of <unk> (ill-formed-table fallback)
+    start_ctx: np.ndarray  # int32 [order-1], right-aligned, -1 pad (<s> state)
+    start_ctx_len: int
+    tables: List[HashTable]  # per order 1..order
+    trie: PackedTrie
+    seed_node: np.ndarray  # int32 [V]
+    has_unigrams: bool
+
+    def as_device(self) -> Dict:
+        """jnp pytree of all arrays (call once, reuse across decodes)."""
+        import jax.numpy as jnp
+
+        return {
+            "tables": [
+                {
+                    "keys": jnp.asarray(t.keys),
+                    "probs": jnp.asarray(t.probs),
+                    "backoffs": jnp.asarray(t.backoffs),
+                    "max_probes": t.max_probes,
+                }
+                for t in self.tables
+            ],
+            "trie_next": jnp.asarray(self.trie.next),
+            "trie_word_id": jnp.asarray(self.trie.word_id),
+            "trie_is_uni_word": jnp.asarray(self.trie.is_uni_word),
+            "trie_is_uni_prefix": jnp.asarray(self.trie.is_uni_prefix),
+            "trie_min_completion": jnp.asarray(self.trie.min_completion),
+            "seed_node": jnp.asarray(self.seed_node),
+            "start_ctx": jnp.asarray(self.start_ctx),
+        }
+
+
+def build_device_lm(language_model: LanguageModel, tokens: TokenArrays) -> DeviceLM:
+    """Compile a :class:`LanguageModel` into :class:`DeviceLM` tables."""
+    ngram = language_model.ngram_model
+    tables_py: NGramTables = ngram.tables
+    order = tables_py.order
+    unk_id = tables_py.unk_id
+    eos_id = tables_py.vocab.get(EOS_WORD, unk_id)
+    uni_unk = tables_py.ngrams[0].get((unk_id,))
+    unk_prob10 = float(uni_unk[0]) if uni_unk is not None else -99.0
+
+    tables = [
+        _build_hash_table(tables_py.ngrams[n - 1], n) for n in range(1, order + 1)
+    ]
+    # the trie's char ids must extend the token char map with vocab-only chars
+    char2id = dict(tokens.char2id)
+    for word in tables_py.vocab:
+        for ch in word:
+            if ch not in char2id:
+                char2id[ch] = len(char2id)
+    for word in language_model.unigram_set:
+        for ch in word:
+            if ch not in char2id:
+                char2id[ch] = len(char2id)
+    trie = build_vocab_trie(
+        tables_py.vocab, language_model.unigram_set, char2id, unk_id
+    )
+    seed_node = trie_seed_nodes(trie, tokens)
+
+    bos_state = tables_py.begin_sentence_state()
+    ctx_width = max(order - 1, 1)
+    start_ctx = np.full(ctx_width, -1, dtype=np.int32)
+    for i, wid in enumerate(bos_state):
+        start_ctx[ctx_width - len(bos_state) + i] = wid
+    return DeviceLM(
+        order=order,
+        unk_id=unk_id,
+        eos_id=eos_id,
+        unk_prob10=unk_prob10,
+        start_ctx=start_ctx,
+        start_ctx_len=len(bos_state),
+        tables=tables,
+        trie=trie,
+        seed_node=seed_node,
+        has_unigrams=len(language_model.unigram_set) > 0,
+    )
+
+
+def lm_score_words_jnp(
+    dev: Dict,
+    order: int,
+    unk_prob10: float,
+    ctx: "object",
+    ctx_len: "object",
+    wid: "object",
+):
+    """Batched KenLM-``BaseScore``-equivalent on device.
+
+    ``ctx``: int32 ``[Q, order-1]`` right-aligned (-1 pad), ``ctx_len [Q]``,
+    ``wid [Q]``. Returns ``(raw10 [Q] f32, out_ctx [Q, order-1], out_len [Q])``
+    matching :meth:`NGramTables.raw_score` bit-for-bit on float32.
+    """
+    import jax.numpy as jnp
+
+    ctx_width = max(order - 1, 1)
+    full = jnp.concatenate([ctx, wid[:, None].astype(jnp.int32)], axis=1)
+    if order == 1:
+        full = wid[:, None].astype(jnp.int32)
+    k = ctx_len  # number of context words
+
+    present = []
+    probs = []
+    for n in range(1, order + 1):
+        key = full[:, full.shape[1] - n :]
+        valid = (k + 1) >= n
+        found, prob, _ = lookup_jnp(dev["tables"][n - 1], key, valid)
+        present.append(found)
+        probs.append(prob)
+    # longest match
+    matched = jnp.zeros_like(k)
+    prob = jnp.zeros_like(probs[0])
+    for n in range(1, order + 1):
+        take = present[n - 1]
+        matched = jnp.where(take, n, matched)
+        prob = jnp.where(take, probs[n - 1], prob)
+    no_match = matched == 0
+    prob = jnp.where(no_match, jnp.float32(unk_prob10), prob)
+    matched = jnp.where(no_match, 1, matched)
+
+    # backoff accumulation over unmatched context suffixes, ascending j
+    # (sequential f32 adds in the same order as the host scorer)
+    score = prob.astype(jnp.float32)
+    for j in range(1, order):
+        key = full[:, full.shape[1] - 1 - j : full.shape[1] - 1]
+        valid = k >= j
+        found, _, backoff = lookup_jnp(dev["tables"][j - 1], key, valid)
+        use = (j >= matched) & (j <= k) & found
+        score = jnp.where(use, (score + backoff).astype(jnp.float32), score)
+
+    # outgoing state: longest suffix of `full` present, capped at order-1
+    out_n = jnp.zeros_like(k)
+    for n in range(1, order):
+        out_n = jnp.where(present[n - 1], n, out_n)
+    positions = jnp.arange(ctx_width)[None, :]
+    tail = full[:, 1:] if order > 1 else jnp.full_like(ctx, -1)
+    out_ctx = jnp.where(positions >= (ctx_width - out_n[:, None]), tail, -1)
+    return score, out_ctx.astype(jnp.int32), out_n.astype(jnp.int32)

@@ -18,6 +18,17 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Persistent XLA compilation cache: the device-engine tests compile a
+# handful of scan programs; caching them across runs keeps the suite fast.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+
+
+def pytest_configure(config):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 REFERENCE_SAMPLE_DATA = "/root/reference/pyctcdecode/tests/sample_data"
 
 

@@ -1,0 +1,308 @@
+"""TPU device engine tests: parity against the host engine (the oracle).
+
+The host engine is verified against the reference's golden outputs in
+``test_decoder.py``; here the device engine (fixed-width vectorized scan,
+``pyctcdecode_tpu/engine.py``) is held to the same outputs: golden
+bugs/bunny floats, the LibriSpeech fixture transcript, and randomized
+fuzzing with and without a language model, including BPE alphabets,
+history pruning, stateful LM chaining and batch decoding.
+
+Scores are compared at 2e-3 absolute (device accumulates f32 vs the host's
+f64); texts, frames and LM states must match exactly.
+"""
+import json
+import os
+import unittest
+
+import numpy as np
+import pytest
+
+from pyctcdecode_tpu import Alphabet, BeamSearchDecoderCTC, LanguageModel
+from pyctcdecode_tpu.models.device_tables import build_device_lm, lm_score_words_jnp
+from pyctcdecode_tpu.models.ngram import NGramModel
+from pyctcdecode_tpu.ops.tokens import build_token_arrays
+from pyctcdecode_tpu.tpu_decoder import TPUBeamSearchDecoderCTC
+
+from .helpers import (
+    LIBRI_LABELS,
+    SAMPLE_LABELS,
+    GOLDEN_TOP_LM_SCORE,
+    GOLDEN_TOP_LOGIT_SCORE,
+    TEST_LOGITS,
+    TEST_PROBS,
+    TEST_UNIGRAMS,
+)
+
+SAMPLE_DATA = "/root/reference/pyctcdecode/tests/sample_data"
+ARPA = os.path.join(SAMPLE_DATA, "bugs_bunny_kenlm.arpa")
+LIBRI_TRANSCRIPT = (
+    "i have a good deal of will you remember and what i have set my mind upon "
+    "no doubt i shall some day achieve"
+)
+
+SCORE_TOL = 2e-3
+
+
+def _sample_alphabet():
+    return Alphabet.build_alphabet(SAMPLE_LABELS)
+
+
+def _sample_lm(**kwargs):
+    model = NGramModel.from_file(ARPA)
+    return LanguageModel(model, TEST_UNIGRAMS, **kwargs)
+
+
+def _assert_beams_match(test, host_beams, dev_beams, check_rank=1):
+    """Top-`check_rank` beams must agree in text/scores/frames/state."""
+    for hb, db in zip(host_beams[:check_rank], dev_beams[:check_rank]):
+        test.assertEqual(hb.text, db.text)
+        test.assertEqual(hb.text_frames, db.text_frames)
+        test.assertAlmostEqual(hb.logit_score, db.logit_score, delta=SCORE_TOL)
+        test.assertAlmostEqual(hb.lm_score, db.lm_score, delta=SCORE_TOL)
+        test.assertEqual(hb.last_lm_state, db.last_lm_state)
+
+
+@pytest.mark.skipif(not os.path.exists(ARPA), reason="reference fixtures absent")
+class TestDeviceNGramTables(unittest.TestCase):
+    def test_raw_score_parity_exhaustive(self):
+        """Device hash-table scorer == exact Python scorer on every state."""
+        import jax.numpy as jnp
+
+        model = NGramModel.from_file(ARPA)
+        lm = LanguageModel(model, TEST_UNIGRAMS)
+        tokens = build_token_arrays(_sample_alphabet())
+        dlm = build_device_lm(lm, tokens)
+        dev = dlm.as_device()
+        tab = model.tables
+        ctx_w = max(dlm.order - 1, 1)
+
+        # discover all reachable states
+        vocab_ids = sorted(set(tab.vocab.values()))
+        seen = {(), tab.begin_sentence_state()}
+        frontier = list(seen)
+        while frontier:
+            s = frontier.pop()
+            for wid in vocab_ids:
+                _, out = tab.raw_score(s, wid)
+                if out not in seen:
+                    seen.add(out)
+                    frontier.append(out)
+
+        queries, expected = [], []
+        for s in sorted(seen):
+            for wid in vocab_ids:
+                score, out = tab.raw_score(s, wid)
+                ctx = np.full(ctx_w, -1, np.int32)
+                ctx[ctx_w - len(s) :] = s if s else []
+                queries.append((ctx, len(s), wid))
+                expected.append((score, out))
+        ctxs = jnp.asarray(np.stack([q[0] for q in queries]))
+        lens = jnp.asarray(np.array([q[1] for q in queries], np.int32))
+        wids = jnp.asarray(np.array([q[2] for q in queries], np.int32))
+        raw, octx, olen = lm_score_words_jnp(
+            dev, dlm.order, dlm.unk_prob10, ctxs, lens, wids
+        )
+        raw, octx, olen = np.asarray(raw), np.asarray(octx), np.asarray(olen)
+        for i, (score, out) in enumerate(expected):
+            self.assertAlmostEqual(float(raw[i]), score, places=5)
+            self.assertEqual(int(olen[i]), len(out))
+            got = tuple(int(w) for w in octx[i, ctx_w - olen[i] :]) if olen[i] else ()
+            self.assertEqual(got, out)
+
+
+class TestDeviceEngineNoLM(unittest.TestCase):
+    def setUp(self):
+        self.alphabet = _sample_alphabet()
+        self.host = BeamSearchDecoderCTC(self.alphabet)
+        self.dev = TPUBeamSearchDecoderCTC(self.alphabet)
+
+    def tearDown(self):
+        BeamSearchDecoderCTC.clear_class_models()
+
+    def test_greedy_fixture(self):
+        host = self.host.decode_beams(TEST_PROBS, beam_width=16)
+        dev = self.dev.decode_beams(TEST_PROBS, beam_width=16)
+        self.assertEqual(dev[0].text, "bunny bunny")
+        _assert_beams_match(self, host, dev, check_rank=1)
+
+    def test_logit_and_prob_inputs_match(self):
+        a = self.dev.decode_beams(TEST_PROBS, beam_width=8)
+        b = self.dev.decode_beams(TEST_LOGITS, beam_width=8)
+        self.assertEqual(a[0].text, b[0].text)
+        self.assertAlmostEqual(a[0].lm_score, b[0].lm_score, delta=1e-4)
+
+    def test_fuzz_parity(self):
+        rng = np.random.RandomState(7)
+        for _ in range(8):
+            mat = rng.randn(rng.randint(1, 40), len(SAMPLE_LABELS)) * 2.0
+            host = self.host.decode_beams(mat, beam_width=6)
+            dev = self.dev.decode_beams(mat, beam_width=6)
+            _assert_beams_match(self, host, dev, check_rank=2)
+
+    def test_prune_history_parity(self):
+        rng = np.random.RandomState(11)
+        for _ in range(4):
+            mat = rng.randn(rng.randint(5, 40), len(SAMPLE_LABELS)) * 2.0
+            self.assertEqual(self.host.decode(mat), self.dev.decode(mat))
+
+    def test_empty_time_axis(self):
+        out = self.dev.decode_beams(np.zeros((0, len(SAMPLE_LABELS))), beam_width=4)
+        self.assertEqual(out[0].text, "")
+
+
+@pytest.mark.skipif(not os.path.exists(ARPA), reason="reference fixtures absent")
+class TestDeviceEngineWithLM(unittest.TestCase):
+    def tearDown(self):
+        BeamSearchDecoderCTC.clear_class_models()
+
+    def test_golden_scores(self):
+        """Reference golden floats (ref test_decoder.py:324-336; beta=default 1.5)."""
+        lm = _sample_lm(alpha=1.0, unk_score_offset=0.0)
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet(), lm)
+        top = dev.decode_beams(TEST_PROBS, beam_width=16)[0]
+        self.assertEqual(top.text, "bugs bunny")
+        self.assertAlmostEqual(top.logit_score, GOLDEN_TOP_LOGIT_SCORE, delta=SCORE_TOL)
+        self.assertAlmostEqual(top.lm_score, GOLDEN_TOP_LM_SCORE, delta=SCORE_TOL)
+
+    def test_unk_offset_flips_outcome(self):
+        lm = _sample_lm(alpha=1.0, beta=0.0, unk_score_offset=-10.0)
+        host = BeamSearchDecoderCTC(_sample_alphabet(), lm)
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet(), lm)
+        self.assertEqual(host.decode(TEST_PROBS), dev.decode(TEST_PROBS))
+
+    def test_reset_params_no_reload(self):
+        lm = _sample_lm(alpha=1.0, beta=0.0, unk_score_offset=0.0)
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet(), lm)
+        self.assertEqual(dev.decode(TEST_PROBS), "bugs bunny")
+        dev.reset_params(alpha=0.0)
+        self.assertEqual(dev.decode(TEST_PROBS), "bunny bunny")
+        dev.reset_params(alpha=1.0)
+        self.assertEqual(dev.decode(TEST_PROBS), "bugs bunny")
+
+    def test_fuzz_parity_with_lm(self):
+        lm = _sample_lm(alpha=0.6, beta=1.2, unk_score_offset=-4.0)
+        host = BeamSearchDecoderCTC(_sample_alphabet(), lm)
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet(), lm)
+        rng = np.random.RandomState(3)
+        for _ in range(8):
+            mat = rng.randn(rng.randint(1, 40), len(SAMPLE_LABELS)) * 2.0
+            _assert_beams_match(
+                self,
+                host.decode_beams(mat, beam_width=6),
+                dev.decode_beams(mat, beam_width=6),
+                check_rank=2,
+            )
+
+    def test_stateful_chaining(self):
+        """lm_start_state carry-over across utterances (ref test_decoder.py:426-456)."""
+        lm = _sample_lm(alpha=1.0, beta=0.0, unk_score_offset=0.0)
+        host = BeamSearchDecoderCTC(_sample_alphabet(), lm)
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet(), lm)
+        h1 = host.decode_beams(TEST_PROBS)[0]
+        d1 = dev.decode_beams(TEST_PROBS)[0]
+        self.assertEqual(h1.last_lm_state, d1.last_lm_state)
+        h2 = host.decode_beams(TEST_PROBS, lm_start_state=h1.last_lm_state)[0]
+        d2 = dev.decode_beams(TEST_PROBS, lm_start_state=d1.last_lm_state)[0]
+        self.assertEqual(h2.text, d2.text)
+        self.assertAlmostEqual(h2.lm_score, d2.lm_score, delta=SCORE_TOL)
+
+    def test_score_boundary_off(self):
+        lm = _sample_lm(alpha=1.0, beta=0.0, unk_score_offset=0.0, score_boundary=False)
+        host = BeamSearchDecoderCTC(_sample_alphabet(), lm)
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet(), lm)
+        _assert_beams_match(
+            self,
+            host.decode_beams(TEST_PROBS, beam_width=8),
+            dev.decode_beams(TEST_PROBS, beam_width=8),
+        )
+
+    def test_hotwords_not_yet_on_device(self):
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet(), _sample_lm())
+        with self.assertRaises(NotImplementedError):
+            dev.decode_beams(TEST_PROBS, hotwords=["bunny"])
+
+
+class TestDeviceEngineBPE(unittest.TestCase):
+    """BPE alphabets, incl. right-bounded tokens, against the host engine."""
+
+    LABELS = ["▁bug", "▁bun", "ny", "s", "g", "un", "▁⁇▁", ""]
+
+    def setUp(self):
+        self.alphabet = Alphabet.build_alphabet(self.LABELS)
+        assert self.alphabet.is_bpe
+        self.host = BeamSearchDecoderCTC(self.alphabet)
+        self.dev = TPUBeamSearchDecoderCTC(self.alphabet)
+
+    def tearDown(self):
+        BeamSearchDecoderCTC.clear_class_models()
+
+    def test_simple_sequence(self):
+        seq = ["▁bug", "s", "", "▁bun", "ny"]
+        mat = np.zeros((len(seq), len(self.LABELS)))
+        for i, tok in enumerate(seq):
+            mat[i, self.LABELS.index(tok)] = 1.0
+        host = self.host.decode_beams(mat, beam_width=8)
+        dev = self.dev.decode_beams(mat, beam_width=8)
+        self.assertEqual(dev[0].text, "bugs bunny")
+        _assert_beams_match(self, host, dev)
+
+    def test_fuzz_parity_bpe(self):
+        rng = np.random.RandomState(13)
+        for _ in range(8):
+            mat = rng.randn(rng.randint(1, 30), len(self.LABELS)) * 2.0
+            host = self.host.decode_beams(mat, beam_width=6)
+            dev = self.dev.decode_beams(mat, beam_width=6)
+            _assert_beams_match(self, host, dev, check_rank=2)
+
+
+class TestDeviceEngineLibri(unittest.TestCase):
+    @pytest.mark.skipif(
+        not os.path.exists(os.path.join(SAMPLE_DATA, "libri_logits.json")),
+        reason="reference fixtures absent",
+    )
+    def test_libri_golden_transcript(self):
+        with open(os.path.join(SAMPLE_DATA, "libri_logits.json")) as fh:
+            logits = np.array(json.load(fh))
+        alphabet = Alphabet.build_alphabet(LIBRI_LABELS + [""])
+        host = BeamSearchDecoderCTC(alphabet)
+        dev = TPUBeamSearchDecoderCTC(alphabet)
+        self.assertEqual(dev.decode(logits), LIBRI_TRANSCRIPT)
+        hb = host.decode_beams(logits, beam_width=25)[0]
+        db = dev.decode_beams(logits, beam_width=25)[0]
+        self.assertEqual(hb.text, db.text)
+        self.assertEqual(hb.text_frames, db.text_frames)
+        self.assertAlmostEqual(hb.logit_score, db.logit_score, delta=SCORE_TOL)
+        BeamSearchDecoderCTC.clear_class_models()
+
+
+@pytest.mark.skipif(not os.path.exists(ARPA), reason="reference fixtures absent")
+class TestDeviceBatch(unittest.TestCase):
+    def tearDown(self):
+        BeamSearchDecoderCTC.clear_class_models()
+
+    def test_batch_equals_sequential(self):
+        lm = _sample_lm(alpha=0.7, beta=0.5, unk_score_offset=-3.0)
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet(), lm)
+        rng = np.random.RandomState(5)
+        mats = [
+            rng.randn(rng.randint(3, 30), len(SAMPLE_LABELS)) * 2.0 for _ in range(5)
+        ]
+        single = [dev.decode_beams(m, beam_width=5) for m in mats]
+        batched = dev.decode_beams_batch(mats, beam_width=5)
+        self.assertEqual(len(batched), len(mats))
+        for s, b in zip(single, batched):
+            self.assertEqual([x.text for x in s], [x.text for x in b])
+            for x, y in zip(s, b):
+                self.assertAlmostEqual(x.lm_score, y.lm_score, delta=1e-4)
+
+    def test_batch_top1(self):
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet())
+        rng = np.random.RandomState(9)
+        mats = [rng.randn(10, len(SAMPLE_LABELS)) for _ in range(3)]
+        texts = dev.decode_batch(mats)
+        for m, t in zip(mats, texts):
+            self.assertEqual(dev.decode(m), t)
+
+
+if __name__ == "__main__":
+    unittest.main()
