@@ -17,6 +17,7 @@ from .models import (
     MultiLanguageModel,
     NGramModel,
 )
+from .tpu_decoder import TPUBeamSearchDecoderCTC
 
 __version__ = "0.1.0"
 
@@ -32,5 +33,6 @@ __all__ = [
     "LanguageModel",
     "MultiLanguageModel",
     "NGramModel",
+    "TPUBeamSearchDecoderCTC",
     "build_ctcdecoder",
 ]

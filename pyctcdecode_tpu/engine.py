@@ -16,6 +16,15 @@ beams are 2x32-bit rolling hashes plus a trie node, and each frame emits a
 are reconstructed on host by backtracing and replaying the transition
 system (identical rules to the host engine, which is the parity oracle).
 
+The engine is exposed at two granularities:
+
+* :func:`make_decode_fn` — one jittable function for a whole utterance
+  (scan + finalization), used by the one-shot and batch APIs;
+* :func:`make_stream_fns` — ``init`` / ``chunk`` / ``finalize`` pieces with
+  a device-resident carried state, used by the streaming API
+  (ref ``decoder.py:669-728`` semantics: chunked == full, force-commit and
+  end-of-stream handling as traced flags so no recompilation per mode).
+
 Semantic parity notes (vs the host engine / reference):
 
 * merge key = (text, partial word, last token, BPE break flag); the newest
@@ -32,26 +41,14 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 
-from .alphabet import Alphabet
-from .constants import (
-    AVG_TOKEN_LEN,
-    DEFAULT_BEAM_WIDTH,
-    DEFAULT_MIN_TOKEN_LOGP,
-    DEFAULT_PRUNE_BEAMS,
-    DEFAULT_PRUNE_LOGP,
-    LOG_BASE_CHANGE_FACTOR,
-)
-from .decoder import NULL_FRAMES, OutputBeam, _normalize_whitespace
-from .models.base import NGramLMState
-from .models.device_tables import DeviceLM, build_device_lm, lm_score_words_jnp
-from .models.language_model import LanguageModel
+from .constants import AVG_TOKEN_LEN, LOG_BASE_CHANGE_FACTOR
+from .models.device_tables import DeviceLM, lm_score_words_jnp
 from .ops.hashing import hash_extend_char, hash_text_commit
-from .ops.tokens import KIND_BLANK, KIND_BOUNDARY, TokenArrays, build_token_arrays
-from .utils.logits import normalize_to_logp
+from .ops.tokens import KIND_BLANK, KIND_BOUNDARY, TokenArrays
 
 DEAD = -1.0e30
 DEAD_THRESH = -1.0e29
@@ -83,6 +80,39 @@ def _mix_key(jnp, a, b, c, d):
     h = a * jnp.uint32(0x01000193) ^ b
     h = h * jnp.uint32(0x01000193) ^ c
     return h * jnp.uint32(0x01000193) ^ d
+
+
+def _build_dev_tables(jnp, tokens: TokenArrays, device_lm: Optional[DeviceLM]):
+    tok_dev = {
+        "kind": jnp.asarray(tokens.kind),
+        "piece_len": jnp.asarray(tokens.piece_len),
+        "raw_chars": jnp.asarray(tokens.raw_chars),
+        "raw_len": jnp.asarray(tokens.raw_len),
+        "right_bound": jnp.asarray(tokens.right_bound),
+        "seed_lo": jnp.asarray(tokens.seed_hash_lo),
+        "seed_hi": jnp.asarray(tokens.seed_hash_hi),
+    }
+    if device_lm is not None:
+        dev = device_lm.as_device()
+        dev["unk_id"] = device_lm.unk_id
+        dev["eos_id"] = device_lm.eos_id
+        dev["unk_prob10"] = np.float32(device_lm.unk_prob10)
+        dev["has_unigrams"] = device_lm.has_unigrams
+        dev["seed_node_arr"] = dev["seed_node"]
+    else:
+        dev = {}
+    return tok_dev, dev
+
+
+def _params_dict(params):
+    return {
+        "token_min_logp": params[0],
+        "beam_prune_logp": params[1],
+        "alpha": params[2],
+        "beta": params[3],
+        "unk_offset": params[4],
+        "score_boundary": params[5] > 0.5,
+    }
 
 
 def _init_state(jnp, cfg: EngineConfig, start_ctx, start_ctx_len):
@@ -214,287 +244,255 @@ def _merge_and_rank(jnp, cfg, kl, kh, logit_flat, lm_extra_fn, beam_prune_logp):
     return top_scores, merged_logit[top_idx], src[top_idx]
 
 
-def make_decode_fn(
-    cfg: EngineConfig,
-    tokens: TokenArrays,
-    device_lm: Optional[DeviceLM],
-):
-    """Build the jittable one-utterance decode function.
+def _partial_score(jnp, dev, prm, node, plen):
+    """score_partial_token for in-progress words (ref language_model.py:326-336)."""
+    is_pref = dev["trie_is_uni_prefix"][node] if dev else jnp.zeros_like(plen, bool)
+    punk = prm["unk_offset"] * (~is_pref).astype(jnp.float32)
+    plen_f = plen.astype(jnp.float32)
+    punk = jnp.where(plen > AVG_TOKEN_LEN, punk * plen_f / AVG_TOKEN_LEN, punk)
+    return jnp.where(plen > 0, punk, 0.0)
 
-    Returns ``fn(logp [T,V] f32, n_frames i32, params [6] f32, start_ctx
-    [ctx_w] i32, start_ctx_len i32) -> outputs`` where outputs hold the final
-    ranked beams plus per-frame backpointers for host-side reconstruction.
-    """
+
+def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, prm: Dict, n_frames):
+    """Build the per-frame scan body."""
     import jax
-    import jax.numpy as jnp
 
-    tok_dev = {
-        "kind": jnp.asarray(tokens.kind),
-        "piece_len": jnp.asarray(tokens.piece_len),
-        "raw_chars": jnp.asarray(tokens.raw_chars),
-        "raw_len": jnp.asarray(tokens.raw_len),
-        "right_bound": jnp.asarray(tokens.right_bound),
-        "seed_lo": jnp.asarray(tokens.seed_hash_lo),
-        "seed_hi": jnp.asarray(tokens.seed_hash_hi),
-    }
-    if device_lm is not None:
-        dev = device_lm.as_device()
-        dev["unk_id"] = device_lm.unk_id
-        dev["eos_id"] = device_lm.eos_id
-        dev["unk_prob10"] = np.float32(device_lm.unk_prob10)
-        dev["has_unigrams"] = device_lm.has_unigrams
-        dev["seed_node_arr"] = dev["seed_node"]
-    else:
-        dev = {}
     b = cfg.beam_width
     k = cfg.k_tokens
     v = cfg.vocab_size
     c = b * k
-    lmax = tokens.max_piece_len
-
-    def _params_dict(params):
-        return {
-            "token_min_logp": params[0],
-            "beam_prune_logp": params[1],
-            "alpha": params[2],
-            "beta": params[3],
-            "unk_offset": params[4],
-            "score_boundary": params[5] > 0.5,
-        }
+    lmax = int(tok_dev["raw_chars"].shape[1])
 
     def _flatten(x):
         """[B, K, ...] -> [K*B, ...] in token-major order (ref enumeration)."""
         return jnp.swapaxes(x, 0, 1).reshape((c,) + x.shape[2:])
 
-    def decode(logp, n_frames, params, start_ctx, start_ctx_len):
-        prm = _params_dict(params)
-        state0 = _init_state(jnp, cfg, start_ctx, start_ctx_len)
+    def step(state, xs):
+        logp_row, t = xs
+        active = t < n_frames
+        if k < v:
+            _, toks = jax.lax.top_k(logp_row, k)
+            toks = jnp.sort(toks).astype(jnp.int32)
+            tok_logp = logp_row[toks]
+        else:
+            toks = jnp.arange(v, dtype=jnp.int32)
+            tok_logp = logp_row
+        argmax_tok = jnp.argmax(logp_row).astype(jnp.int32)
+        admit = (tok_logp >= prm["token_min_logp"]) | (toks == argmax_tok)
 
-        def step(state, xs):
-            logp_row, t = xs
-            active = t < n_frames
-            if k < v:
-                _, toks = jax.lax.top_k(logp_row, k)
-                toks = jnp.sort(toks).astype(jnp.int32)
-                tok_logp = logp_row[toks]
-            else:
-                toks = jnp.arange(v, dtype=jnp.int32)
-                tok_logp = logp_row
-            argmax_tok = jnp.argmax(logp_row).astype(jnp.int32)
-            admit = (tok_logp >= prm["token_min_logp"]) | (toks == argmax_tok)
+        tok_kind = tok_dev["kind"][toks]
+        blank = tok_kind == KIND_BLANK
+        boundary_kind = tok_kind == KIND_BOUNDARY
+        tok_right = tok_dev["right_bound"][toks]
+        tok_plen = tok_dev["piece_len"][toks]  # boundary piece length
+        tok_rlen = tok_dev["raw_len"][toks]  # raw label length
 
-            tok_kind = tok_dev["kind"][toks]
-            blank = tok_kind == KIND_BLANK
-            boundary_kind = tok_kind == KIND_BOUNDARY
-            tok_right = tok_dev["right_bound"][toks]
-            tok_plen = tok_dev["piece_len"][toks]  # boundary piece length
-            tok_rlen = tok_dev["raw_len"][toks]  # raw label length
+        alive = state["logit"] > DEAD_THRESH
+        cm = _commit_quantities(jnp, cfg, dev, prm, state)
 
-            alive = state["logit"] > DEAD_THRESH
-            cm = _commit_quantities(jnp, cfg, dev, prm, state)
+        # ---- transition classes [B, K]
+        stay = blank[None, :] | (state["last_tok"][:, None] == toks[None, :])
+        if cfg.is_bpe:
+            as_boundary = ~stay & (boundary_kind[None, :] | state["force"][:, None])
+        else:
+            as_boundary = ~stay & boundary_kind[None, :]
 
-            # ---- transition classes [B, K]
-            stay = blank[None, :] | (state["last_tok"][:, None] == toks[None, :])
-            if cfg.is_bpe:
-                as_boundary = ~stay & (boundary_kind[None, :] | state["force"][:, None])
-            else:
-                as_boundary = ~stay & boundary_kind[None, :]
-            as_regular = ~stay & ~as_boundary
-
-            # ---- partial-word extension walk (regular children, raw label)
-            ext_lo = jnp.broadcast_to(state["p_lo"][:, None], (b, k))
-            ext_hi = jnp.broadcast_to(state["p_hi"][:, None], (b, k))
+        # ---- partial-word extension walk (regular children, raw label)
+        ext_lo = jnp.broadcast_to(state["p_lo"][:, None], (b, k))
+        ext_hi = jnp.broadcast_to(state["p_hi"][:, None], (b, k))
+        if cfg.use_lm:
+            ext_node = jnp.broadcast_to(state["p_node"][:, None], (b, k))
+        for l in range(lmax):
+            cid = tok_dev["raw_chars"][toks, l]  # [K]
+            has = (cid >= 0)[None, :]
+            cid_b = jnp.broadcast_to(jnp.maximum(cid, 0)[None, :], (b, k))
+            nlo, nhi = hash_extend_char(jnp, ext_lo, ext_hi, cid_b)
+            ext_lo = jnp.where(has, nlo, ext_lo)
+            ext_hi = jnp.where(has, nhi, ext_hi)
             if cfg.use_lm:
-                ext_node = jnp.broadcast_to(state["p_node"][:, None], (b, k))
-            for l in range(lmax):
-                cid = tok_dev["raw_chars"][toks, l]  # [K]
-                has = (cid >= 0)[None, :]
-                cid_b = jnp.broadcast_to(jnp.maximum(cid, 0)[None, :], (b, k))
-                nlo, nhi = hash_extend_char(jnp, ext_lo, ext_hi, cid_b)
-                ext_lo = jnp.where(has, nlo, ext_lo)
-                ext_hi = jnp.where(has, nhi, ext_hi)
-                if cfg.use_lm:
-                    ext_node = jnp.where(
-                        has, dev["trie_next"][ext_node, cid_b], ext_node
-                    )
+                ext_node = jnp.where(has, dev["trie_next"][ext_node, cid_b], ext_node)
 
-            seed_lo = jnp.broadcast_to(tok_dev["seed_lo"][toks][None, :], (b, k))
-            seed_hi = jnp.broadcast_to(tok_dev["seed_hi"][toks][None, :], (b, k))
-            p_lo_n = jnp.where(
-                stay, state["p_lo"][:, None], jnp.where(as_boundary, seed_lo, ext_lo)
-            )
-            p_hi_n = jnp.where(
-                stay, state["p_hi"][:, None], jnp.where(as_boundary, seed_hi, ext_hi)
-            )
-            p_len_n = jnp.where(
+        seed_lo = jnp.broadcast_to(tok_dev["seed_lo"][toks][None, :], (b, k))
+        seed_hi = jnp.broadcast_to(tok_dev["seed_hi"][toks][None, :], (b, k))
+        p_lo_n = jnp.where(
+            stay, state["p_lo"][:, None], jnp.where(as_boundary, seed_lo, ext_lo)
+        )
+        p_hi_n = jnp.where(
+            stay, state["p_hi"][:, None], jnp.where(as_boundary, seed_hi, ext_hi)
+        )
+        p_len_n = jnp.where(
+            stay,
+            state["p_len"][:, None],
+            jnp.where(
+                as_boundary,
+                tok_plen[None, :],
+                state["p_len"][:, None] + tok_rlen[None, :],
+            ),
+        )
+        if cfg.use_lm:
+            seed_node = jnp.broadcast_to(dev["seed_node_arr"][toks][None, :], (b, k))
+            p_node_n = jnp.where(
                 stay,
-                state["p_len"][:, None],
-                jnp.where(
-                    as_boundary,
-                    tok_plen[None, :],
-                    state["p_len"][:, None] + tok_rlen[None, :],
-                ),
+                state["p_node"][:, None],
+                jnp.where(as_boundary, seed_node, ext_node),
             )
-            if cfg.use_lm:
-                seed_node = jnp.broadcast_to(dev["seed_node_arr"][toks][None, :], (b, k))
-                p_node_n = jnp.where(
-                    stay,
-                    state["p_node"][:, None],
-                    jnp.where(as_boundary, seed_node, ext_node),
-                )
-            else:
-                p_node_n = jnp.zeros((b, k), dtype=jnp.int32)
+        else:
+            p_node_n = jnp.zeros((b, k), dtype=jnp.int32)
 
-            text_lo_n = jnp.where(as_boundary, cm["text_lo"][:, None], state["text_lo"][:, None])
-            text_hi_n = jnp.where(as_boundary, cm["text_hi"][:, None], state["text_hi"][:, None])
-            fused_n = state["fused"][:, None] + jnp.where(as_boundary, cm["word_fused"][:, None], 0.0)
-            ctx_n = jnp.where(
-                as_boundary[:, :, None], cm["ctx"][:, None, :], state["ctx"][:, None, :]
-            )
-            ctx_len_n = jnp.where(as_boundary, cm["ctx_len"][:, None], state["ctx_len"][:, None])
-            ring_lo_n = jnp.where(
-                as_boundary[:, :, None], cm["ring_lo"][:, None, :], state["ring_lo"][:, None, :]
-            )
-            ring_hi_n = jnp.where(
-                as_boundary[:, :, None], cm["ring_hi"][:, None, :], state["ring_hi"][:, None, :]
-            )
-            n_words_n = jnp.where(as_boundary, cm["n_words"][:, None], state["n_words"][:, None])
-            last_n = jnp.broadcast_to(toks[None, :], (b, k)).astype(jnp.int32)
-            force_n = jnp.where(as_boundary, tok_right[None, :], state["force"][:, None])
-            logit_n = jnp.where(
-                alive[:, None], state["logit"][:, None] + tok_logp[None, :], DEAD
-            )
-            valid = alive[:, None] & admit[None, :]
+        text_lo_n = jnp.where(
+            as_boundary, cm["text_lo"][:, None], state["text_lo"][:, None]
+        )
+        text_hi_n = jnp.where(
+            as_boundary, cm["text_hi"][:, None], state["text_hi"][:, None]
+        )
+        fused_n = state["fused"][:, None] + jnp.where(
+            as_boundary, cm["word_fused"][:, None], 0.0
+        )
+        ctx_n = jnp.where(
+            as_boundary[:, :, None], cm["ctx"][:, None, :], state["ctx"][:, None, :]
+        )
+        ctx_len_n = jnp.where(as_boundary, cm["ctx_len"][:, None], state["ctx_len"][:, None])
+        ring_lo_n = jnp.where(
+            as_boundary[:, :, None], cm["ring_lo"][:, None, :], state["ring_lo"][:, None, :]
+        )
+        ring_hi_n = jnp.where(
+            as_boundary[:, :, None], cm["ring_hi"][:, None, :], state["ring_hi"][:, None, :]
+        )
+        n_words_n = jnp.where(as_boundary, cm["n_words"][:, None], state["n_words"][:, None])
+        last_n = jnp.broadcast_to(toks[None, :], (b, k)).astype(jnp.int32)
+        force_n = jnp.where(as_boundary, tok_right[None, :], state["force"][:, None])
+        logit_n = jnp.where(
+            alive[:, None], state["logit"][:, None] + tok_logp[None, :], DEAD
+        )
+        valid = alive[:, None] & admit[None, :]
 
-            # ---- merge keys
-            kl = _mix_key(
-                jnp,
-                text_lo_n,
-                p_lo_n,
-                (last_n + 2).astype(jnp.uint32),
-                force_n.astype(jnp.uint32),
-            )
-            kh = _mix_key(
-                jnp,
-                text_hi_n,
-                p_hi_n,
-                (last_n + 2).astype(jnp.uint32),
-                force_n.astype(jnp.uint32),
-            ) & jnp.uint32(0x7FFFFFFF)
-            flat_idx = jnp.arange(c, dtype=jnp.uint32)
-            kl_f = jnp.where(_flatten(valid), _flatten(kl), flat_idx)
-            kh_f = jnp.where(_flatten(valid), _flatten(kh), jnp.uint32(0xFFFFFFFF))
-            logit_f = jnp.where(_flatten(valid), _flatten(logit_n), DEAD)
+        # ---- merge keys
+        kl = _mix_key(
+            jnp,
+            text_lo_n,
+            p_lo_n,
+            (last_n + 2).astype(jnp.uint32),
+            force_n.astype(jnp.uint32),
+        )
+        kh = _mix_key(
+            jnp,
+            text_hi_n,
+            p_hi_n,
+            (last_n + 2).astype(jnp.uint32),
+            force_n.astype(jnp.uint32),
+        ) & jnp.uint32(0x7FFFFFFF)
+        flat_idx = jnp.arange(c, dtype=jnp.uint32)
+        kl_f = jnp.where(_flatten(valid), _flatten(kl), flat_idx)
+        kh_f = jnp.where(_flatten(valid), _flatten(kh), jnp.uint32(0xFFFFFFFF))
+        logit_f = jnp.where(_flatten(valid), _flatten(logit_n), DEAD)
 
-            fields = {
-                "text_lo": _flatten(text_lo_n),
-                "text_hi": _flatten(text_hi_n),
-                "p_lo": _flatten(p_lo_n),
-                "p_hi": _flatten(p_hi_n),
-                "p_node": _flatten(p_node_n),
-                "p_len": _flatten(p_len_n),
-                "last_tok": _flatten(last_n),
-                "force": _flatten(force_n),
-                "fused": _flatten(fused_n),
-                "ctx": _flatten(ctx_n),
-                "ctx_len": _flatten(ctx_len_n),
-                "ring_lo": _flatten(ring_lo_n),
-                "ring_hi": _flatten(ring_hi_n),
-                "n_words": _flatten(n_words_n),
-            }
-
-            def lm_extra(src):
-                if not cfg.use_lm:
-                    return fields["fused"][src]
-                node_m = fields["p_node"][src]
-                plen_m = fields["p_len"][src]
-                is_pref = dev["trie_is_uni_prefix"][node_m]
-                punk = prm["unk_offset"] * (~is_pref).astype(jnp.float32)
-                plen_f = plen_m.astype(jnp.float32)
-                punk = jnp.where(
-                    plen_m > AVG_TOKEN_LEN, punk * plen_f / AVG_TOKEN_LEN, punk
-                )
-                pscore = jnp.where(plen_m > 0, punk, 0.0)
-                return fields["fused"][src] + pscore
-
-            top_scores, top_logit, src = _merge_and_rank(
-                jnp, cfg, kl_f, kh_f, logit_f, lm_extra, prm["beam_prune_logp"]
-            )
-            sel_alive = top_scores > DEAD_THRESH
-            parent = (src % b).astype(jnp.int32)
-            token_sel = toks[src // b].astype(jnp.int32)
-
-            new_state = {key: fields[key][src] for key in fields}
-            new_state["logit"] = jnp.where(sel_alive, top_logit, DEAD)
-            new_state["last_tok"] = jnp.where(
-                sel_alive, new_state["last_tok"], -2 - jnp.arange(b, dtype=jnp.int32)
-            )
-
-            if cfg.prune_history:
-                hk = [
-                    new_state["p_lo"],
-                    new_state["p_hi"],
-                    new_state["last_tok"].astype(jnp.uint32),
-                    jnp.minimum(new_state["n_words"], cfg.ring_width).astype(jnp.uint32),
-                ]
-                hk += [new_state["ring_lo"][:, i] for i in range(cfg.ring_width)]
-                hk += [new_state["ring_hi"][:, i] for i in range(cfg.ring_width)]
-                eq = jnp.ones((b, b), dtype=bool)
-                for f in hk:
-                    eq &= f[:, None] == f[None, :]
-                lower = jnp.tril(jnp.ones((b, b), dtype=bool), k=-1)
-                dup = jnp.any(eq & lower, axis=1)
-                new_state["logit"] = jnp.where(dup, DEAD, new_state["logit"])
-                new_state["last_tok"] = jnp.where(
-                    dup, -2 - jnp.arange(b, dtype=jnp.int32), new_state["last_tok"]
-                )
-
-            # inactive (padded) frames pass state through untouched
-            out_state = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(
-                    jnp.reshape(active, (-1,) + (1,) * (new.ndim - 1))
-                    if new.ndim
-                    else active,
-                    new,
-                    old,
-                ),
-                new_state,
-                state,
-            )
-            parent = jnp.where(active, parent, jnp.arange(b, dtype=jnp.int32))
-            token_sel = jnp.where(active, token_sel, -1)
-            return out_state, (parent, token_sel)
-
-        t_idx = jnp.arange(logp.shape[0], dtype=jnp.int32)
-        final_state, (parents, trace) = jax.lax.scan(step, state0, (logp, t_idx))
-
-        # ---- finalize: force-commit partials, merge by text, eos-score
-        fin = _finalize(jnp, cfg, dev, prm, final_state)
-        return {
-            "parents": parents,
-            "trace": trace,
-            "beam_src": fin["src"],
-            "logit": fin["logit"],
-            "lm_score": fin["score"],
-            "ctx": fin["ctx"],
-            "ctx_len": fin["ctx_len"],
+        fields = {
+            "text_lo": _flatten(text_lo_n),
+            "text_hi": _flatten(text_hi_n),
+            "p_lo": _flatten(p_lo_n),
+            "p_hi": _flatten(p_hi_n),
+            "p_node": _flatten(p_node_n),
+            "p_len": _flatten(p_len_n),
+            "last_tok": _flatten(last_n),
+            "force": _flatten(force_n),
+            "fused": _flatten(fused_n),
+            "ctx": _flatten(ctx_n),
+            "ctx_len": _flatten(ctx_len_n),
+            "ring_lo": _flatten(ring_lo_n),
+            "ring_hi": _flatten(ring_hi_n),
+            "n_words": _flatten(n_words_n),
         }
 
-    return decode
+        def lm_extra(src):
+            if not cfg.use_lm:
+                return fields["fused"][src]
+            pscore = _partial_score(
+                jnp, dev, prm, fields["p_node"][src], fields["p_len"][src]
+            )
+            return fields["fused"][src] + pscore
+
+        top_scores, top_logit, src = _merge_and_rank(
+            jnp, cfg, kl_f, kh_f, logit_f, lm_extra, prm["beam_prune_logp"]
+        )
+        sel_alive = top_scores > DEAD_THRESH
+        parent = (src % b).astype(jnp.int32)
+        token_sel = toks[src // b].astype(jnp.int32)
+
+        new_state = {key: fields[key][src] for key in fields}
+        new_state["logit"] = jnp.where(sel_alive, top_logit, DEAD)
+        new_state["last_tok"] = jnp.where(
+            sel_alive, new_state["last_tok"], -2 - jnp.arange(b, dtype=jnp.int32)
+        )
+
+        if cfg.prune_history:
+            hk = [
+                new_state["p_lo"],
+                new_state["p_hi"],
+                new_state["last_tok"].astype(jnp.uint32),
+                jnp.minimum(new_state["n_words"], cfg.ring_width).astype(jnp.uint32),
+            ]
+            hk += [new_state["ring_lo"][:, i] for i in range(cfg.ring_width)]
+            hk += [new_state["ring_hi"][:, i] for i in range(cfg.ring_width)]
+            eq = jnp.ones((b, b), dtype=bool)
+            for f in hk:
+                eq &= f[:, None] == f[None, :]
+            lower = jnp.tril(jnp.ones((b, b), dtype=bool), k=-1)
+            dup = jnp.any(eq & lower, axis=1)
+            new_state["logit"] = jnp.where(dup, DEAD, new_state["logit"])
+            new_state["last_tok"] = jnp.where(
+                dup, -2 - jnp.arange(b, dtype=jnp.int32), new_state["last_tok"]
+            )
+
+        # inactive (padded) frames pass state through untouched
+        import jax as _jax
+
+        out_state = _jax.tree_util.tree_map(
+            lambda new, old: jnp.where(active, new, old), new_state, state
+        )
+        parent = jnp.where(active, parent, jnp.arange(b, dtype=jnp.int32))
+        token_sel = jnp.where(active, token_sel, -1)
+        return out_state, (parent, token_sel)
+
+    return step
 
 
-def _finalize(jnp, cfg: EngineConfig, dev: Dict, prm: Dict, state: Dict):
-    """Commit trailing partials, merge same-text beams, apply </s> scoring."""
+def _finalize(jnp, cfg: EngineConfig, dev: Dict, prm: Dict, state: Dict, do_commit, is_end):
+    """Generalized finalization (ref decoder.py:558-602).
+
+    ``do_commit`` / ``is_end`` are traced booleans:
+
+    * ``do_commit`` — force-commit trailing partial words and merge beams by
+      text (``force_next_word`` / end-of-decode semantics);
+    * ``is_end`` — score the final ``next_word`` (possibly the empty word,
+      which KenLM treats as <unk>) with ``is_last_word=True`` (</s> credit
+      when ``score_boundary``).
+
+    Returns ranked outputs plus the committed carried state (meaningful when
+    ``do_commit`` is set) for the streaming API.
+    """
     b = cfg.beam_width
     alive = state["logit"] > DEAD_THRESH
-    commit = state["p_len"] > 0
+    has_partial = state["p_len"] > 0
+    commit = has_partial & do_commit
     t_lo, t_hi = hash_text_commit(
         jnp, state["text_lo"], state["text_hi"], state["p_lo"], state["p_hi"]
     )
     text_lo = jnp.where(commit, t_lo, state["text_lo"])
     text_hi = jnp.where(commit, t_hi, state["text_hi"])
+    ring_lo_push = jnp.concatenate(
+        [state["ring_lo"][:, 1:], state["p_lo"][:, None]], axis=1
+    )
+    ring_hi_push = jnp.concatenate(
+        [state["ring_hi"][:, 1:], state["p_hi"][:, None]], axis=1
+    )
+    ring_lo = jnp.where(commit[:, None], ring_lo_push, state["ring_lo"])
+    ring_hi = jnp.where(commit[:, None], ring_hi_push, state["ring_hi"])
+    n_words = state["n_words"] + commit.astype(jnp.int32)
 
     if cfg.use_lm:
+        # the word scored at finalization: the committed partial, or the
+        # empty word (<unk>) when nothing commits but the stream ends
+        score_word = is_end | commit
         node = state["p_node"]
         wid_raw = dev["trie_word_id"][node]
         in_model = (wid_raw >= 0) & commit
@@ -509,31 +507,146 @@ def _finalize(jnp, cfg: EngineConfig, dev: Dict, prm: Dict, state: Dict):
             dev, cfg.order, dev["unk_prob10"], ctx2, ctx2_len, eos
         )
         raw = raw10 + prm["unk_offset"] * is_oov.astype(jnp.float32)
-        raw = raw + jnp.where(prm["score_boundary"], eos10, 0.0)
+        raw = raw + jnp.where(is_end & prm["score_boundary"], eos10, 0.0)
         word_fused = prm["alpha"] * raw * np.float32(LOG_BASE_CHANGE_FACTOR) + prm["beta"]
-        fused = state["fused"] + word_fused
+        fused_scored = state["fused"] + jnp.where(score_word, word_fused, 0.0)
+        ctx_view = jnp.where(score_word[:, None], ctx2, state["ctx"])
+        ctx_len_view = jnp.where(score_word, ctx2_len, state["ctx_len"])
+        ctx_carry = jnp.where(commit[:, None], ctx2, state["ctx"])
+        ctx_len_carry = jnp.where(commit, ctx2_len, state["ctx_len"])
+        pscore = _partial_score(jnp, dev, prm, node, state["p_len"])
     else:
-        fused = state["fused"]
-        ctx2 = state["ctx"]
-        ctx2_len = state["ctx_len"]
+        fused_scored = state["fused"]
+        ctx_view = ctx_carry = state["ctx"]
+        ctx_len_view = ctx_len_carry = state["ctx_len"]
+        pscore = jnp.zeros_like(state["fused"])
 
-    kl = text_lo
-    kh = text_hi & jnp.uint32(0x7FFFFFFF)
+    # partials survive (and keep their score) only when not committing
+    extra = fused_scored + jnp.where(do_commit, 0.0, pscore)
+
+    # merge key: text only when committed; full beam key otherwise
+    u0 = jnp.uint32(0)
+    p_lane_lo = jnp.where(do_commit, u0, state["p_lo"])
+    p_lane_hi = jnp.where(do_commit, u0, state["p_hi"])
+    last_lane = jnp.where(
+        do_commit, jnp.uint32(1), (state["last_tok"] + 2).astype(jnp.uint32)
+    )
+    force_lane = jnp.where(do_commit, False, state["force"]).astype(jnp.uint32)
+    kl = _mix_key(jnp, text_lo, p_lane_lo, last_lane, force_lane)
+    kh = _mix_key(jnp, text_hi, p_lane_hi, last_lane, force_lane) & jnp.uint32(
+        0x7FFFFFFF
+    )
     arange_b = jnp.arange(b, dtype=jnp.uint32)
     kl = jnp.where(alive, kl, arange_b)
     kh = jnp.where(alive, kh, jnp.uint32(0xFFFFFFFF))
     logit_f = jnp.where(alive, state["logit"], DEAD)
 
-    def lm_extra(src):
-        return fused[src]
-
     score, logit, src = _merge_and_rank(
-        jnp, cfg, kl, kh, logit_f, lm_extra, prm["beam_prune_logp"]
+        jnp, cfg, kl, kh, logit_f, lambda s: extra[s], prm["beam_prune_logp"]
     )
+    sel_alive = score > DEAD_THRESH
+
+    committed_state = {
+        "text_lo": text_lo[src],
+        "text_hi": text_hi[src],
+        "p_lo": jnp.zeros((b,), dtype=jnp.uint32),
+        "p_hi": jnp.zeros((b,), dtype=jnp.uint32),
+        "p_node": jnp.zeros((b,), dtype=jnp.int32),
+        "p_len": jnp.zeros((b,), dtype=jnp.int32),
+        "last_tok": jnp.where(sel_alive, -1, -2 - jnp.arange(b, dtype=jnp.int32)),
+        "force": jnp.zeros((b,), dtype=bool),
+        "logit": jnp.where(sel_alive, logit, DEAD),
+        "fused": fused_scored[src],
+        "ctx": ctx_carry[src],
+        "ctx_len": ctx_len_carry[src],
+        "ring_lo": ring_lo[src],
+        "ring_hi": ring_hi[src],
+        "n_words": n_words[src],
+    }
     return {
         "src": src,
         "logit": logit,
         "score": score,
-        "ctx": ctx2[src],
-        "ctx_len": ctx2_len[src],
+        "ctx": ctx_view[src],
+        "ctx_len": ctx_len_view[src],
+        "committed_state": committed_state,
     }
+
+
+def make_decode_fn(
+    cfg: EngineConfig,
+    tokens: TokenArrays,
+    device_lm: Optional[DeviceLM],
+):
+    """Build the jittable one-utterance decode function.
+
+    ``fn(logp [T,V] f32, n_frames i32, params [6] f32, start_ctx [ctx_w] i32,
+    start_ctx_len i32)`` returns final ranked beams plus per-frame
+    backpointers for host-side reconstruction.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    tok_dev, dev = _build_dev_tables(jnp, tokens, device_lm)
+
+    def decode(logp, n_frames, params, start_ctx, start_ctx_len):
+        prm = _params_dict(params)
+        state0 = _init_state(jnp, cfg, start_ctx, start_ctx_len)
+        step = _make_step(jnp, cfg, tok_dev, dev, prm, n_frames)
+        t_idx = jnp.arange(logp.shape[0], dtype=jnp.int32)
+        final_state, (parents, trace) = jax.lax.scan(step, state0, (logp, t_idx))
+        fin = _finalize(
+            jnp, cfg, dev, prm, final_state, jnp.bool_(True), jnp.bool_(True)
+        )
+        return {
+            "parents": parents,
+            "trace": trace,
+            "beam_src": fin["src"],
+            "logit": fin["logit"],
+            "lm_score": fin["score"],
+            "ctx": fin["ctx"],
+            "ctx_len": fin["ctx_len"],
+        }
+
+    return decode
+
+
+def make_stream_fns(
+    cfg: EngineConfig,
+    tokens: TokenArrays,
+    device_lm: Optional[DeviceLM],
+):
+    """Build streaming primitives with a device-resident carried state.
+
+    Returns ``(init_fn, chunk_fn, finalize_fn)``:
+
+    * ``init_fn(start_ctx, start_ctx_len) -> state``
+    * ``chunk_fn(state, logp [Tc,V], n_frames, params) ->
+      (state', parents [Tc,B], trace [Tc,B])``
+    * ``finalize_fn(state, params, do_commit f32, is_end f32) -> outputs``
+      (ranked view of the current hypotheses plus the committed carried
+      state; ``do_commit``/``is_end`` are traced so one compilation serves
+      every streaming mode).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    tok_dev, dev = _build_dev_tables(jnp, tokens, device_lm)
+
+    def init_fn(start_ctx, start_ctx_len):
+        return _init_state(jnp, cfg, start_ctx, start_ctx_len)
+
+    def chunk_fn(state, logp, n_frames, params):
+        prm = _params_dict(params)
+        step = _make_step(jnp, cfg, tok_dev, dev, prm, n_frames)
+        t_idx = jnp.arange(logp.shape[0], dtype=jnp.int32)
+        state1, (parents, trace) = jax.lax.scan(step, state, (logp, t_idx))
+        return state1, parents, trace
+
+    def finalize_fn(state, params, do_commit, is_end):
+        prm = _params_dict(params)
+        return _finalize(
+            jnp, cfg, dev, prm, state, do_commit > 0.5, is_end > 0.5
+        )
+
+    return init_fn, chunk_fn, finalize_fn

@@ -21,6 +21,8 @@ from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+import dataclasses
+
 from .alphabet import BPE_TOKEN, Alphabet
 from .constants import (
     DEFAULT_BEAM_WIDTH,
@@ -28,8 +30,8 @@ from .constants import (
     DEFAULT_PRUNE_BEAMS,
     DEFAULT_PRUNE_LOGP,
 )
-from .decoder import NULL_FRAMES, OutputBeam, _normalize_whitespace
-from .engine import EngineConfig, make_decode_fn
+from .decoder import NULL_FRAMES, LMBeam, OutputBeam, _normalize_whitespace
+from .engine import DEAD_THRESH, EngineConfig, make_decode_fn, make_stream_fns
 from .models.base import AbstractLMState, NGramLMState
 from .models.device_tables import build_device_lm
 from .models.language_model import LanguageModel
@@ -49,7 +51,8 @@ def replay_token_path(
     labels: Sequence[str],
     is_bpe: bool,
     frame_offset: int = 0,
-) -> Tuple[List[str], List[Tuple[int, int]], str]:
+    frame_ids: Optional[Sequence[int]] = None,
+) -> Tuple[List[str], List[Tuple[int, int]], Tuple[str, Tuple[int, int]]]:
     """Rebuild (words, word frame spans, trailing partial) from a token path.
 
     Applies the exact reference transition rules (ref decoder.py:452-534)
@@ -64,9 +67,20 @@ def replay_token_path(
     last: Optional[int] = None
     force = False
     for pos, tok in enumerate(token_path):
+        if tok == -2:
+            # forced word commit between chunks (ref decoder.py:558-577):
+            # promote the partial, reset last-char so repeats restart
+            if partial:
+                words.append(partial)
+                frames.append(partial_frames)
+            partial = ""
+            partial_frames = NULL_FRAMES
+            last = None
+            force = False
+            continue
         if tok < 0:
             continue
-        t = frame_offset + pos
+        t = frame_ids[pos] if frame_ids is not None else frame_offset + pos
         char = labels[tok]
         if char == "" or last == tok:
             if char != "":
@@ -99,6 +113,50 @@ def replay_token_path(
             partial = partial + char
         last = tok
     return words, frames, (partial, partial_frames)
+
+
+@dataclasses.dataclass
+class DeviceStreamState:
+    """Caller-held streaming decode state (ref decoder.py:669-728 analog).
+
+    ``beam_state`` lives on device between chunks; ``chunks`` holds the host
+    copies of per-chunk backpointers needed to rebuild transcripts, plus
+    permutation pseudo-chunks recorded when a force-commit reorders beams.
+    """
+
+    beam_state: Any
+    chunks: List[Tuple[np.ndarray, np.ndarray, int]]
+    processed_frames: int
+    beam_width: int
+    k_tokens: int
+    prune_history: bool
+
+
+def _backtrace_chunks(
+    chunks: Sequence[Tuple[np.ndarray, np.ndarray, int]], start_idx: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Walk backpointers across chunk boundaries (incl. permutation rows).
+
+    Returns the full chosen-token sequence and matching absolute frame ids
+    for one beam, oldest frame first.
+    """
+    toks_rev: List[np.ndarray] = []
+    frames_rev: List[np.ndarray] = []
+    cur = start_idx
+    for parents, trace, offset in reversed(chunks):
+        tc = parents.shape[0]
+        toks = np.empty(tc, dtype=np.int64)
+        for t in range(tc - 1, -1, -1):
+            toks[t] = trace[t, cur]
+            cur = int(parents[t, cur])
+        toks_rev.append(toks)
+        frames_rev.append(offset + np.arange(tc))
+    if not toks_rev:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return (
+        np.concatenate(list(reversed(toks_rev))),
+        np.concatenate(list(reversed(frames_rev))),
+    )
 
 
 class TPUBeamSearchDecoderCTC:
@@ -153,6 +211,158 @@ class TPUBeamSearchDecoderCTC:
             fn = jax.jit(raw)
             self._fn_cache[key] = fn
         return fn
+
+    def _get_stream_fns(self, beam_width: int, k: int, prune_history: bool):
+        import jax
+
+        key = ("stream", beam_width, k, prune_history)
+        fns = self._fn_cache.get(key)
+        if fns is None:
+            cfg = EngineConfig(
+                beam_width=beam_width,
+                vocab_size=len(self._labels),
+                k_tokens=k,
+                is_bpe=self._alphabet.is_bpe,
+                use_lm=self._lm is not None,
+                order=1 if self._lm is None else self._lm.order,
+                prune_history=prune_history,
+            )
+            init_fn, chunk_fn, finalize_fn = make_stream_fns(
+                cfg, self._tokens, self._device_lm
+            )
+            fns = (init_fn, jax.jit(chunk_fn), jax.jit(finalize_fn))
+            self._fn_cache[key] = fns
+        return fns
+
+    # -- streaming API ---------------------------------------------------------
+    def get_starting_state(
+        self,
+        beam_width: int = DEFAULT_BEAM_WIDTH,
+        prune_history: bool = DEFAULT_PRUNE_BEAMS,
+        max_tokens_per_frame: Optional[int] = None,
+        lm_start_state: Optional[AbstractLMState] = None,
+    ) -> DeviceStreamState:
+        """Fresh device-resident streaming state (ref decoder.py:669-679).
+
+        The host engine's starting state is (beams, score caches); the
+        device analog is one beam-state pytree living on device plus an
+        empty backpointer log. Decode geometry (beam width, token preselect,
+        history pruning) is fixed at state creation because it shapes the
+        compiled program.
+        """
+        v = len(self._labels)
+        k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
+        init_fn, _, _ = self._get_stream_fns(beam_width, k, prune_history)
+        ctx0, ctx0_len = self._start_ctx(lm_start_state)
+        state = init_fn(self._jnp.asarray(ctx0), np.int32(ctx0_len))
+        return DeviceStreamState(
+            beam_state=state,
+            chunks=[],
+            processed_frames=0,
+            beam_width=beam_width,
+            k_tokens=k,
+            prune_history=prune_history,
+        )
+
+    def partial_decode_beams(
+        self,
+        stream_state: DeviceStreamState,
+        logits_chunk: np.ndarray,
+        beam_prune_logp: float = DEFAULT_PRUNE_LOGP,
+        token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP,
+        force_next_word: bool = False,
+        is_end: bool = False,
+    ) -> List[LMBeam]:
+        """Consume one chunk of logits; returns the ranked current view.
+
+        Device analog of ref ``decoder.py:681-728``: ``stream_state`` is
+        updated in place (beam arrays stay on device between calls); the
+        returned :class:`LMBeam` list is the finalized view of the current
+        hypotheses (committed words only in ``.text``, trailing partial in
+        ``.partial_word`` unless ``force_next_word``/``is_end`` commits it).
+        The chunked == full-decode invariant is tested in
+        ``tests/test_streaming_device.py``.
+        """
+        if logits_chunk.ndim != 2 or logits_chunk.shape[1] != len(self._labels):
+            raise ValueError(
+                f"Input logits of shape {logits_chunk.shape}, but vocabulary "
+                f"is size {len(self._labels)}"
+            )
+        ss = stream_state
+        _, chunk_fn, finalize_fn = self._get_stream_fns(
+            ss.beam_width, ss.k_tokens, ss.prune_history
+        )
+        params = self._params_vector(token_min_logp, beam_prune_logp)
+        t = logits_chunk.shape[0]
+        v = len(self._labels)
+        t_pad = _bucket(t)
+        logp_pad = np.zeros((t_pad, v), dtype=np.float32)
+        if t:
+            logp_pad[:t] = normalize_host(logits_chunk)
+        state1, parents, trace = chunk_fn(
+            ss.beam_state, self._jnp.asarray(logp_pad), np.int32(t),
+            self._jnp.asarray(params),
+        )
+        if t:
+            ss.chunks.append(
+                (np.asarray(parents)[:t], np.asarray(trace)[:t], ss.processed_frames)
+            )
+        committed = force_next_word or is_end
+        fin = finalize_fn(
+            state1,
+            self._jnp.asarray(params),
+            np.float32(1.0 if committed else 0.0),
+            np.float32(1.0 if is_end else 0.0),
+        )
+        beam_src = np.asarray(fin["src"])
+        scores = np.asarray(fin["score"])
+        logits_out = np.asarray(fin["logit"])
+
+        beams: List[LMBeam] = []
+        for rank in range(ss.beam_width):
+            if scores[rank] <= DEAD_THRESH:
+                break
+            tokens, frame_ids = _backtrace_chunks(ss.chunks, int(beam_src[rank]))
+            words, spans, (partial, pframes) = replay_token_path(
+                tokens, self._labels, self._alphabet.is_bpe, frame_ids=frame_ids
+            )
+            last_label: Optional[str] = None
+            for tok in reversed(tokens):
+                if tok >= 0:
+                    last_label = self._labels[tok]
+                    break
+            if committed:
+                if partial:
+                    words = words + [partial]
+                    spans = spans + [pframes]
+                partial, pframes = "", NULL_FRAMES
+                last_label = None
+            beams.append(
+                LMBeam(
+                    text=" ".join(words),
+                    next_word="",
+                    partial_word=partial,
+                    last_char=last_label,
+                    text_frames=spans,
+                    partial_frames=pframes,
+                    logit_score=float(logits_out[rank]),
+                    lm_score=float(scores[rank]),
+                )
+            )
+
+        if committed:
+            ss.beam_state = fin["committed_state"]
+            ss.chunks.append(
+                (
+                    beam_src[None, :].astype(np.int32),
+                    np.full((1, ss.beam_width), -2, dtype=np.int32),
+                    ss.processed_frames + t,
+                )
+            )
+        else:
+            ss.beam_state = state1
+        ss.processed_frames += t
+        return beams
 
     # -- call-time parameters ------------------------------------------------
     def _params_vector(

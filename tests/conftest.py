@@ -26,6 +26,9 @@ _CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
 def pytest_configure(config):
     import jax
 
+    # Force the virtual 8-device CPU mesh even when a TPU plugin's
+    # sitecustomize has pinned jax_platforms to the accelerator.
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -1,0 +1,95 @@
+"""Multi-device data-parallel decoding tests (8 virtual CPU devices).
+
+Mirrors the reference's MockPool philosophy (test parallel semantics
+without a cluster, SURVEY.md §4): the conftest forces an 8-device CPU
+platform, and these tests assert the DP contract — sharded batch decoding
+is element-wise identical to single-device decoding — plus psum metric
+aggregation and the driver dry-run entry point.
+"""
+import os
+import unittest
+
+import numpy as np
+import pytest
+
+from pyctcdecode_tpu import Alphabet, BeamSearchDecoderCTC, LanguageModel
+from pyctcdecode_tpu.models.ngram import NGramModel
+from pyctcdecode_tpu.parallel import (
+    ShardedCTCDecoder,
+    all_reduce_counts,
+    make_data_mesh,
+)
+from pyctcdecode_tpu.tpu_decoder import TPUBeamSearchDecoderCTC
+from pyctcdecode_tpu.utils.metrics import wer_numerator_denominator
+
+from .helpers import SAMPLE_LABELS, TEST_PROBS, TEST_UNIGRAMS
+
+ARPA = "/root/reference/pyctcdecode/tests/sample_data/bugs_bunny_kenlm.arpa"
+
+
+def _n_devices():
+    import jax
+
+    return len(jax.devices())
+
+
+class TestShardedDecode(unittest.TestCase):
+    def tearDown(self):
+        BeamSearchDecoderCTC.clear_class_models()
+
+    def test_mesh_has_8_devices(self):
+        self.assertGreaterEqual(_n_devices(), 8)
+
+    def test_sharded_equals_single_device(self):
+        dev = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(SAMPLE_LABELS))
+        mesh = make_data_mesh(8)
+        sharded = ShardedCTCDecoder(dev, mesh=mesh)
+        rng = np.random.RandomState(2)
+        batch = [
+            rng.randn(rng.randint(4, 24), len(SAMPLE_LABELS)) * 2.0
+            for _ in range(11)  # ragged, non-multiple of mesh size
+        ]
+        got = sharded.decode_batch(batch, beam_width=6)
+        self.assertEqual(len(got), len(batch))
+        for mat, text in zip(batch, got):
+            self.assertEqual(dev.decode(mat, beam_width=6), text)
+
+    @pytest.mark.skipif(not os.path.exists(ARPA), reason="reference fixtures absent")
+    def test_sharded_with_lm(self):
+        lm = LanguageModel(
+            NGramModel.from_file(ARPA), TEST_UNIGRAMS, alpha=1.0, unk_score_offset=0.0
+        )
+        dev = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(SAMPLE_LABELS), lm)
+        sharded = ShardedCTCDecoder(dev, mesh=make_data_mesh(8))
+        batch = [TEST_PROBS] * 8
+        texts = sharded.decode_batch(batch, beam_width=16)
+        self.assertEqual(texts, ["bugs bunny"] * 8)
+
+    def test_all_reduce_counts(self):
+        mesh = make_data_mesh(8)
+        per_shard = np.array(
+            [wer_numerator_denominator(["a b c"], ["a b x"]) for _ in range(8)],
+            dtype=np.int32,
+        )
+        totals = all_reduce_counts(mesh, per_shard)
+        self.assertEqual(totals.tolist(), [8, 24])
+
+
+class TestGraftEntry(unittest.TestCase):
+    def test_entry_compiles(self):
+        import jax
+
+        import __graft_entry__ as graft
+
+        fn, args = graft.entry()
+        out = jax.jit(fn)(*args)
+        self.assertEqual(np.asarray(out["beam_src"]).shape, (16,))
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as graft
+
+        graft.dryrun_multichip(8)
+
+
+if __name__ == "__main__":
+    unittest.main()
