@@ -67,6 +67,7 @@ from .constants import (
 from .models.base import AbstractLanguageModel, AbstractLMState
 from .models.hotwords import HotwordScorer
 from .models.language_model import LanguageModel
+from .models.native import open_ngram_file
 from .models.ngram import NGramModel, load_unigram_set_from_arpa
 from .utils.logits import normalize_to_logp
 
@@ -963,7 +964,7 @@ def build_ctcdecoder(
     Returns:
         A :class:`BeamSearchDecoderCTC`.
     """
-    ngram_model = None if kenlm_model_path is None else NGramModel.from_file(kenlm_model_path)
+    ngram_model = None if kenlm_model_path is None else open_ngram_file(kenlm_model_path)
     if kenlm_model_path is not None and kenlm_model_path.endswith(".arpa"):
         logger.info("Using arpa instead of binary LM file, decoder instantiation might be slow.")
     if unigrams is None and kenlm_model_path is not None:

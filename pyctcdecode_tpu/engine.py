@@ -198,50 +198,46 @@ def _commit_quantities(jnp, cfg: EngineConfig, dev: Dict, params: Dict, state: D
     }
 
 
-def _merge_and_rank(jnp, cfg, kl, kh, logit_flat, lm_extra_fn, beam_prune_logp):
-    """Sort by key, segmented-logsumexp merge, window prune, top-k.
+def _merge_dense(jnp, keys, valid, logit):
+    """Dense block-diagonal prefix merge (the TPU-friendly formulation).
 
-    ``lm_extra_fn(src)`` maps a donor-row gather index to the non-acoustic
-    score addend (fused + partial) for that row. Returns
-    ``(top_scores, top_logit, src)`` where ``src[b]`` is the flat candidate
-    index donating metadata for output beam ``b``.
+    A candidate's merge key includes the token just applied (it becomes
+    ``last_char``, ref decoder.py:211-224), so candidates can only collide
+    *within one token column*. That makes the merge a batch of tiny B x B
+    masked reductions instead of a global sort + segmented scatter — pure
+    VPU work with no scatters, the single biggest perf lever of the engine.
+
+    ``keys``: list of uint32 arrays ``[..., B]`` (pre-mixed hash lanes);
+    ``valid``/``logit``: ``[..., B]``. Returns ``(merged_logit, dup, donor)``
+    where ``dup[i]`` marks a non-first member of a merge group (to kill),
+    ``merged_logit`` is the group logsumexp, and ``donor[i]`` is the
+    newest member's index within the block (metadata source, matching the
+    reference's newest-wins dict update).
     """
+    b = keys[0].shape[-1]
+    eq = valid[..., :, None] & valid[..., None, :]
+    for f in keys:
+        eq = eq & (f[..., :, None] == f[..., None, :])
+    idx = jnp.arange(b, dtype=jnp.int32)
+    earlier = idx[None, :] < idx[:, None]  # j < i
+    dup = jnp.any(eq & earlier, axis=-1)
+    lj = logit[..., None, :]
+    m = jnp.max(jnp.where(eq, lj, -jnp.inf), axis=-1)
+    tot = jnp.sum(jnp.where(eq, jnp.exp(lj - m[..., None]), 0.0), axis=-1)
+    merged = m + jnp.log(tot)
+    donor = jnp.max(jnp.where(eq, idx[None, :], -1), axis=-1)
+    return merged, dup, jnp.maximum(donor, 0)
+
+
+def _rank(jnp, cfg, lm_score_flat, logit_flat, src_flat, beam_prune_logp):
+    """Window prune relative to the best, then top-k (ref decoder.py:536-554)."""
     import jax
 
-    c = kl.shape[0]
-    arange_c = jnp.arange(c, dtype=jnp.int32)
-    _, _, perm = jax.lax.sort(
-        (kh, kl, arange_c), dimension=0, is_stable=True, num_keys=2
-    )
-    skh = kh[perm]
-    skl = kl[perm]
-    slogit = logit_flat[perm]
-    first = jnp.concatenate(
-        [
-            jnp.ones((1,), dtype=bool),
-            (skh[1:] != skh[:-1]) | (skl[1:] != skl[:-1]),
-        ]
-    )
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-    m = jax.ops.segment_max(slogit, seg, num_segments=c)
-    tot = jax.ops.segment_sum(jnp.exp(slogit - m[seg]), seg, num_segments=c)
-    merged = m + jnp.log(tot)
-    last_pos = jax.ops.segment_max(arange_c, seg, num_segments=c)
-    donor = perm[last_pos[seg]]  # newest member of my segment (flat index)
-
-    score_sorted = jnp.where(first, merged[seg], DEAD)
-    src_sorted = jnp.where(first, donor, perm)
-    # scatter back to candidate enumeration order (rank tie-break order)
-    merged_logit = jnp.full((c,), DEAD, dtype=slogit.dtype).at[perm].set(score_sorted)
-    src = jnp.zeros((c,), dtype=jnp.int32).at[perm].set(src_sorted)
-
-    live = merged_logit > DEAD_THRESH
-    lm_score = jnp.where(live, merged_logit + lm_extra_fn(src), DEAD)
-    mx = jnp.max(lm_score)
-    keep = lm_score >= mx + beam_prune_logp
-    sc = jnp.where(keep & live, lm_score, DEAD)
+    mx = jnp.max(lm_score_flat)
+    keep = lm_score_flat >= mx + beam_prune_logp
+    sc = jnp.where(keep, lm_score_flat, DEAD)
     top_scores, top_idx = jax.lax.top_k(sc, cfg.beam_width)
-    return top_scores, merged_logit[top_idx], src[top_idx]
+    return top_scores, logit_flat[top_idx], src_flat[top_idx]
 
 
 def _partial_score(jnp, dev, prm, node, plen):
@@ -366,25 +362,22 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, prm: Dict, n_fr
         )
         valid = alive[:, None] & admit[None, :]
 
-        # ---- merge keys
+        # ---- merge keys (token identity is implicit: merges are
+        # block-diagonal per token column, see _merge_dense)
         kl = _mix_key(
             jnp,
             text_lo_n,
             p_lo_n,
-            (last_n + 2).astype(jnp.uint32),
+            p_hi_n,
             force_n.astype(jnp.uint32),
         )
         kh = _mix_key(
             jnp,
             text_hi_n,
             p_hi_n,
-            (last_n + 2).astype(jnp.uint32),
+            p_lo_n,
             force_n.astype(jnp.uint32),
-        ) & jnp.uint32(0x7FFFFFFF)
-        flat_idx = jnp.arange(c, dtype=jnp.uint32)
-        kl_f = jnp.where(_flatten(valid), _flatten(kl), flat_idx)
-        kh_f = jnp.where(_flatten(valid), _flatten(kh), jnp.uint32(0xFFFFFFFF))
-        logit_f = jnp.where(_flatten(valid), _flatten(logit_n), DEAD)
+        )
 
         fields = {
             "text_lo": _flatten(text_lo_n),
@@ -403,16 +396,29 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, prm: Dict, n_fr
             "n_words": _flatten(n_words_n),
         }
 
-        def lm_extra(src):
-            if not cfg.use_lm:
-                return fields["fused"][src]
-            pscore = _partial_score(
-                jnp, dev, prm, fields["p_node"][src], fields["p_len"][src]
-            )
-            return fields["fused"][src] + pscore
+        # ---- block-diagonal merge: [K, B] layout
+        to_kb = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
+        merged, dup, donor = _merge_dense(
+            jnp, [to_kb(kl), to_kb(kh)], to_kb(valid), to_kb(logit_n)
+        )
+        src_flat = (
+            jnp.arange(k, dtype=jnp.int32)[:, None] * b + donor
+        ).reshape(c)
+        rep = (to_kb(valid) & ~dup).reshape(c)
+        merged_flat = jnp.where(rep, merged.reshape(c), DEAD)
+        live = merged_flat > DEAD_THRESH
 
-        top_scores, top_logit, src = _merge_and_rank(
-            jnp, cfg, kl_f, kh_f, logit_f, lm_extra, prm["beam_prune_logp"]
+        if cfg.use_lm:
+            pscore = _partial_score(
+                jnp, dev, prm, fields["p_node"][src_flat], fields["p_len"][src_flat]
+            )
+            extra = fields["fused"][src_flat] + pscore
+        else:
+            extra = fields["fused"][src_flat]
+        lm_score_flat = jnp.where(live, merged_flat + extra, DEAD)
+
+        top_scores, top_logit, src = _rank(
+            jnp, cfg, lm_score_flat, merged_flat, src_flat, prm["beam_prune_logp"]
         )
         sel_alive = top_scores > DEAD_THRESH
         parent = (src % b).astype(jnp.int32)
@@ -533,16 +539,18 @@ def _finalize(jnp, cfg: EngineConfig, dev: Dict, prm: Dict, state: Dict, do_comm
     )
     force_lane = jnp.where(do_commit, False, state["force"]).astype(jnp.uint32)
     kl = _mix_key(jnp, text_lo, p_lane_lo, last_lane, force_lane)
-    kh = _mix_key(jnp, text_hi, p_lane_hi, last_lane, force_lane) & jnp.uint32(
-        0x7FFFFFFF
-    )
-    arange_b = jnp.arange(b, dtype=jnp.uint32)
-    kl = jnp.where(alive, kl, arange_b)
-    kh = jnp.where(alive, kh, jnp.uint32(0xFFFFFFFF))
+    kh = _mix_key(jnp, text_hi, p_lane_hi, last_lane, force_lane)
     logit_f = jnp.where(alive, state["logit"], DEAD)
 
-    score, logit, src = _merge_and_rank(
-        jnp, cfg, kl, kh, logit_f, lambda s: extra[s], prm["beam_prune_logp"]
+    merged, dup, donor = _merge_dense(
+        jnp, [kl[None, :], kh[None, :]], alive[None, :], logit_f[None, :]
+    )
+    rep = alive & ~dup[0]
+    merged_b = jnp.where(rep, merged[0], DEAD)
+    live = merged_b > DEAD_THRESH
+    lm_score = jnp.where(live, merged_b + extra[donor[0]], DEAD)
+    score, logit, src = _rank(
+        jnp, cfg, lm_score, merged_b, donor[0], prm["beam_prune_logp"]
     )
     sel_alive = score > DEAD_THRESH
 

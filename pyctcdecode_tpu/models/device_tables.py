@@ -78,7 +78,8 @@ def _build_hash_table(
             for row in range(count):
                 slot = int(hashes[row]) & mask
                 probes = 1
-                while keys[slot, 0] != -1 or (n > 1 and keys[slot, 1] != -1):
+                # occupancy marker: last column (real keys end in an id >= 0)
+                while keys[slot, n - 1] != -1:
                     slot = (slot + 1) & mask
                     probes += 1
                     if probes > 64:
@@ -93,6 +94,22 @@ def _build_hash_table(
         if ok:
             return HashTable(keys, probs, backoffs, max_probes)
         size *= 2  # displacement got pathological; rebuild sparser
+
+
+def _build_unified_table(
+    ngrams: List[Dict[Tuple[int, ...], Tuple[np.float32, np.float32]]], order: int
+) -> HashTable:
+    """All orders in one table, keys left-padded with -1 to ``order`` width.
+
+    One padded layout means the device scores a word with a *single*
+    batched probe over every suffix/backoff key instead of one lookup
+    chain per order — the dominant cost of LM fusion on TPU.
+    """
+    combined: Dict[Tuple[int, ...], Tuple[np.float32, np.float32]] = {}
+    for n, table in enumerate(ngrams, start=1):
+        for key, val in table.items():
+            combined[(-1,) * (order - n) + key] = val
+    return _build_hash_table(combined, order)
 
 
 def lookup_jnp(table_dev: Dict, query: "object", valid: "object"):
@@ -252,7 +269,7 @@ class DeviceLM:
     unk_prob10: float  # unigram log10 prob of <unk> (ill-formed-table fallback)
     start_ctx: np.ndarray  # int32 [order-1], right-aligned, -1 pad (<s> state)
     start_ctx_len: int
-    tables: List[HashTable]  # per order 1..order
+    table: HashTable  # unified over all orders (keys left-padded to `order`)
     trie: PackedTrie
     seed_node: np.ndarray  # int32 [V]
     has_unigrams: bool
@@ -262,15 +279,12 @@ class DeviceLM:
         import jax.numpy as jnp
 
         return {
-            "tables": [
-                {
-                    "keys": jnp.asarray(t.keys),
-                    "probs": jnp.asarray(t.probs),
-                    "backoffs": jnp.asarray(t.backoffs),
-                    "max_probes": t.max_probes,
-                }
-                for t in self.tables
-            ],
+            "utable": {
+                "keys": jnp.asarray(self.table.keys),
+                "probs": jnp.asarray(self.table.probs),
+                "backoffs": jnp.asarray(self.table.backoffs),
+                "max_probes": self.table.max_probes,
+            },
             "trie_next": jnp.asarray(self.trie.next),
             "trie_word_id": jnp.asarray(self.trie.word_id),
             "trie_is_uni_word": jnp.asarray(self.trie.is_uni_word),
@@ -282,21 +296,44 @@ class DeviceLM:
 
 
 def build_device_lm(language_model: LanguageModel, tokens: TokenArrays) -> DeviceLM:
-    """Compile a :class:`LanguageModel` into :class:`DeviceLM` tables."""
-    ngram = language_model.ngram_model
-    tables_py: NGramTables = ngram.tables
-    order = tables_py.order
-    unk_id = tables_py.unk_id
-    eos_id = tables_py.vocab.get(EOS_WORD, unk_id)
-    uni_unk = tables_py.ngrams[0].get((unk_id,))
-    unk_prob10 = float(uni_unk[0]) if uni_unk is not None else -99.0
+    """Compile a :class:`LanguageModel` into :class:`DeviceLM` tables.
 
-    tables = [
-        _build_hash_table(tables_py.ngrams[n - 1], n) for n in range(1, order + 1)
-    ]
+    Two sources feed the same device layout: the pure-Python
+    :class:`NGramTables` (hash tables built here) or the native C++ engine
+    (tables exported directly — identical slot layout by construction).
+    """
+    from .native import NativeNGramModel
+
+    ngram = language_model.ngram_model
+    if isinstance(ngram, NativeNGramModel):
+        nat = ngram.native
+        order = nat.order
+        unk_id = nat.unk_id
+        eos_id = nat.eos_id if nat.eos_id >= 0 else unk_id
+        unk_prob10 = nat.unk_prob10
+        e = nat.export_unified()
+        table = HashTable(
+            keys=e["keys"],
+            probs=e["probs"],
+            backoffs=e["backoffs"],
+            max_probes=e["max_probes"],
+        )
+        vocab = {w: i for i, w in enumerate(nat.vocab_list())}
+        bos_state = ngram.begin_sentence_state()
+    else:
+        tables_py: NGramTables = ngram.tables
+        order = tables_py.order
+        unk_id = tables_py.unk_id
+        eos_id = tables_py.vocab.get(EOS_WORD, unk_id)
+        uni_unk = tables_py.ngrams[0].get((unk_id,))
+        unk_prob10 = float(uni_unk[0]) if uni_unk is not None else -99.0
+        table = _build_unified_table(tables_py.ngrams, order)
+        vocab = tables_py.vocab
+        bos_state = tables_py.begin_sentence_state()
+
     # the trie's char ids must extend the token char map with vocab-only chars
     char2id = dict(tokens.char2id)
-    for word in tables_py.vocab:
+    for word in vocab:
         for ch in word:
             if ch not in char2id:
                 char2id[ch] = len(char2id)
@@ -304,12 +341,8 @@ def build_device_lm(language_model: LanguageModel, tokens: TokenArrays) -> Devic
         for ch in word:
             if ch not in char2id:
                 char2id[ch] = len(char2id)
-    trie = build_vocab_trie(
-        tables_py.vocab, language_model.unigram_set, char2id, unk_id
-    )
+    trie = build_vocab_trie(vocab, language_model.unigram_set, char2id, unk_id)
     seed_node = trie_seed_nodes(trie, tokens)
-
-    bos_state = tables_py.begin_sentence_state()
     ctx_width = max(order - 1, 1)
     start_ctx = np.full(ctx_width, -1, dtype=np.int32)
     for i, wid in enumerate(bos_state):
@@ -321,7 +354,7 @@ def build_device_lm(language_model: LanguageModel, tokens: TokenArrays) -> Devic
         unk_prob10=unk_prob10,
         start_ctx=start_ctx,
         start_ctx_len=len(bos_state),
-        tables=tables,
+        table=table,
         trie=trie,
         seed_node=seed_node,
         has_unigrams=len(language_model.unigram_set) > 0,
@@ -341,49 +374,70 @@ def lm_score_words_jnp(
     ``ctx``: int32 ``[Q, order-1]`` right-aligned (-1 pad), ``ctx_len [Q]``,
     ``wid [Q]``. Returns ``(raw10 [Q] f32, out_ctx [Q, order-1], out_len [Q])``
     matching :meth:`NGramTables.raw_score` bit-for-bit on float32.
+
+    All ``2*order - 1`` suffix/backoff keys per query are probed with ONE
+    batched lookup against the unified padded-key table (see
+    :func:`_build_unified_table`) — a single fused gather pass on TPU.
     """
     import jax.numpy as jnp
 
     ctx_width = max(order - 1, 1)
-    full = jnp.concatenate([ctx, wid[:, None].astype(jnp.int32)], axis=1)
+    q = wid.shape[0]
     if order == 1:
         full = wid[:, None].astype(jnp.int32)
-    k = ctx_len  # number of context words
+        found, prob, _ = lookup_jnp(dev["utable"], full, jnp.ones((q,), bool))
+        score = jnp.where(found, prob, jnp.float32(unk_prob10))
+        zeros = jnp.zeros((q,), dtype=jnp.int32)
+        return score.astype(jnp.float32), jnp.full_like(ctx, -1), zeros
 
-    present = []
-    probs = []
-    for n in range(1, order + 1):
-        key = full[:, full.shape[1] - n :]
-        valid = (k + 1) >= n
-        found, prob, _ = lookup_jnp(dev["tables"][n - 1], key, valid)
-        present.append(found)
-        probs.append(prob)
-    # longest match
+    full = jnp.concatenate([ctx, wid[:, None].astype(jnp.int32)], axis=1)  # [Q, order]
+    # ctx right-aligned at width `order` (one extra -1 on the left)
+    ctx_pad = jnp.concatenate(
+        [jnp.full((q, 1), -1, dtype=jnp.int32), ctx.astype(jnp.int32)], axis=1
+    )
+    k = ctx_len  # number of context words
+    pos = jnp.arange(order, dtype=jnp.int32)[None, :]
+
+    queries = []
+    valids = []
+    for n in range(1, order + 1):  # full-suffix keys, length n
+        queries.append(jnp.where(pos >= order - n, full, -1))
+        valids.append((k + 1) >= n)
+    for j in range(1, order):  # context-suffix keys, length j (backoffs)
+        queries.append(jnp.where(pos >= order - j, ctx_pad, -1))
+        valids.append(k >= j)
+    nq = len(queries)
+    allq = jnp.stack(queries, axis=1).reshape(q * nq, order)
+    allv = jnp.stack(valids, axis=1).reshape(q * nq)
+    found, prob, backoff = lookup_jnp(dev["utable"], allq, allv)
+    found = found.reshape(q, nq)
+    prob = prob.reshape(q, nq)
+    backoff = backoff.reshape(q, nq)
+
+    # longest match over full suffixes
     matched = jnp.zeros_like(k)
-    prob = jnp.zeros_like(probs[0])
+    best_prob = jnp.zeros((q,), dtype=jnp.float32)
     for n in range(1, order + 1):
-        take = present[n - 1]
+        take = found[:, n - 1]
         matched = jnp.where(take, n, matched)
-        prob = jnp.where(take, probs[n - 1], prob)
+        best_prob = jnp.where(take, prob[:, n - 1], best_prob)
     no_match = matched == 0
-    prob = jnp.where(no_match, jnp.float32(unk_prob10), prob)
+    best_prob = jnp.where(no_match, jnp.float32(unk_prob10), best_prob)
     matched = jnp.where(no_match, 1, matched)
 
     # backoff accumulation over unmatched context suffixes, ascending j
     # (sequential f32 adds in the same order as the host scorer)
-    score = prob.astype(jnp.float32)
+    score = best_prob
     for j in range(1, order):
-        key = full[:, full.shape[1] - 1 - j : full.shape[1] - 1]
-        valid = k >= j
-        found, _, backoff = lookup_jnp(dev["tables"][j - 1], key, valid)
-        use = (j >= matched) & (j <= k) & found
-        score = jnp.where(use, (score + backoff).astype(jnp.float32), score)
+        col = order + j - 1
+        use = (j >= matched) & (j <= k) & found[:, col]
+        score = jnp.where(use, (score + backoff[:, col]).astype(jnp.float32), score)
 
     # outgoing state: longest suffix of `full` present, capped at order-1
     out_n = jnp.zeros_like(k)
     for n in range(1, order):
-        out_n = jnp.where(present[n - 1], n, out_n)
+        out_n = jnp.where(found[:, n - 1], n, out_n)
     positions = jnp.arange(ctx_width)[None, :]
-    tail = full[:, 1:] if order > 1 else jnp.full_like(ctx, -1)
+    tail = full[:, 1:]
     out_ctx = jnp.where(positions >= (ctx_width - out_n[:, None]), tail, -1)
     return score, out_ctx.astype(jnp.int32), out_n.astype(jnp.int32)

@@ -237,7 +237,9 @@ class LanguageModel(AbstractLanguageModel):
             )
         with open(filenames["unigrams"], "r", encoding=unigram_encoding) as fh:
             unigrams = fh.read().splitlines()
-        model = NGramModel.from_file(filenames["ngram_model"])
+        from .native import open_ngram_file
+
+        model = open_ngram_file(filenames["ngram_model"])
         return cls(model, unigrams, **attrs)
 
 

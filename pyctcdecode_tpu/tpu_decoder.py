@@ -418,19 +418,22 @@ class TPUBeamSearchDecoderCTC:
         ctx_len = np.asarray(out["ctx_len"])
         t_pad = parents.shape[0]
 
-        results: List[OutputBeam] = []
         limit = len(beam_src) if top_n is None else min(top_n, len(beam_src))
-        for rank in range(limit):
-            if lm_score[rank] <= -1.0e29:
-                break
-            b = int(beam_src[rank])
-            toks = np.empty(t_pad, dtype=np.int64)
-            cur = b
-            for t in range(t_pad - 1, -1, -1):
-                toks[t] = trace[t, cur]
-                cur = parents[t, cur]
+        n_live = 0
+        while n_live < limit and lm_score[n_live] > -1.0e29:
+            n_live += 1
+        # vectorized backtrace over all returned ranks at once
+        toks_all = np.empty((t_pad, n_live), dtype=np.int64)
+        cur = beam_src[:n_live].astype(np.int64)
+        for t in range(t_pad - 1, -1, -1):
+            toks_all[t] = trace[t, cur]
+            cur = parents[t, cur]
+
+        results: List[OutputBeam] = []
+        for rank in range(n_live):
+            toks = toks_all[:n_frames, rank]
             words, frames, (partial, pframes) = replay_token_path(
-                toks[:n_frames] if n_frames < t_pad else toks,
+                toks,
                 self._labels,
                 self._alphabet.is_bpe,
             )
@@ -470,8 +473,13 @@ class TPUBeamSearchDecoderCTC:
         hotwords: Optional[Iterable[str]] = None,
         lm_start_state: Optional[AbstractLMState] = None,
         max_tokens_per_frame: Optional[int] = None,
+        top_n: Optional[int] = None,
     ) -> List[OutputBeam]:
-        """Decode one utterance on device; returns ranked OutputBeams."""
+        """Decode one utterance on device; returns ranked OutputBeams.
+
+        ``top_n`` limits host-side text reconstruction to the best N beams
+        (scores/search are unaffected); the top-1 APIs use ``top_n=1``.
+        """
         if hotwords is not None and list(hotwords):
             raise NotImplementedError(
                 "Hotword boosting on the device engine lands with the device "
@@ -499,7 +507,7 @@ class TPUBeamSearchDecoderCTC:
             self._jnp.asarray(ctx0),
             np.int32(ctx0_len),
         )
-        return self._build_outputs(out, n_frames=t)
+        return self._build_outputs(out, n_frames=t, top_n=top_n)
 
     def decode(
         self,
@@ -519,6 +527,7 @@ class TPUBeamSearchDecoderCTC:
             prune_history=True,
             lm_start_state=lm_start_state,
             max_tokens_per_frame=max_tokens_per_frame,
+            top_n=1,
         )[0].text
 
     def decode_beams_batch(
@@ -530,6 +539,7 @@ class TPUBeamSearchDecoderCTC:
         prune_history: bool = DEFAULT_PRUNE_BEAMS,
         max_tokens_per_frame: Optional[int] = None,
         batch_pad: int = 8,
+        top_n: Optional[int] = None,
     ) -> List[List[OutputBeam]]:
         """Vectorized batch decode: one fused device program per batch.
 
@@ -568,7 +578,7 @@ class TPUBeamSearchDecoderCTC:
         results = []
         for i in range(n):
             one = {key: val[i] for key, val in host.items()}
-            results.append(self._build_outputs(one, n_frames=lens[i]))
+            results.append(self._build_outputs(one, n_frames=lens[i], top_n=top_n))
         return results
 
     def decode_batch(
@@ -587,6 +597,7 @@ class TPUBeamSearchDecoderCTC:
             token_min_logp=token_min_logp,
             prune_history=True,
             max_tokens_per_frame=max_tokens_per_frame,
+            top_n=1,
         )
         return [b[0].text if b else "" for b in beams]
 
