@@ -65,6 +65,7 @@ class EngineConfig:
     use_lm: bool
     order: int  # 1 when no LM
     prune_history: bool
+    use_hotwords: bool = False
 
     @property
     def ctx_width(self) -> int:
@@ -112,6 +113,7 @@ def _params_dict(params):
         "beta": params[3],
         "unk_offset": params[4],
         "score_boundary": params[5] > 0.5,
+        "hot_weight": params[6],
     }
 
 
@@ -138,12 +140,23 @@ def _init_state(jnp, cfg: EngineConfig, start_ctx, start_ctx_len):
         "ring_lo": jnp.zeros((b, cfg.ring_width), dtype=jnp.uint32),
         "ring_hi": jnp.zeros((b, cfg.ring_width), dtype=jnp.uint32),
         "n_words": i32(),
+        **({"h_node": i32()} if cfg.use_hotwords else {}),
     }
 
 
-def _commit_quantities(jnp, cfg: EngineConfig, dev: Dict, params: Dict, state: Dict):
-    """Per-beam word-commit effects (LM score, new context, text hash, ring)."""
+def _commit_quantities(
+    jnp, cfg: EngineConfig, dev: Dict, hot: Dict, params: Dict, state: Dict
+):
+    """Per-beam word-commit effects (LM score, context, text hash, hotwords)."""
     commit = state["p_len"] > 0
+    if cfg.use_hotwords:
+        # full-word hotword boost at commit (ref language_model.py:137-139:
+        # weight x #matching words, accumulated incrementally)
+        hot_gain = params["hot_weight"] * (
+            hot["is_word"][state["h_node"]] & commit
+        ).astype(jnp.float32)
+    else:
+        hot_gain = jnp.zeros_like(state["fused"])
     t_lo, t_hi = hash_text_commit(
         jnp, state["text_lo"], state["text_hi"], state["p_lo"], state["p_hi"]
     )
@@ -160,10 +173,9 @@ def _commit_quantities(jnp, cfg: EngineConfig, dev: Dict, params: Dict, state: D
     n_words_c = state["n_words"] + commit.astype(jnp.int32)
 
     if not cfg.use_lm:
-        zeros = jnp.zeros_like(state["fused"])
         return {
             "commit": commit,
-            "word_fused": zeros,
+            "word_fused": hot_gain,
             "ctx": state["ctx"],
             "ctx_len": state["ctx_len"],
             "text_lo": text_lo_c,
@@ -184,7 +196,7 @@ def _commit_quantities(jnp, cfg: EngineConfig, dev: Dict, params: Dict, state: D
     )
     raw10 = raw10 + params["unk_offset"] * is_oov.astype(jnp.float32)
     word_fused = params["alpha"] * raw10 * np.float32(LOG_BASE_CHANGE_FACTOR) + params["beta"]
-    word_fused = jnp.where(commit, word_fused, 0.0)
+    word_fused = jnp.where(commit, word_fused, 0.0) + hot_gain
     return {
         "commit": commit,
         "word_fused": word_fused,
@@ -240,16 +252,31 @@ def _rank(jnp, cfg, lm_score_flat, logit_flat, src_flat, beam_prune_logp):
     return top_scores, logit_flat[top_idx], src_flat[top_idx]
 
 
-def _partial_score(jnp, dev, prm, node, plen):
-    """score_partial_token for in-progress words (ref language_model.py:326-336)."""
-    is_pref = dev["trie_is_uni_prefix"][node] if dev else jnp.zeros_like(plen, bool)
-    punk = prm["unk_offset"] * (~is_pref).astype(jnp.float32)
+def _partial_score(jnp, cfg, dev, hot, prm, node, h_node, plen):
+    """score_partial_token for in-progress words.
+
+    Hotword-prefix partials use the hotword completion score
+    (ref decoder.py:410-418, language_model.py:141-150); everything else
+    uses the LM's unknown-prefix penalty (ref language_model.py:326-336).
+    """
     plen_f = plen.astype(jnp.float32)
-    punk = jnp.where(plen > AVG_TOKEN_LEN, punk * plen_f / AVG_TOKEN_LEN, punk)
-    return jnp.where(plen > 0, punk, 0.0)
+    if cfg.use_lm:
+        is_pref = dev["trie_is_uni_prefix"][node]
+        punk = prm["unk_offset"] * (~is_pref).astype(jnp.float32)
+        punk = jnp.where(plen > AVG_TOKEN_LEN, punk * plen_f / AVG_TOKEN_LEN, punk)
+        lm_part = jnp.where(plen > 0, punk, 0.0)
+    else:
+        lm_part = jnp.zeros_like(plen_f)
+    if not cfg.use_hotwords:
+        return lm_part
+    hot_pref = (h_node != hot["dead"]) & (plen > 0)
+    hot_part = prm["hot_weight"] * plen_f / jnp.maximum(
+        hot["min_comp"][h_node], 1
+    ).astype(jnp.float32)
+    return jnp.where(hot_pref, hot_part, lm_part)
 
 
-def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, prm: Dict, n_frames):
+def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, hot: Dict, prm: Dict, n_frames):
     """Build the per-frame scan body."""
     import jax
 
@@ -284,7 +311,7 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, prm: Dict, n_fr
         tok_rlen = tok_dev["raw_len"][toks]  # raw label length
 
         alive = state["logit"] > DEAD_THRESH
-        cm = _commit_quantities(jnp, cfg, dev, prm, state)
+        cm = _commit_quantities(jnp, cfg, dev, hot, prm, state)
 
         # ---- transition classes [B, K]
         stay = blank[None, :] | (state["last_tok"][:, None] == toks[None, :])
@@ -298,6 +325,8 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, prm: Dict, n_fr
         ext_hi = jnp.broadcast_to(state["p_hi"][:, None], (b, k))
         if cfg.use_lm:
             ext_node = jnp.broadcast_to(state["p_node"][:, None], (b, k))
+        if cfg.use_hotwords:
+            ext_hnode = jnp.broadcast_to(state["h_node"][:, None], (b, k))
         for l in range(lmax):
             cid = tok_dev["raw_chars"][toks, l]  # [K]
             has = (cid >= 0)[None, :]
@@ -307,6 +336,8 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, prm: Dict, n_fr
             ext_hi = jnp.where(has, nhi, ext_hi)
             if cfg.use_lm:
                 ext_node = jnp.where(has, dev["trie_next"][ext_node, cid_b], ext_node)
+            if cfg.use_hotwords:
+                ext_hnode = jnp.where(has, hot["next"][ext_hnode, cid_b], ext_hnode)
 
         seed_lo = jnp.broadcast_to(tok_dev["seed_lo"][toks][None, :], (b, k))
         seed_hi = jnp.broadcast_to(tok_dev["seed_hi"][toks][None, :], (b, k))
@@ -334,6 +365,15 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, prm: Dict, n_fr
             )
         else:
             p_node_n = jnp.zeros((b, k), dtype=jnp.int32)
+        if cfg.use_hotwords:
+            seed_hnode = jnp.broadcast_to(hot["seed"][toks][None, :], (b, k))
+            h_node_n = jnp.where(
+                stay,
+                state["h_node"][:, None],
+                jnp.where(as_boundary, seed_hnode, ext_hnode),
+            )
+        else:
+            h_node_n = None
 
         text_lo_n = jnp.where(
             as_boundary, cm["text_lo"][:, None], state["text_lo"][:, None]
@@ -394,6 +434,7 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, prm: Dict, n_fr
             "ring_lo": _flatten(ring_lo_n),
             "ring_hi": _flatten(ring_hi_n),
             "n_words": _flatten(n_words_n),
+            **({"h_node": _flatten(h_node_n)} if cfg.use_hotwords else {}),
         }
 
         # ---- block-diagonal merge: [K, B] layout
@@ -408,9 +449,16 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, prm: Dict, n_fr
         merged_flat = jnp.where(rep, merged.reshape(c), DEAD)
         live = merged_flat > DEAD_THRESH
 
-        if cfg.use_lm:
+        if cfg.use_lm or cfg.use_hotwords:
             pscore = _partial_score(
-                jnp, dev, prm, fields["p_node"][src_flat], fields["p_len"][src_flat]
+                jnp,
+                cfg,
+                dev,
+                hot,
+                prm,
+                fields["p_node"][src_flat],
+                fields["h_node"][src_flat] if cfg.use_hotwords else None,
+                fields["p_len"][src_flat],
             )
             extra = fields["fused"][src_flat] + pscore
         else:
@@ -462,7 +510,7 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, prm: Dict, n_fr
     return step
 
 
-def _finalize(jnp, cfg: EngineConfig, dev: Dict, prm: Dict, state: Dict, do_commit, is_end):
+def _finalize(jnp, cfg: EngineConfig, dev: Dict, hot: Dict, prm: Dict, state: Dict, do_commit, is_end):
     """Generalized finalization (ref decoder.py:558-602).
 
     ``do_commit`` / ``is_end`` are traced booleans:
@@ -480,6 +528,12 @@ def _finalize(jnp, cfg: EngineConfig, dev: Dict, prm: Dict, state: Dict, do_comm
     alive = state["logit"] > DEAD_THRESH
     has_partial = state["p_len"] > 0
     commit = has_partial & do_commit
+    if cfg.use_hotwords:
+        hot_gain = prm["hot_weight"] * (
+            hot["is_word"][state["h_node"]] & commit
+        ).astype(jnp.float32)
+    else:
+        hot_gain = jnp.zeros_like(state["fused"])
     t_lo, t_hi = hash_text_commit(
         jnp, state["text_lo"], state["text_hi"], state["p_lo"], state["p_hi"]
     )
@@ -515,17 +569,25 @@ def _finalize(jnp, cfg: EngineConfig, dev: Dict, prm: Dict, state: Dict, do_comm
         raw = raw10 + prm["unk_offset"] * is_oov.astype(jnp.float32)
         raw = raw + jnp.where(is_end & prm["score_boundary"], eos10, 0.0)
         word_fused = prm["alpha"] * raw * np.float32(LOG_BASE_CHANGE_FACTOR) + prm["beta"]
-        fused_scored = state["fused"] + jnp.where(score_word, word_fused, 0.0)
+        fused_scored = state["fused"] + jnp.where(score_word, word_fused, 0.0) + hot_gain
         ctx_view = jnp.where(score_word[:, None], ctx2, state["ctx"])
         ctx_len_view = jnp.where(score_word, ctx2_len, state["ctx_len"])
         ctx_carry = jnp.where(commit[:, None], ctx2, state["ctx"])
         ctx_len_carry = jnp.where(commit, ctx2_len, state["ctx_len"])
-        pscore = _partial_score(jnp, dev, prm, node, state["p_len"])
     else:
-        fused_scored = state["fused"]
+        fused_scored = state["fused"] + hot_gain
         ctx_view = ctx_carry = state["ctx"]
         ctx_len_view = ctx_len_carry = state["ctx_len"]
-        pscore = jnp.zeros_like(state["fused"])
+    pscore = _partial_score(
+        jnp,
+        cfg,
+        dev,
+        hot,
+        prm,
+        state["p_node"],
+        state["h_node"] if cfg.use_hotwords else None,
+        state["p_len"],
+    )
 
     # partials survive (and keep their score) only when not committing
     extra = fused_scored + jnp.where(do_commit, 0.0, pscore)
@@ -570,6 +632,7 @@ def _finalize(jnp, cfg: EngineConfig, dev: Dict, prm: Dict, state: Dict, do_comm
         "ring_lo": ring_lo[src],
         "ring_hi": ring_hi[src],
         "n_words": n_words[src],
+        **({"h_node": jnp.zeros((b,), dtype=jnp.int32)} if cfg.use_hotwords else {}),
     }
     return {
         "src": src,
@@ -597,14 +660,14 @@ def make_decode_fn(
 
     tok_dev, dev = _build_dev_tables(jnp, tokens, device_lm)
 
-    def decode(logp, n_frames, params, start_ctx, start_ctx_len):
+    def decode(logp, n_frames, params, start_ctx, start_ctx_len, hot=None):
         prm = _params_dict(params)
         state0 = _init_state(jnp, cfg, start_ctx, start_ctx_len)
-        step = _make_step(jnp, cfg, tok_dev, dev, prm, n_frames)
+        step = _make_step(jnp, cfg, tok_dev, dev, hot, prm, n_frames)
         t_idx = jnp.arange(logp.shape[0], dtype=jnp.int32)
         final_state, (parents, trace) = jax.lax.scan(step, state0, (logp, t_idx))
         fin = _finalize(
-            jnp, cfg, dev, prm, final_state, jnp.bool_(True), jnp.bool_(True)
+            jnp, cfg, dev, hot, prm, final_state, jnp.bool_(True), jnp.bool_(True)
         )
         return {
             "parents": parents,
@@ -644,17 +707,17 @@ def make_stream_fns(
     def init_fn(start_ctx, start_ctx_len):
         return _init_state(jnp, cfg, start_ctx, start_ctx_len)
 
-    def chunk_fn(state, logp, n_frames, params):
+    def chunk_fn(state, logp, n_frames, params, hot=None):
         prm = _params_dict(params)
-        step = _make_step(jnp, cfg, tok_dev, dev, prm, n_frames)
+        step = _make_step(jnp, cfg, tok_dev, dev, hot, prm, n_frames)
         t_idx = jnp.arange(logp.shape[0], dtype=jnp.int32)
         state1, (parents, trace) = jax.lax.scan(step, state, (logp, t_idx))
         return state1, parents, trace
 
-    def finalize_fn(state, params, do_commit, is_end):
+    def finalize_fn(state, params, do_commit, is_end, hot=None):
         prm = _params_dict(params)
         return _finalize(
-            jnp, cfg, dev, prm, state, do_commit > 0.5, is_end > 0.5
+            jnp, cfg, dev, hot, prm, state, do_commit > 0.5, is_end > 0.5
         )
 
     return init_fn, chunk_fn, finalize_fn

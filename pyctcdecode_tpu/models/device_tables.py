@@ -361,6 +361,60 @@ def build_device_lm(language_model: LanguageModel, tokens: TokenArrays) -> Devic
     )
 
 
+def build_hotword_tables(
+    hotword_unigrams,
+    char2id: Dict[str, int],
+    tokens: TokenArrays,
+    min_nodes: int = 8,
+) -> Dict[str, np.ndarray]:
+    """Per-call hotword trie as traced device arrays (ref language_model.py:115-189).
+
+    Hotwords change per decode call, so these arrays are *inputs* to the
+    compiled program, not baked constants; node counts are padded to powers
+    of two so different hotword sets of similar size reuse one executable.
+    Returns ``next [N,C]``, ``is_word [N]``, ``min_comp [N]``, ``seed [V]``
+    (hot-trie node reached by each token's boundary piece) and ``dead``.
+    """
+    builder = _TrieBuilder(len(char2id))
+    for word in hotword_unigrams:
+        ids = []
+        ok = True
+        for ch in word:
+            cid = char2id.get(ch)
+            if cid is None:
+                ok = False
+                break
+            ids.append(cid)
+        if not ok:
+            continue  # contains an undecodable char: can never match
+        node = builder.insert(ids, len(word))
+        builder.is_uni_word[node] = True
+    trie = builder.pack()
+
+    n = trie.n_nodes  # includes the dead node
+    n_pad = min_nodes
+    while n_pad < n:
+        n_pad *= 2
+    nxt = np.full((n_pad, trie.next.shape[1]), trie.dead, dtype=np.int32)
+    nxt[:n] = trie.next
+    is_word = np.zeros(n_pad, dtype=bool)
+    is_word[:n] = trie.is_uni_word
+    min_comp = np.zeros(n_pad, dtype=np.int32)
+    min_comp[:n] = trie.min_completion
+    return {
+        "next": nxt,
+        "is_word": is_word,
+        "min_comp": min_comp,
+        "seed": trie_seed_nodes(trie, tokens),
+        "dead": np.int32(trie.dead),
+    }
+
+
+def empty_hotword_tables(tokens: TokenArrays) -> Dict[str, np.ndarray]:
+    """No-hotword stand-in (root-only trie; every walk lands dead)."""
+    return build_hotword_tables([], tokens.char2id, tokens)
+
+
 def lm_score_words_jnp(
     dev: Dict,
     order: int,

@@ -125,7 +125,11 @@ class ShardedCTCDecoder:
                 order=1 if d._lm is None else d._lm.order,
                 prune_history=prune_history,
             )
-            raw = make_decode_fn(cfg, d._tokens, d._device_lm)
+            raw6 = make_decode_fn(cfg, d._tokens, d._device_lm)
+
+            def raw(lp, nf, pr, c0, cl):
+                return raw6(lp, nf, pr, c0, cl, None)
+
             vfn = jax.vmap(raw, in_axes=(0, 0, None, None, None))
             axis = self._axis
             fn = jax.jit(

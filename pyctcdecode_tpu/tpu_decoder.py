@@ -26,6 +26,7 @@ import dataclasses
 from .alphabet import BPE_TOKEN, Alphabet
 from .constants import (
     DEFAULT_BEAM_WIDTH,
+    DEFAULT_HOTWORD_WEIGHT,
     DEFAULT_MIN_TOKEN_LOGP,
     DEFAULT_PRUNE_BEAMS,
     DEFAULT_PRUNE_LOGP,
@@ -130,6 +131,9 @@ class DeviceStreamState:
     beam_width: int
     k_tokens: int
     prune_history: bool
+    use_hotwords: bool = False
+    hot_sig: Any = None  # (frozenset(unigrams), weight) of the last chunk
+    last_partials: Optional[List[str]] = None  # carried beams' partial words
 
 
 def _backtrace_chunks(
@@ -190,43 +194,84 @@ class TPUBeamSearchDecoderCTC:
             self._lm.reset_params(**kwargs)
 
     # -- compiled-function cache -------------------------------------------
-    def _get_fn(self, t_pad: int, beam_width: int, k: int, prune_history: bool, batch: int):
+    def _engine_cfg(self, beam_width: int, k: int, prune_history: bool, use_hotwords: bool) -> EngineConfig:
+        return EngineConfig(
+            beam_width=beam_width,
+            vocab_size=len(self._labels),
+            k_tokens=k,
+            is_bpe=self._alphabet.is_bpe,
+            use_lm=self._lm is not None,
+            order=1 if self._lm is None else self._lm.order,
+            prune_history=prune_history,
+            use_hotwords=use_hotwords,
+        )
+
+    def _get_fn(
+        self,
+        t_pad: int,
+        beam_width: int,
+        k: int,
+        prune_history: bool,
+        batch: int,
+        use_hotwords: bool = False,
+    ):
         import jax
 
-        key = (t_pad, beam_width, k, prune_history, batch)
+        key = (t_pad, beam_width, k, prune_history, batch, use_hotwords)
         fn = self._fn_cache.get(key)
         if fn is None:
-            cfg = EngineConfig(
-                beam_width=beam_width,
-                vocab_size=len(self._labels),
-                k_tokens=k,
-                is_bpe=self._alphabet.is_bpe,
-                use_lm=self._lm is not None,
-                order=1 if self._lm is None else self._lm.order,
-                prune_history=prune_history,
-            )
+            cfg = self._engine_cfg(beam_width, k, prune_history, use_hotwords)
             raw = make_decode_fn(cfg, self._tokens, self._device_lm)
             if batch > 1:
-                raw = jax.vmap(raw, in_axes=(0, 0, None, None, None))
+                raw = jax.vmap(raw, in_axes=(0, 0, None, None, None, None))
             fn = jax.jit(raw)
             self._fn_cache[key] = fn
         return fn
 
-    def _get_stream_fns(self, beam_width: int, k: int, prune_history: bool):
+    def _hot_tables(self, hotwords, weight: float):
+        """Per-call hotword trie arrays: (device pytree, weight, host arrays).
+
+        Returns ``(None, 0.0, None)`` when no hotwords are given.
+        """
+        from .models.device_tables import build_hotword_tables
+        from .models.hotwords import HotwordScorer
+
+        scorer = HotwordScorer.build_scorer(hotwords, weight=weight)
+        if not scorer.unigrams:
+            return None, 0.0, None
+        tables = build_hotword_tables(
+            sorted(scorer.unigrams), self._tokens.char2id, self._tokens
+        )
+        return self._hot_to_device(tables), float(weight), tables
+
+    def _hot_to_device(self, tables):
+        return {
+            "next": self._jnp.asarray(tables["next"]),
+            "is_word": self._jnp.asarray(tables["is_word"]),
+            "min_comp": self._jnp.asarray(tables["min_comp"]),
+            "seed": self._jnp.asarray(tables["seed"]),
+            "dead": int(tables["dead"]),
+        }
+
+    def _empty_hot(self):
+        """Root-only hotword trie (streaming chunks without hotwords)."""
+        from .models.device_tables import empty_hotword_tables
+
+        tables = getattr(self, "_empty_hot_np", None)
+        if tables is None:
+            tables = empty_hotword_tables(self._tokens)
+            self._empty_hot_np = tables
+        return self._hot_to_device(tables), 0.0, tables
+
+    def _get_stream_fns(
+        self, beam_width: int, k: int, prune_history: bool, use_hotwords: bool
+    ):
         import jax
 
-        key = ("stream", beam_width, k, prune_history)
+        key = ("stream", beam_width, k, prune_history, use_hotwords)
         fns = self._fn_cache.get(key)
         if fns is None:
-            cfg = EngineConfig(
-                beam_width=beam_width,
-                vocab_size=len(self._labels),
-                k_tokens=k,
-                is_bpe=self._alphabet.is_bpe,
-                use_lm=self._lm is not None,
-                order=1 if self._lm is None else self._lm.order,
-                prune_history=prune_history,
-            )
+            cfg = self._engine_cfg(beam_width, k, prune_history, use_hotwords)
             init_fn, chunk_fn, finalize_fn = make_stream_fns(
                 cfg, self._tokens, self._device_lm
             )
@@ -241,6 +286,7 @@ class TPUBeamSearchDecoderCTC:
         prune_history: bool = DEFAULT_PRUNE_BEAMS,
         max_tokens_per_frame: Optional[int] = None,
         lm_start_state: Optional[AbstractLMState] = None,
+        hotwords_enabled: bool = False,
     ) -> DeviceStreamState:
         """Fresh device-resident streaming state (ref decoder.py:669-679).
 
@@ -252,7 +298,9 @@ class TPUBeamSearchDecoderCTC:
         """
         v = len(self._labels)
         k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
-        init_fn, _, _ = self._get_stream_fns(beam_width, k, prune_history)
+        init_fn, _, _ = self._get_stream_fns(
+            beam_width, k, prune_history, hotwords_enabled
+        )
         ctx0, ctx0_len = self._start_ctx(lm_start_state)
         state = init_fn(self._jnp.asarray(ctx0), np.int32(ctx0_len))
         return DeviceStreamState(
@@ -262,6 +310,7 @@ class TPUBeamSearchDecoderCTC:
             beam_width=beam_width,
             k_tokens=k,
             prune_history=prune_history,
+            use_hotwords=hotwords_enabled,
         )
 
     def partial_decode_beams(
@@ -270,6 +319,8 @@ class TPUBeamSearchDecoderCTC:
         logits_chunk: np.ndarray,
         beam_prune_logp: float = DEFAULT_PRUNE_LOGP,
         token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP,
+        hotwords: Optional[Iterable[str]] = None,
+        hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
         force_next_word: bool = False,
         is_end: bool = False,
     ) -> List[LMBeam]:
@@ -290,9 +341,43 @@ class TPUBeamSearchDecoderCTC:
             )
         ss = stream_state
         _, chunk_fn, finalize_fn = self._get_stream_fns(
-            ss.beam_width, ss.k_tokens, ss.prune_history
+            ss.beam_width, ss.k_tokens, ss.prune_history, ss.use_hotwords
         )
-        params = self._params_vector(token_min_logp, beam_prune_logp)
+        if ss.use_hotwords:
+            hot, weight, hot_np = self._hot_tables(hotwords, hotword_weight)
+            if hot is None:
+                hot, weight, hot_np = self._empty_hot()
+            # swapping scorers invalidates carried trie nodes: rewalk each
+            # carried beam's partial word through the new trie host-side
+            # (ref rebuilds prefix membership from strings every call)
+            new_sig = (
+                tuple(sorted(hotwords)) if hotwords else (),
+                float(weight),
+            )
+            if ss.hot_sig is not None and new_sig != ss.hot_sig:
+                partials = ss.last_partials or [""] * ss.beam_width
+                nodes = np.zeros(ss.beam_width, dtype=np.int32)
+                nxt = np.asarray(hot["next"])
+                for bi, word in enumerate(partials):
+                    node = 0
+                    for ch in word:
+                        cid = self._tokens.char2id.get(ch)
+                        node = int(nxt[node, cid]) if cid is not None else int(hot["dead"])
+                    nodes[bi] = node
+                ss.beam_state = dict(ss.beam_state)
+                ss.beam_state["h_node"] = self._jnp.asarray(nodes)
+            ss.hot_sig = new_sig
+        else:
+            if hotwords is not None and list(hotwords):
+                raise ValueError(
+                    "stream state was created without hotword support; pass "
+                    "hotwords_enabled=True to get_starting_state"
+                )
+            hot = None
+        params = self._params_vector(
+            token_min_logp, beam_prune_logp,
+            weight if ss.use_hotwords else 0.0,
+        )
         t = logits_chunk.shape[0]
         v = len(self._labels)
         t_pad = _bucket(t)
@@ -301,7 +386,7 @@ class TPUBeamSearchDecoderCTC:
             logp_pad[:t] = normalize_host(logits_chunk)
         state1, parents, trace = chunk_fn(
             ss.beam_state, self._jnp.asarray(logp_pad), np.int32(t),
-            self._jnp.asarray(params),
+            self._jnp.asarray(params), hot,
         )
         if t:
             ss.chunks.append(
@@ -313,6 +398,7 @@ class TPUBeamSearchDecoderCTC:
             self._jnp.asarray(params),
             np.float32(1.0 if committed else 0.0),
             np.float32(1.0 if is_end else 0.0),
+            hot,
         )
         beam_src = np.asarray(fin["src"])
         scores = np.asarray(fin["score"])
@@ -359,14 +445,24 @@ class TPUBeamSearchDecoderCTC:
                     ss.processed_frames + t,
                 )
             )
+            ss.last_partials = [""] * ss.beam_width
         else:
             ss.beam_state = state1
+            # carried order equals view order here; remember partial words so
+            # a swapped hotword scorer can rewalk its trie next chunk
+            ss.last_partials = [
+                beams[i].partial_word if i < len(beams) else ""
+                for i in range(ss.beam_width)
+            ]
         ss.processed_frames += t
         return beams
 
     # -- call-time parameters ------------------------------------------------
     def _params_vector(
-        self, token_min_logp: float, beam_prune_logp: float
+        self,
+        token_min_logp: float,
+        beam_prune_logp: float,
+        hotword_weight: float = 0.0,
     ) -> np.ndarray:
         if self._lm is None:
             tail = [0.0, 0.0, 0.0, 0.0]
@@ -378,7 +474,8 @@ class TPUBeamSearchDecoderCTC:
                 1.0 if self._lm.score_boundary else 0.0,
             ]
         return np.array(
-            [token_min_logp, beam_prune_logp] + tail, dtype=np.float32
+            [token_min_logp, beam_prune_logp] + tail + [hotword_weight],
+            dtype=np.float32,
         )
 
     def _start_ctx(
@@ -471,6 +568,7 @@ class TPUBeamSearchDecoderCTC:
         token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP,
         prune_history: bool = DEFAULT_PRUNE_BEAMS,
         hotwords: Optional[Iterable[str]] = None,
+        hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
         lm_start_state: Optional[AbstractLMState] = None,
         max_tokens_per_frame: Optional[int] = None,
         top_n: Optional[int] = None,
@@ -480,16 +578,12 @@ class TPUBeamSearchDecoderCTC:
         ``top_n`` limits host-side text reconstruction to the best N beams
         (scores/search are unaffected); the top-1 APIs use ``top_n=1``.
         """
-        if hotwords is not None and list(hotwords):
-            raise NotImplementedError(
-                "Hotword boosting on the device engine lands with the device "
-                "hotword trie; use BeamSearchDecoderCTC (host engine) for now."
-            )
         if logits.ndim != 2 or logits.shape[1] != len(self._labels):
             raise ValueError(
                 f"Input logits of shape {logits.shape}, but vocabulary is "
                 f"size {len(self._labels)}"
             )
+        hot, weight, _ = self._hot_tables(hotwords, hotword_weight)
         v = len(self._labels)
         k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
         t = logits.shape[0]
@@ -497,8 +591,10 @@ class TPUBeamSearchDecoderCTC:
         logp = normalize_host(logits)
         logp_pad = np.full((t_pad, v), 0.0, dtype=np.float32)
         logp_pad[:t] = logp
-        fn = self._get_fn(t_pad, beam_width, k, prune_history, batch=1)
-        params = self._params_vector(token_min_logp, beam_prune_logp)
+        fn = self._get_fn(
+            t_pad, beam_width, k, prune_history, batch=1, use_hotwords=hot is not None
+        )
+        params = self._params_vector(token_min_logp, beam_prune_logp, weight)
         ctx0, ctx0_len = self._start_ctx(lm_start_state)
         out = fn(
             self._jnp.asarray(logp_pad),
@@ -506,6 +602,7 @@ class TPUBeamSearchDecoderCTC:
             self._jnp.asarray(params),
             self._jnp.asarray(ctx0),
             np.int32(ctx0_len),
+            hot,
         )
         return self._build_outputs(out, n_frames=t, top_n=top_n)
 
@@ -515,6 +612,8 @@ class TPUBeamSearchDecoderCTC:
         beam_width: int = DEFAULT_BEAM_WIDTH,
         beam_prune_logp: float = DEFAULT_PRUNE_LOGP,
         token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP,
+        hotwords: Optional[Iterable[str]] = None,
+        hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
         lm_start_state: Optional[AbstractLMState] = None,
         max_tokens_per_frame: Optional[int] = None,
     ) -> str:
@@ -525,6 +624,8 @@ class TPUBeamSearchDecoderCTC:
             beam_prune_logp=beam_prune_logp,
             token_min_logp=token_min_logp,
             prune_history=True,
+            hotwords=hotwords,
+            hotword_weight=hotword_weight,
             lm_start_state=lm_start_state,
             max_tokens_per_frame=max_tokens_per_frame,
             top_n=1,
@@ -537,6 +638,8 @@ class TPUBeamSearchDecoderCTC:
         beam_prune_logp: float = DEFAULT_PRUNE_LOGP,
         token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP,
         prune_history: bool = DEFAULT_PRUNE_BEAMS,
+        hotwords: Optional[Iterable[str]] = None,
+        hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
         max_tokens_per_frame: Optional[int] = None,
         batch_pad: int = 8,
         top_n: Optional[int] = None,
@@ -549,6 +652,7 @@ class TPUBeamSearchDecoderCTC:
         """
         if not logits_list:
             return []
+        hot, weight, _ = self._hot_tables(hotwords, hotword_weight)
         v = len(self._labels)
         k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
         lens = [l.shape[0] for l in logits_list]
@@ -564,8 +668,11 @@ class TPUBeamSearchDecoderCTC:
             logp[i, : mat.shape[0]] = normalize_host(mat)
         n_frames = np.zeros(n_pad, dtype=np.int32)
         n_frames[:n] = lens
-        fn = self._get_fn(t_pad, beam_width, k, prune_history, batch=n_pad)
-        params = self._params_vector(token_min_logp, beam_prune_logp)
+        fn = self._get_fn(
+            t_pad, beam_width, k, prune_history, batch=n_pad,
+            use_hotwords=hot is not None,
+        )
+        params = self._params_vector(token_min_logp, beam_prune_logp, weight)
         ctx0, ctx0_len = self._start_ctx(None)
         out = fn(
             self._jnp.asarray(logp),
@@ -573,6 +680,7 @@ class TPUBeamSearchDecoderCTC:
             self._jnp.asarray(params),
             self._jnp.asarray(ctx0),
             np.int32(ctx0_len),
+            hot,
         )
         host = {key: np.asarray(val) for key, val in out.items()}
         results = []
@@ -587,6 +695,8 @@ class TPUBeamSearchDecoderCTC:
         beam_width: int = DEFAULT_BEAM_WIDTH,
         beam_prune_logp: float = DEFAULT_PRUNE_LOGP,
         token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP,
+        hotwords: Optional[Iterable[str]] = None,
+        hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
         max_tokens_per_frame: Optional[int] = None,
     ) -> List[str]:
         """Batch top-1 transcripts."""
@@ -596,6 +706,8 @@ class TPUBeamSearchDecoderCTC:
             beam_prune_logp=beam_prune_logp,
             token_min_logp=token_min_logp,
             prune_history=True,
+            hotwords=hotwords,
+            hotword_weight=hotword_weight,
             max_tokens_per_frame=max_tokens_per_frame,
             top_n=1,
         )

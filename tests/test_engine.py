@@ -216,10 +216,33 @@ class TestDeviceEngineWithLM(unittest.TestCase):
             dev.decode_beams(TEST_PROBS, beam_width=8),
         )
 
-    def test_hotwords_not_yet_on_device(self):
-        dev = TPUBeamSearchDecoderCTC(_sample_alphabet(), _sample_lm())
-        with self.assertRaises(NotImplementedError):
-            dev.decode_beams(TEST_PROBS, hotwords=["bunny"])
+    def test_hotwords_parity_with_host(self):
+        lm = _sample_lm(alpha=1.0, unk_score_offset=0.0)
+        host = BeamSearchDecoderCTC(_sample_alphabet(), lm)
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet(), lm)
+        for hws, w in [(["bugs"], 25.0), (["bunny"], 10.0), (["bugs bunny"], 5.0)]:
+            hb = host.decode_beams(TEST_PROBS, beam_width=16, hotwords=hws, hotword_weight=w)
+            db = dev.decode_beams(TEST_PROBS, beam_width=16, hotwords=hws, hotword_weight=w)
+            _assert_beams_match(self, hb, db, check_rank=2)
+
+    def test_hotwords_fuzz_parity(self):
+        lm = _sample_lm(alpha=0.6, beta=1.2, unk_score_offset=-4.0)
+        host = BeamSearchDecoderCTC(_sample_alphabet(), lm)
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet(), lm)
+        rng = np.random.RandomState(17)
+        for _ in range(6):
+            mat = rng.randn(rng.randint(4, 30), len(SAMPLE_LABELS)) * 2.0
+            hb = host.decode_beams(mat, beam_width=6, hotwords=["bug", "ny"], hotword_weight=7.0)
+            db = dev.decode_beams(mat, beam_width=6, hotwords=["bug", "ny"], hotword_weight=7.0)
+            _assert_beams_match(self, hb, db, check_rank=2)
+
+    def test_hotwords_no_lm_parity(self):
+        host = BeamSearchDecoderCTC(_sample_alphabet())
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet())
+        hb = host.decode_beams(TEST_PROBS, beam_width=16, hotwords=["bugs"], hotword_weight=25.0)
+        db = dev.decode_beams(TEST_PROBS, beam_width=16, hotwords=["bugs"], hotword_weight=25.0)
+        self.assertEqual(db[0].text, "bugs bunny")
+        _assert_beams_match(self, hb, db, check_rank=2)
 
 
 class TestDeviceEngineBPE(unittest.TestCase):

@@ -142,6 +142,58 @@ class TestDeviceStreaming(unittest.TestCase):
         self.assertAlmostEqual(hb[0].logit_score, db[0].logit_score, delta=SCORE_TOL)
         self.assertAlmostEqual(hb[0].lm_score, db[0].lm_score, delta=SCORE_TOL)
 
+    def test_chunked_with_hotwords(self):
+        """ref test_streaming: hotwords flip greedy outcome mid-stream."""
+        alphabet = Alphabet.build_alphabet(SAMPLE_LABELS)
+        dev = TPUBeamSearchDecoderCTC(alphabet)
+        state = dev.get_starting_state(beam_width=16, hotwords_enabled=True)
+        chunks = self._chunks()
+        out = None
+        for i, chunk in enumerate(chunks):
+            out = dev.partial_decode_beams(
+                state,
+                chunk,
+                hotwords=["bugs"],
+                hotword_weight=25.0,
+                is_end=(i == len(chunks) - 1),
+            )
+        self.assertEqual(out[0].text, "bugs bunny")
+        # equals the one-shot hotword decode
+        full = dev.decode_beams(
+            TEST_LOGITS, beam_width=16, hotwords=["bugs"], hotword_weight=25.0
+        )
+        self.assertEqual(full[0].text, out[0].text)
+        self.assertAlmostEqual(full[0].logit_score, out[0].logit_score, delta=SCORE_TOL)
+
+    def test_swappable_hotword_scorers(self):
+        """Dropping the boost mid-word prevents completion (ref behavior)."""
+        alphabet = Alphabet.build_alphabet(SAMPLE_LABELS)
+        host = BeamSearchDecoderCTC(alphabet)
+        dev = TPUBeamSearchDecoderCTC(alphabet)
+        chunks = self._chunks()
+
+        state = dev.get_starting_state(beam_width=16, hotwords_enabled=True)
+        per_chunk = [(["bugs"], 15.0), (["bunny"], 15.0), (None, 0.0)]
+        out = None
+        for i, chunk in enumerate(chunks):
+            hws, w = per_chunk[i]
+            out = dev.partial_decode_beams(
+                state, chunk, hotwords=hws, hotword_weight=w,
+                is_end=(i == len(chunks) - 1),
+            )
+        self.assertEqual(out[0].text, "bugny bunny")
+
+        # boost kept through the word, swapped after -> full word survives
+        state = dev.get_starting_state(beam_width=16, hotwords_enabled=True)
+        per_chunk = [(["bugs"], 15.0), (["bugs"], 15.0), (["bunny"], 15.0)]
+        for i, chunk in enumerate(chunks):
+            hws, w = per_chunk[i]
+            out = dev.partial_decode_beams(
+                state, chunk, hotwords=hws, hotword_weight=w,
+                is_end=(i == len(chunks) - 1),
+            )
+        self.assertEqual(out[0].text, "bugs bunny")
+
     def test_fuzz_chunked_equals_full(self):
         alphabet = Alphabet.build_alphabet(SAMPLE_LABELS)
         dev = TPUBeamSearchDecoderCTC(alphabet)
