@@ -25,7 +25,10 @@ import numpy as np
 
 FRAME_SEC = 0.02
 BEAM_WIDTH = 50
-BATCH = 32
+BATCH = 256
+K_TOKENS = 16  # top-K token preselect (threshold admits ~2-6 in practice)
+LM_VOCAB = 30_000
+LM_BIGRAMS = 300_000
 SAMPLE = "/root/reference/pyctcdecode/tests/sample_data/libri_logits.json"
 LIBRI_LABELS = [" "] + list("abcdefghijklmnopqrstuvwxyz") + ["'"] + [""]
 TRANSCRIPT = (
@@ -34,23 +37,41 @@ TRANSCRIPT = (
 )
 
 
-def _make_arpa(path: str) -> None:
-    """Tiny 2-gram LM over the fixture transcript (uniform estimates)."""
+def _make_arpa(path: str) -> list:
+    """Realistically-sized 2-gram LM (ref benchmark scale: a pruned n-gram
+    over a large vocabulary; here ~30k words / ~300k bigrams, synthesized
+    because the container has no network access). Returns the unigram list.
+    """
+    rng = np.random.RandomState(42)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    vocab = set(TRANSCRIPT.split())
+    while len(vocab) < LM_VOCAB:
+        n = max(1, len(vocab) % 9 + 2)
+        vocab.add("".join(rng.choice(letters, size=rng.randint(2, 11))))
+    vocab = sorted(vocab)
+    ids = rng.randint(0, len(vocab), size=(LM_BIGRAMS, 2))
     words = TRANSCRIPT.split()
-    vocab = sorted(set(words))
-    bigrams = sorted({(a, b) for a, b in zip(words[:-1], words[1:])})
     with open(path, "w") as fh:
         fh.write("\\data\\\n")
         fh.write(f"ngram 1={len(vocab) + 3}\n")
-        fh.write(f"ngram 2={len(bigrams)}\n\n")
+        fh.write(f"ngram 2={LM_BIGRAMS + len(words) - 1}\n\n")
         fh.write("\\1-grams:\n")
         fh.write("-10\t<unk>\t0\n-2\t<s>\t-0.5\n-2\t</s>\t0\n")
         for w in vocab:
-            fh.write(f"-1.5\t{w}\t-0.5\n")
+            fh.write(f"-3.5\t{w}\t-0.5\n")
         fh.write("\n\\2-grams:\n")
-        for a, b in bigrams:
-            fh.write(f"-0.5\t{a} {b}\n")
+        seen = set()
+        for a, b in zip(words[:-1], words[1:]):
+            if (a, b) not in seen:
+                seen.add((a, b))
+                fh.write(f"-0.5\t{a} {b}\n")
+        for i, j in ids:
+            a, b = vocab[i], vocab[j]
+            if (a, b) not in seen:
+                seen.add((a, b))
+                fh.write(f"-2.0\t{a} {b}\n")
         fh.write("\n\\end\\\n")
+    return vocab
 
 
 def main() -> None:
@@ -77,10 +98,11 @@ def main() -> None:
     alphabet = Alphabet.build_alphabet(LIBRI_LABELS)
     with tempfile.TemporaryDirectory() as td:
         arpa = os.path.join(td, "bench.arpa")
-        _make_arpa(arpa)
-        unigrams = sorted(set(TRANSCRIPT.split()))
-        lm_host = LanguageModel(NGramModel.from_file(arpa), unigrams)
-        lm_dev = LanguageModel(NGramModel.from_file(arpa), unigrams)
+        unigrams = _make_arpa(arpa)
+        from pyctcdecode_tpu.models.native import open_ngram_file
+
+        lm_host = LanguageModel(open_ngram_file(arpa), unigrams)
+        lm_dev = LanguageModel(open_ngram_file(arpa), unigrams)
 
         host = BeamSearchDecoderCTC(alphabet, lm_host)
         dev = TPUBeamSearchDecoderCTC(alphabet, lm_dev)
@@ -98,11 +120,12 @@ def main() -> None:
         host_tput = n_host * audio_sec_per_utt / host_dt
 
         # --- device batch decode (compile once, then time)
-        texts = dev.decode_batch(batch, beam_width=BEAM_WIDTH)  # compile + warm
+        kwargs = dict(beam_width=BEAM_WIDTH, max_tokens_per_frame=K_TOKENS)
+        texts = dev.decode_batch(batch, **kwargs)  # compile + warm
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
-            texts = dev.decode_batch(batch, beam_width=BEAM_WIDTH)
+            texts = dev.decode_batch(batch, **kwargs)
         dev_dt = (time.perf_counter() - t0) / reps
         dev_tput = BATCH * audio_sec_per_utt / dev_dt
 
@@ -115,7 +138,9 @@ def main() -> None:
             "detail": {
                 "batch": BATCH,
                 "beam_width": BEAM_WIDTH,
+                "k_tokens": K_TOKENS,
                 "frames": int(logits.shape[0]),
+                "lm": f"2-gram, {LM_VOCAB} vocab, ~{LM_BIGRAMS} bigrams",
                 "host_audio_sec_per_s": round(host_tput, 2),
                 "device_batch_latency_s": round(dev_dt, 4),
                 "top1_matches_host": bool(sanity),

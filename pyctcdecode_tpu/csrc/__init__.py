@@ -121,6 +121,7 @@ class NativeNGram:
 
     # -- vocabulary --------------------------------------------------------
     def word_id(self, word: str) -> int:
+        """Vocabulary id for ``word``; the <unk> id when absent."""
         wid = self._lib.ctclm_word_id(self._h, word.encode("utf-8"))
         return self.unk_id if wid < 0 else wid
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 import hashlib
 import os
 import subprocess
-import sysconfig
+import sys
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "ctclm.cpp")
@@ -41,7 +41,7 @@ def build(verbose: bool = False) -> str:
         _SRC,
     ]
     if verbose:
-        print("+", " ".join(cmd))
+        sys.stderr.write("+ " + " ".join(cmd) + "\n")
     try:
         subprocess.run(cmd, check=True, capture_output=not verbose)
     except (subprocess.CalledProcessError, FileNotFoundError) as err:
@@ -59,4 +59,4 @@ def build(verbose: bool = False) -> str:
 
 
 if __name__ == "__main__":
-    print(build(verbose=True))
+    sys.stdout.write(build(verbose=True) + "\n")

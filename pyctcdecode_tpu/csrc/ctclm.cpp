@@ -27,6 +27,9 @@ namespace {
 constexpr uint32_t kFnvOffset = 2166136261u;
 constexpr uint32_t kFnvPrime = 16777619u;
 constexpr int kMinTable = 8;
+// lookups pay the table's max displacement on every probe window; cap it
+// and grow the table instead (matches models/device_tables.py)
+constexpr int kMaxProbes = 8;
 
 inline uint32_t fnv1a(const int32_t* ids, int n) {
   uint32_t h = kFnvOffset;
@@ -73,7 +76,7 @@ struct Table {
         return true;
       }
       slot = (slot + 1) & mask;
-      if (++probes > 64) return false;
+      if (++probes > kMaxProbes) return false;
     }
     memcpy(&keys[slot * n], key, n * sizeof(int32_t));
     probs[slot] = prob;

@@ -291,6 +291,7 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, hot: Dict, prm:
         return jnp.swapaxes(x, 0, 1).reshape((c,) + x.shape[2:])
 
     def step(state, xs):
+        """One frame: expand -> merge -> fuse -> prune -> top-k."""
         logp_row, t = xs
         active = t < n_frames
         if k < v:
@@ -661,6 +662,7 @@ def make_decode_fn(
     tok_dev, dev = _build_dev_tables(jnp, tokens, device_lm)
 
     def decode(logp, n_frames, params, start_ctx, start_ctx_len, hot=None):
+        """Full-utterance decode: scan all frames, then finalize."""
         prm = _params_dict(params)
         state0 = _init_state(jnp, cfg, start_ctx, start_ctx_len)
         step = _make_step(jnp, cfg, tok_dev, dev, hot, prm, n_frames)
@@ -708,6 +710,7 @@ def make_stream_fns(
         return _init_state(jnp, cfg, start_ctx, start_ctx_len)
 
     def chunk_fn(state, logp, n_frames, params, hot=None):
+        """Scan one logit chunk, returning the new state and backpointers."""
         prm = _params_dict(params)
         step = _make_step(jnp, cfg, tok_dev, dev, hot, prm, n_frames)
         t_idx = jnp.arange(logp.shape[0], dtype=jnp.int32)
@@ -715,6 +718,7 @@ def make_stream_fns(
         return state1, parents, trace
 
     def finalize_fn(state, params, do_commit, is_end, hot=None):
+        """Rank the current hypotheses (traced commit/eos flags)."""
         prm = _params_dict(params)
         return _finalize(
             jnp, cfg, dev, hot, prm, state, do_commit > 0.5, is_end > 0.5

@@ -34,6 +34,9 @@ from .ngram import BOS_WORD, EOS_WORD, UNK_WORD, NGramTables
 
 _MIN_TABLE = 8
 _LOAD_FACTOR = 0.5
+# every lookup gathers the table's *max* displacement worth of slots, so a
+# long probe chain taxes all queries; cap it and grow the table instead
+_MAX_PROBES = 8
 
 
 # --------------------------------------------------------------------------
@@ -82,7 +85,7 @@ def _build_hash_table(
                 while keys[slot, n - 1] != -1:
                     slot = (slot + 1) & mask
                     probes += 1
-                    if probes > 64:
+                    if probes > _MAX_PROBES:
                         ok = False
                         break
                 if not ok:
@@ -168,6 +171,7 @@ class _TrieBuilder:
         self.min_completion: List[int] = [0]
 
     def insert(self, key_ids: List[int], depth_len: int) -> int:
+        """Insert a key path; returns its terminal node id."""
         node = 0
         if self.min_completion[0] == 0 or depth_len < self.min_completion[0]:
             self.min_completion[0] = depth_len
@@ -187,6 +191,7 @@ class _TrieBuilder:
         return node
 
     def pack(self) -> PackedTrie:
+        """Freeze the builder into flat arrays (adds the dead node)."""
         n = len(self.next)
         dead = n
         nxt = np.full((n + 1, self.n_chars), dead, dtype=np.int32)

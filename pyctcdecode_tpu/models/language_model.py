@@ -133,6 +133,7 @@ class LanguageModel(AbstractLanguageModel):
         return NGramLMState(self._model.null_context_state())
 
     def score_partial_token(self, partial_token: str) -> float:
+        """Prefix-membership penalty for an in-progress word (ref lm.py:326-336)."""
         if self._char_trie is None:
             is_oov = 1.0
         else:
@@ -150,6 +151,7 @@ class LanguageModel(AbstractLanguageModel):
     def score(
         self, prev_state: AbstractLMState, word: str, is_last_word: bool = False
     ) -> Tuple[float, NGramLMState]:
+        """Fused shallow-fusion score of one word (ref language_model.py:338-360)."""
         if not isinstance(prev_state, NGramLMState):
             raise AssertionError(
                 f"Wrong input state type found. Expected NGramLMState, got {type(prev_state)}"
@@ -227,6 +229,7 @@ class LanguageModel(AbstractLanguageModel):
     def load_from_dir(
         cls, filepath: str, unigram_encoding: Optional[str] = None
     ) -> "LanguageModel":
+        """Load the strict 3-file LM directory layout (ref lm.py:434-452)."""
         filenames = cls.parse_directory_contents(filepath)
         with open(filenames["json_attrs"], "r") as fh:
             attrs = json.load(fh)
@@ -266,6 +269,7 @@ class MultiLanguageModel(AbstractLanguageModel):
     def score(
         self, prev_state: AbstractLMState, word: str, is_last_word: bool = False
     ) -> Tuple[float, MultiLMState]:
+        """Average of member scores; state is the tuple of member states."""
         if not isinstance(prev_state, MultiLMState):
             raise AssertionError(
                 f"Wrong input state type found. Expected MultiLMState, got {type(prev_state)}"

@@ -45,6 +45,7 @@ class NativeNGramModel:
         return word in self._native
 
     def begin_sentence_state(self) -> Tuple[int, ...]:
+        """(<s>,) when the model has a <s> unigram entry, else empty."""
         bos = self._native.bos_id
         if bos < 0:
             return ()
@@ -65,12 +66,14 @@ class NativeNGramModel:
         return self._native.raw_score(state, self._native.word_id(word))
 
     def raw_end_score(self, state: Tuple[int, ...]) -> float:
+        """log10 p(</s> | state)."""
         eos = self._native.eos_id
         wid = eos if eos >= 0 else self._native.word_id(EOS_WORD)
         score, _ = self._native.raw_score(state, wid)
         return score
 
     def state_words(self, state: Tuple[int, ...]) -> List[str]:
+        """Debug helper: map a state's ids back to words."""
         vocab = self._native.vocab_list()
         return [vocab[i] if 0 <= i < len(vocab) else UNK_WORD for i in state]
 

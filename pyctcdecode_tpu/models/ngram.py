@@ -107,6 +107,7 @@ class NGramTables:
         return float(score), out_state
 
     def begin_sentence_state(self) -> Tuple[int, ...]:
+        """(<s>,) when the model has a <s> unigram entry, else empty."""
         bos = self.vocab.get(BOS_WORD)
         if bos is None or (bos,) not in self.ngrams[0]:
             return ()
@@ -234,6 +235,7 @@ class NGramModel:
 
     @classmethod
     def from_file(cls, path: str) -> "NGramModel":
+        """Open an ARPA (possibly gzipped) or compiled .ctclm model file."""
         ext = os.path.splitext(path)[1].lower()
         if ext in (".arpa", ".gz") or path.endswith(".arpa.gz"):
             return cls(read_arpa(path))

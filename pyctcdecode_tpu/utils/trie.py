@@ -43,6 +43,7 @@ class CharTrie:
         return self._size
 
     def add(self, key: str) -> None:
+        """Insert one key, updating shortest-completion metadata."""
         node = self._root
         depth = len(key)
         if self._size == 0 or depth < node.min_depth:
