@@ -6,15 +6,21 @@ Python dataclass beams through dict merges and per-word C++ LM callbacks
 fixed-shape device arrays and runs the per-frame pipeline
 
     expand (B beams x K tokens, masked 4-way transition)
-    -> merge (sort by 64-bit beam key + segmented logsumexp)
-    -> LM fuse (device n-gram hash tables + vocab trie, per-beam word commit)
+    -> merge (block-diagonal dense logsumexp, see _merge_dense)
+    -> LM fuse (device n-gram hash tables + vocab tries, per-beam commit)
     -> window prune -> top-k -> optional history prune
 
 as one fused XLA program, scanned over frames. Text never exists on device:
-beams are 2x32-bit rolling hashes plus a trie node, and each frame emits a
+beams are 2x32-bit rolling hashes plus trie nodes, and each frame emits a
 ``(parent, token)`` backpointer pair; transcripts and word-level frame spans
 are reconstructed on host by backtracing and replaying the transition
 system (identical rules to the host engine, which is the parity oracle).
+
+Language models are a *list* of members (1 for a plain LM; N for
+:class:`~pyctcdecode_tpu.models.language_model.MultiLanguageModel`, whose
+fused word scores average over members, ref ``language_model.py:455-502``).
+Each member carries its own context word-ids, vocab trie node, and fusion
+parameters per beam.
 
 The engine is exposed at two granularities:
 
@@ -41,7 +47,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, Optional
+from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -63,13 +69,26 @@ class EngineConfig:
     k_tokens: int  # tokens expanded per frame (== vocab_size: exact parity)
     is_bpe: bool
     use_lm: bool
-    order: int  # 1 when no LM
+    order: int  # max member order (1 when no LM); sets history-prune window
     prune_history: bool
     use_hotwords: bool = False
+    orders: Tuple[int, ...] = ()  # per-member orders; defaults to (order,)
 
     @property
-    def ctx_width(self) -> int:
-        return max(self.order - 1, 1)
+    def lm_orders(self) -> Tuple[int, ...]:
+        """Per-LM-member n-gram orders (empty when no LM)."""
+        if not self.use_lm:
+            return ()
+        return self.orders if self.orders else (self.order,)
+
+    @property
+    def n_lms(self) -> int:
+        """Number of LM members (0 without an LM)."""
+        return len(self.lm_orders)
+
+    def ctx_w(self, i: int) -> int:
+        """Context width of member ``i``."""
+        return max(self.lm_orders[i] - 1, 1)
 
     @property
     def ring_width(self) -> int:
@@ -83,7 +102,11 @@ def _mix_key(jnp, a, b, c, d):
     return h * jnp.uint32(0x01000193) ^ d
 
 
-def _build_dev_tables(jnp, tokens: TokenArrays, device_lm: Optional[DeviceLM]):
+def _build_dev_tables(
+    jnp,
+    tokens: TokenArrays,
+    device_lms: Union[None, DeviceLM, Sequence[DeviceLM]],
+):
     tok_dev = {
         "kind": jnp.asarray(tokens.kind),
         "piece_len": jnp.asarray(tokens.piece_len),
@@ -93,41 +116,60 @@ def _build_dev_tables(jnp, tokens: TokenArrays, device_lm: Optional[DeviceLM]):
         "seed_lo": jnp.asarray(tokens.seed_hash_lo),
         "seed_hi": jnp.asarray(tokens.seed_hash_hi),
     }
-    if device_lm is not None:
-        dev = device_lm.as_device()
-        dev["unk_id"] = device_lm.unk_id
-        dev["eos_id"] = device_lm.eos_id
-        dev["unk_prob10"] = np.float32(device_lm.unk_prob10)
-        dev["has_unigrams"] = device_lm.has_unigrams
-        dev["seed_node_arr"] = dev["seed_node"]
+    if device_lms is None:
+        members: List[DeviceLM] = []
+    elif isinstance(device_lms, DeviceLM):
+        members = [device_lms]
     else:
-        dev = {}
-    return tok_dev, dev
+        members = list(device_lms)
+    devs = []
+    for dlm in members:
+        dev = dlm.as_device()
+        dev["unk_id"] = dlm.unk_id
+        dev["eos_id"] = dlm.eos_id
+        dev["unk_prob10"] = np.float32(dlm.unk_prob10)
+        dev["has_unigrams"] = dlm.has_unigrams
+        dev["seed_node_arr"] = dev["seed_node"]
+        devs.append(dev)
+    return tok_dev, devs
 
 
-def _params_dict(params):
-    return {
+def _params_dict(cfg: EngineConfig, params):
+    """Unpack the traced parameter vector.
+
+    Layout: ``[token_min_logp, beam_prune_logp, hot_weight,
+    (alpha_i, beta_i, unk_offset_i, score_boundary_i) x n_lms]``.
+    """
+    out = {
         "token_min_logp": params[0],
         "beam_prune_logp": params[1],
-        "alpha": params[2],
-        "beta": params[3],
-        "unk_offset": params[4],
-        "score_boundary": params[5] > 0.5,
-        "hot_weight": params[6],
+        "hot_weight": params[2],
+        "lm": [],
     }
+    for i in range(cfg.n_lms):
+        base = 3 + 4 * i
+        out["lm"].append(
+            {
+                "alpha": params[base],
+                "beta": params[base + 1],
+                "unk_offset": params[base + 2],
+                "score_boundary": params[base + 3] > 0.5,
+            }
+        )
+    return out
 
 
 def _init_state(jnp, cfg: EngineConfig, start_ctx, start_ctx_len):
+    """Initial beam state; ``start_ctx``/``start_ctx_len`` are per-member tuples."""
     b = cfg.beam_width
     u32z = jnp.zeros((b,), dtype=jnp.uint32)
     i32 = functools.partial(jnp.zeros, (b,), dtype=jnp.int32)
     logit = jnp.full((b,), DEAD, dtype=jnp.float32).at[0].set(0.0)
-    return {
+    state = {
         "text_lo": u32z,
         "text_hi": u32z,
         "p_lo": u32z,
         "p_hi": u32z,
-        "p_node": i32(),
         "p_len": i32(),
         "last_tok": jnp.where(
             jnp.arange(b) == 0, -1, -2 - jnp.arange(b, dtype=jnp.int32)
@@ -135,24 +177,45 @@ def _init_state(jnp, cfg: EngineConfig, start_ctx, start_ctx_len):
         "force": jnp.zeros((b,), dtype=bool),
         "logit": logit,
         "fused": jnp.zeros((b,), dtype=jnp.float32),
-        "ctx": jnp.broadcast_to(start_ctx, (b, cfg.ctx_width)).astype(jnp.int32),
-        "ctx_len": jnp.full((b,), start_ctx_len, dtype=jnp.int32),
         "ring_lo": jnp.zeros((b, cfg.ring_width), dtype=jnp.uint32),
         "ring_hi": jnp.zeros((b, cfg.ring_width), dtype=jnp.uint32),
         "n_words": i32(),
-        **({"h_node": i32()} if cfg.use_hotwords else {}),
     }
+    for i in range(cfg.n_lms):
+        state[f"p_node{i}"] = i32()
+        state[f"ctx{i}"] = jnp.broadcast_to(
+            start_ctx[i], (b, cfg.ctx_w(i))
+        ).astype(jnp.int32)
+        state[f"ctx_len{i}"] = jnp.full((b,), start_ctx_len[i], dtype=jnp.int32)
+    if cfg.use_hotwords:
+        state["h_node"] = i32()
+    return state
+
+
+def _member_word_score(jnp, dev, lm_prm, order, node, ctx, ctx_len):
+    """One member's fused word score + new context for a committed partial."""
+    wid_raw = dev["trie_word_id"][node]
+    in_model = wid_raw >= 0
+    wid = jnp.where(in_model, wid_raw, dev["unk_id"])
+    in_uni = dev["trie_is_uni_word"][node]
+    is_oov = (dev["has_unigrams"] & ~in_uni) | ~in_model
+    raw10, new_ctx, new_ctx_len = lm_score_words_jnp(
+        dev, order, dev["unk_prob10"], ctx, ctx_len, wid
+    )
+    raw10 = raw10 + lm_prm["unk_offset"] * is_oov.astype(jnp.float32)
+    fused = lm_prm["alpha"] * raw10 * np.float32(LOG_BASE_CHANGE_FACTOR) + lm_prm["beta"]
+    return fused, new_ctx, new_ctx_len
 
 
 def _commit_quantities(
-    jnp, cfg: EngineConfig, dev: Dict, hot: Dict, params: Dict, state: Dict
+    jnp, cfg: EngineConfig, devs: List[Dict], hot: Dict, prm: Dict, state: Dict
 ):
-    """Per-beam word-commit effects (LM score, context, text hash, hotwords)."""
+    """Per-beam word-commit effects (LM scores, contexts, text hash, hotwords)."""
     commit = state["p_len"] > 0
     if cfg.use_hotwords:
         # full-word hotword boost at commit (ref language_model.py:137-139:
         # weight x #matching words, accumulated incrementally)
-        hot_gain = params["hot_weight"] * (
+        hot_gain = prm["hot_weight"] * (
             hot["is_word"][state["h_node"]] & commit
         ).astype(jnp.float32)
     else:
@@ -160,54 +223,42 @@ def _commit_quantities(
     t_lo, t_hi = hash_text_commit(
         jnp, state["text_lo"], state["text_hi"], state["p_lo"], state["p_hi"]
     )
-    text_lo_c = jnp.where(commit, t_lo, state["text_lo"])
-    text_hi_c = jnp.where(commit, t_hi, state["text_hi"])
-    ring_lo_push = jnp.concatenate(
-        [state["ring_lo"][:, 1:], state["p_lo"][:, None]], axis=1
-    )
-    ring_hi_push = jnp.concatenate(
-        [state["ring_hi"][:, 1:], state["p_hi"][:, None]], axis=1
-    )
-    ring_lo_c = jnp.where(commit[:, None], ring_lo_push, state["ring_lo"])
-    ring_hi_c = jnp.where(commit[:, None], ring_hi_push, state["ring_hi"])
-    n_words_c = state["n_words"] + commit.astype(jnp.int32)
-
-    if not cfg.use_lm:
-        return {
-            "commit": commit,
-            "word_fused": hot_gain,
-            "ctx": state["ctx"],
-            "ctx_len": state["ctx_len"],
-            "text_lo": text_lo_c,
-            "text_hi": text_hi_c,
-            "ring_lo": ring_lo_c,
-            "ring_hi": ring_hi_c,
-            "n_words": n_words_c,
-        }
-
-    node = state["p_node"]
-    wid_raw = dev["trie_word_id"][node]
-    in_model = wid_raw >= 0
-    wid = jnp.where(in_model, wid_raw, dev["unk_id"])
-    in_uni = dev["trie_is_uni_word"][node]
-    is_oov = (dev["has_unigrams"] & ~in_uni) | ~in_model
-    raw10, new_ctx, new_ctx_len = lm_score_words_jnp(
-        dev, cfg.order, dev["unk_prob10"], state["ctx"], state["ctx_len"], wid
-    )
-    raw10 = raw10 + params["unk_offset"] * is_oov.astype(jnp.float32)
-    word_fused = params["alpha"] * raw10 * np.float32(LOG_BASE_CHANGE_FACTOR) + params["beta"]
-    word_fused = jnp.where(commit, word_fused, 0.0) + hot_gain
-    return {
+    out = {
         "commit": commit,
-        "word_fused": word_fused,
-        "ctx": jnp.where(commit[:, None], new_ctx, state["ctx"]),
-        "ctx_len": jnp.where(commit, new_ctx_len, state["ctx_len"]),
-        "text_lo": text_lo_c,
-        "text_hi": text_hi_c,
-        "ring_lo": ring_lo_c,
-        "ring_hi": ring_hi_c,
-        "n_words": n_words_c,
+        "text_lo": jnp.where(commit, t_lo, state["text_lo"]),
+        "text_hi": jnp.where(commit, t_hi, state["text_hi"]),
+        "ring_lo": jnp.where(
+            commit[:, None],
+            jnp.concatenate([state["ring_lo"][:, 1:], state["p_lo"][:, None]], axis=1),
+            state["ring_lo"],
+        ),
+        "ring_hi": jnp.where(
+            commit[:, None],
+            jnp.concatenate([state["ring_hi"][:, 1:], state["p_hi"][:, None]], axis=1),
+            state["ring_hi"],
+        ),
+        "n_words": state["n_words"] + commit.astype(jnp.int32),
     }
+    fused_sum = jnp.zeros_like(state["fused"])
+    for i, (dev, order) in enumerate(zip(devs, cfg.lm_orders)):
+        fused_i, new_ctx, new_ctx_len = _member_word_score(
+            jnp,
+            dev,
+            prm["lm"][i],
+            order,
+            state[f"p_node{i}"],
+            state[f"ctx{i}"],
+            state[f"ctx_len{i}"],
+        )
+        fused_sum = fused_sum + fused_i
+        out[f"ctx{i}"] = jnp.where(commit[:, None], new_ctx, state[f"ctx{i}"])
+        out[f"ctx_len{i}"] = jnp.where(commit, new_ctx_len, state[f"ctx_len{i}"])
+    if cfg.n_lms:
+        word_fused = jnp.where(commit, fused_sum / cfg.n_lms, 0.0)
+    else:
+        word_fused = jnp.zeros_like(state["fused"])
+    out["word_fused"] = word_fused + hot_gain
+    return out
 
 
 def _merge_dense(jnp, keys, valid, logit):
@@ -252,19 +303,23 @@ def _rank(jnp, cfg, lm_score_flat, logit_flat, src_flat, beam_prune_logp):
     return top_scores, logit_flat[top_idx], src_flat[top_idx]
 
 
-def _partial_score(jnp, cfg, dev, hot, prm, node, h_node, plen):
+def _partial_score(jnp, cfg, devs, hot, prm, nodes, h_node, plen):
     """score_partial_token for in-progress words.
 
     Hotword-prefix partials use the hotword completion score
     (ref decoder.py:410-418, language_model.py:141-150); everything else
-    uses the LM's unknown-prefix penalty (ref language_model.py:326-336).
+    uses the (member-averaged) LM unknown-prefix penalty
+    (ref language_model.py:326-336, 478-481).
     """
     plen_f = plen.astype(jnp.float32)
-    if cfg.use_lm:
-        is_pref = dev["trie_is_uni_prefix"][node]
-        punk = prm["unk_offset"] * (~is_pref).astype(jnp.float32)
-        punk = jnp.where(plen > AVG_TOKEN_LEN, punk * plen_f / AVG_TOKEN_LEN, punk)
-        lm_part = jnp.where(plen > 0, punk, 0.0)
+    if cfg.n_lms:
+        acc = None
+        for i, dev in enumerate(devs):
+            is_pref = dev["trie_is_uni_prefix"][nodes[i]]
+            punk = prm["lm"][i]["unk_offset"] * (~is_pref).astype(jnp.float32)
+            punk = jnp.where(plen > AVG_TOKEN_LEN, punk * plen_f / AVG_TOKEN_LEN, punk)
+            acc = punk if acc is None else acc + punk
+        lm_part = jnp.where(plen > 0, acc / cfg.n_lms, 0.0)
     else:
         lm_part = jnp.zeros_like(plen_f)
     if not cfg.use_hotwords:
@@ -276,7 +331,9 @@ def _partial_score(jnp, cfg, dev, hot, prm, node, h_node, plen):
     return jnp.where(hot_pref, hot_part, lm_part)
 
 
-def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, hot: Dict, prm: Dict, n_frames):
+def _make_step(
+    jnp, cfg: EngineConfig, tok_dev: Dict, devs: List[Dict], hot: Dict, prm: Dict, n_frames
+):
     """Build the per-frame scan body."""
     import jax
 
@@ -285,6 +342,7 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, hot: Dict, prm:
     v = cfg.vocab_size
     c = b * k
     lmax = int(tok_dev["raw_chars"].shape[1])
+    n_lms = cfg.n_lms
 
     def _flatten(x):
         """[B, K, ...] -> [K*B, ...] in token-major order (ref enumeration)."""
@@ -312,7 +370,7 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, hot: Dict, prm:
         tok_rlen = tok_dev["raw_len"][toks]  # raw label length
 
         alive = state["logit"] > DEAD_THRESH
-        cm = _commit_quantities(jnp, cfg, dev, hot, prm, state)
+        cm = _commit_quantities(jnp, cfg, devs, hot, prm, state)
 
         # ---- transition classes [B, K]
         stay = blank[None, :] | (state["last_tok"][:, None] == toks[None, :])
@@ -324,8 +382,10 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, hot: Dict, prm:
         # ---- partial-word extension walk (regular children, raw label)
         ext_lo = jnp.broadcast_to(state["p_lo"][:, None], (b, k))
         ext_hi = jnp.broadcast_to(state["p_hi"][:, None], (b, k))
-        if cfg.use_lm:
-            ext_node = jnp.broadcast_to(state["p_node"][:, None], (b, k))
+        ext_nodes = [
+            jnp.broadcast_to(state[f"p_node{i}"][:, None], (b, k))
+            for i in range(n_lms)
+        ]
         if cfg.use_hotwords:
             ext_hnode = jnp.broadcast_to(state["h_node"][:, None], (b, k))
         for l in range(lmax):
@@ -335,8 +395,10 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, hot: Dict, prm:
             nlo, nhi = hash_extend_char(jnp, ext_lo, ext_hi, cid_b)
             ext_lo = jnp.where(has, nlo, ext_lo)
             ext_hi = jnp.where(has, nhi, ext_hi)
-            if cfg.use_lm:
-                ext_node = jnp.where(has, dev["trie_next"][ext_node, cid_b], ext_node)
+            for i in range(n_lms):
+                ext_nodes[i] = jnp.where(
+                    has, devs[i]["trie_next"][ext_nodes[i], cid_b], ext_nodes[i]
+                )
             if cfg.use_hotwords:
                 ext_hnode = jnp.where(has, hot["next"][ext_hnode, cid_b], ext_hnode)
 
@@ -357,15 +419,18 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, hot: Dict, prm:
                 state["p_len"][:, None] + tok_rlen[None, :],
             ),
         )
-        if cfg.use_lm:
-            seed_node = jnp.broadcast_to(dev["seed_node_arr"][toks][None, :], (b, k))
-            p_node_n = jnp.where(
-                stay,
-                state["p_node"][:, None],
-                jnp.where(as_boundary, seed_node, ext_node),
+        p_node_n = []
+        for i in range(n_lms):
+            seed_node = jnp.broadcast_to(
+                devs[i]["seed_node_arr"][toks][None, :], (b, k)
             )
-        else:
-            p_node_n = jnp.zeros((b, k), dtype=jnp.int32)
+            p_node_n.append(
+                jnp.where(
+                    stay,
+                    state[f"p_node{i}"][:, None],
+                    jnp.where(as_boundary, seed_node, ext_nodes[i]),
+                )
+            )
         if cfg.use_hotwords:
             seed_hnode = jnp.broadcast_to(hot["seed"][toks][None, :], (b, k))
             h_node_n = jnp.where(
@@ -373,8 +438,6 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, hot: Dict, prm:
                 state["h_node"][:, None],
                 jnp.where(as_boundary, seed_hnode, ext_hnode),
             )
-        else:
-            h_node_n = None
 
         text_lo_n = jnp.where(
             as_boundary, cm["text_lo"][:, None], state["text_lo"][:, None]
@@ -385,10 +448,6 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, hot: Dict, prm:
         fused_n = state["fused"][:, None] + jnp.where(
             as_boundary, cm["word_fused"][:, None], 0.0
         )
-        ctx_n = jnp.where(
-            as_boundary[:, :, None], cm["ctx"][:, None, :], state["ctx"][:, None, :]
-        )
-        ctx_len_n = jnp.where(as_boundary, cm["ctx_len"][:, None], state["ctx_len"][:, None])
         ring_lo_n = jnp.where(
             as_boundary[:, :, None], cm["ring_lo"][:, None, :], state["ring_lo"][:, None, :]
         )
@@ -405,38 +464,38 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, hot: Dict, prm:
 
         # ---- merge keys (token identity is implicit: merges are
         # block-diagonal per token column, see _merge_dense)
-        kl = _mix_key(
-            jnp,
-            text_lo_n,
-            p_lo_n,
-            p_hi_n,
-            force_n.astype(jnp.uint32),
-        )
-        kh = _mix_key(
-            jnp,
-            text_hi_n,
-            p_hi_n,
-            p_lo_n,
-            force_n.astype(jnp.uint32),
-        )
+        kl = _mix_key(jnp, text_lo_n, p_lo_n, p_hi_n, force_n.astype(jnp.uint32))
+        kh = _mix_key(jnp, text_hi_n, p_hi_n, p_lo_n, force_n.astype(jnp.uint32))
 
         fields = {
             "text_lo": _flatten(text_lo_n),
             "text_hi": _flatten(text_hi_n),
             "p_lo": _flatten(p_lo_n),
             "p_hi": _flatten(p_hi_n),
-            "p_node": _flatten(p_node_n),
             "p_len": _flatten(p_len_n),
             "last_tok": _flatten(last_n),
             "force": _flatten(force_n),
             "fused": _flatten(fused_n),
-            "ctx": _flatten(ctx_n),
-            "ctx_len": _flatten(ctx_len_n),
             "ring_lo": _flatten(ring_lo_n),
             "ring_hi": _flatten(ring_hi_n),
             "n_words": _flatten(n_words_n),
-            **({"h_node": _flatten(h_node_n)} if cfg.use_hotwords else {}),
         }
+        for i in range(n_lms):
+            fields[f"p_node{i}"] = _flatten(p_node_n[i])
+            fields[f"ctx{i}"] = _flatten(
+                jnp.where(
+                    as_boundary[:, :, None],
+                    cm[f"ctx{i}"][:, None, :],
+                    state[f"ctx{i}"][:, None, :],
+                )
+            )
+            fields[f"ctx_len{i}"] = _flatten(
+                jnp.where(
+                    as_boundary, cm[f"ctx_len{i}"][:, None], state[f"ctx_len{i}"][:, None]
+                )
+            )
+        if cfg.use_hotwords:
+            fields["h_node"] = _flatten(h_node_n)
 
         # ---- block-diagonal merge: [K, B] layout
         to_kb = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
@@ -450,14 +509,14 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, hot: Dict, prm:
         merged_flat = jnp.where(rep, merged.reshape(c), DEAD)
         live = merged_flat > DEAD_THRESH
 
-        if cfg.use_lm or cfg.use_hotwords:
+        if n_lms or cfg.use_hotwords:
             pscore = _partial_score(
                 jnp,
                 cfg,
-                dev,
+                devs,
                 hot,
                 prm,
-                fields["p_node"][src_flat],
+                [fields[f"p_node{i}"][src_flat] for i in range(n_lms)],
                 fields["h_node"][src_flat] if cfg.use_hotwords else None,
                 fields["p_len"][src_flat],
             )
@@ -492,16 +551,14 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, hot: Dict, prm:
             for f in hk:
                 eq &= f[:, None] == f[None, :]
             lower = jnp.tril(jnp.ones((b, b), dtype=bool), k=-1)
-            dup = jnp.any(eq & lower, axis=1)
-            new_state["logit"] = jnp.where(dup, DEAD, new_state["logit"])
+            dup_h = jnp.any(eq & lower, axis=1)
+            new_state["logit"] = jnp.where(dup_h, DEAD, new_state["logit"])
             new_state["last_tok"] = jnp.where(
-                dup, -2 - jnp.arange(b, dtype=jnp.int32), new_state["last_tok"]
+                dup_h, -2 - jnp.arange(b, dtype=jnp.int32), new_state["last_tok"]
             )
 
         # inactive (padded) frames pass state through untouched
-        import jax as _jax
-
-        out_state = _jax.tree_util.tree_map(
+        out_state = jax.tree_util.tree_map(
             lambda new, old: jnp.where(active, new, old), new_state, state
         )
         parent = jnp.where(active, parent, jnp.arange(b, dtype=jnp.int32))
@@ -511,7 +568,16 @@ def _make_step(jnp, cfg: EngineConfig, tok_dev: Dict, dev: Dict, hot: Dict, prm:
     return step
 
 
-def _finalize(jnp, cfg: EngineConfig, dev: Dict, hot: Dict, prm: Dict, state: Dict, do_commit, is_end):
+def _finalize(
+    jnp,
+    cfg: EngineConfig,
+    devs: List[Dict],
+    hot: Dict,
+    prm: Dict,
+    state: Dict,
+    do_commit,
+    is_end,
+):
     """Generalized finalization (ref decoder.py:558-602).
 
     ``do_commit`` / ``is_end`` are traced booleans:
@@ -540,52 +606,64 @@ def _finalize(jnp, cfg: EngineConfig, dev: Dict, hot: Dict, prm: Dict, state: Di
     )
     text_lo = jnp.where(commit, t_lo, state["text_lo"])
     text_hi = jnp.where(commit, t_hi, state["text_hi"])
-    ring_lo_push = jnp.concatenate(
-        [state["ring_lo"][:, 1:], state["p_lo"][:, None]], axis=1
+    ring_lo = jnp.where(
+        commit[:, None],
+        jnp.concatenate([state["ring_lo"][:, 1:], state["p_lo"][:, None]], axis=1),
+        state["ring_lo"],
     )
-    ring_hi_push = jnp.concatenate(
-        [state["ring_hi"][:, 1:], state["p_hi"][:, None]], axis=1
+    ring_hi = jnp.where(
+        commit[:, None],
+        jnp.concatenate([state["ring_hi"][:, 1:], state["p_hi"][:, None]], axis=1),
+        state["ring_hi"],
     )
-    ring_lo = jnp.where(commit[:, None], ring_lo_push, state["ring_lo"])
-    ring_hi = jnp.where(commit[:, None], ring_hi_push, state["ring_hi"])
     n_words = state["n_words"] + commit.astype(jnp.int32)
 
-    if cfg.use_lm:
-        # the word scored at finalization: the committed partial, or the
-        # empty word (<unk>) when nothing commits but the stream ends
-        score_word = is_end | commit
-        node = state["p_node"]
+    # the word scored at finalization: the committed partial, or the empty
+    # word (<unk>) when nothing commits but the stream ends
+    score_word = is_end | commit
+    fused_sum = jnp.zeros_like(state["fused"])
+    ctx_views, ctx_len_views, ctx_carries, ctx_len_carries = [], [], [], []
+    for i, (dev, order) in enumerate(zip(devs, cfg.lm_orders)):
+        node = state[f"p_node{i}"]
         wid_raw = dev["trie_word_id"][node]
         in_model = (wid_raw >= 0) & commit
         wid = jnp.where(in_model, wid_raw, dev["unk_id"])
         in_uni = dev["trie_is_uni_word"][node] & commit
         is_oov = (dev["has_unigrams"] & ~in_uni) | ~in_model
         raw10, ctx2, ctx2_len = lm_score_words_jnp(
-            dev, cfg.order, dev["unk_prob10"], state["ctx"], state["ctx_len"], wid
+            dev,
+            order,
+            dev["unk_prob10"],
+            state[f"ctx{i}"],
+            state[f"ctx_len{i}"],
+            wid,
         )
         eos = jnp.full((b,), dev["eos_id"], dtype=jnp.int32)
         eos10, _, _ = lm_score_words_jnp(
-            dev, cfg.order, dev["unk_prob10"], ctx2, ctx2_len, eos
+            dev, order, dev["unk_prob10"], ctx2, ctx2_len, eos
         )
-        raw = raw10 + prm["unk_offset"] * is_oov.astype(jnp.float32)
-        raw = raw + jnp.where(is_end & prm["score_boundary"], eos10, 0.0)
-        word_fused = prm["alpha"] * raw * np.float32(LOG_BASE_CHANGE_FACTOR) + prm["beta"]
-        fused_scored = state["fused"] + jnp.where(score_word, word_fused, 0.0) + hot_gain
-        ctx_view = jnp.where(score_word[:, None], ctx2, state["ctx"])
-        ctx_len_view = jnp.where(score_word, ctx2_len, state["ctx_len"])
-        ctx_carry = jnp.where(commit[:, None], ctx2, state["ctx"])
-        ctx_len_carry = jnp.where(commit, ctx2_len, state["ctx_len"])
+        lm_prm = prm["lm"][i]
+        raw = raw10 + lm_prm["unk_offset"] * is_oov.astype(jnp.float32)
+        raw = raw + jnp.where(is_end & lm_prm["score_boundary"], eos10, 0.0)
+        fused_sum = fused_sum + (
+            lm_prm["alpha"] * raw * np.float32(LOG_BASE_CHANGE_FACTOR) + lm_prm["beta"]
+        )
+        ctx_views.append(jnp.where(score_word[:, None], ctx2, state[f"ctx{i}"]))
+        ctx_len_views.append(jnp.where(score_word, ctx2_len, state[f"ctx_len{i}"]))
+        ctx_carries.append(jnp.where(commit[:, None], ctx2, state[f"ctx{i}"]))
+        ctx_len_carries.append(jnp.where(commit, ctx2_len, state[f"ctx_len{i}"]))
+    if cfg.n_lms:
+        word_fused = jnp.where(score_word, fused_sum / cfg.n_lms, 0.0)
+        fused_scored = state["fused"] + word_fused + hot_gain
     else:
         fused_scored = state["fused"] + hot_gain
-        ctx_view = ctx_carry = state["ctx"]
-        ctx_len_view = ctx_len_carry = state["ctx_len"]
     pscore = _partial_score(
         jnp,
         cfg,
-        dev,
+        devs,
         hot,
         prm,
-        state["p_node"],
+        [state[f"p_node{i}"] for i in range(cfg.n_lms)],
         state["h_node"] if cfg.use_hotwords else None,
         state["p_len"],
     )
@@ -622,25 +700,27 @@ def _finalize(jnp, cfg: EngineConfig, dev: Dict, hot: Dict, prm: Dict, state: Di
         "text_hi": text_hi[src],
         "p_lo": jnp.zeros((b,), dtype=jnp.uint32),
         "p_hi": jnp.zeros((b,), dtype=jnp.uint32),
-        "p_node": jnp.zeros((b,), dtype=jnp.int32),
         "p_len": jnp.zeros((b,), dtype=jnp.int32),
         "last_tok": jnp.where(sel_alive, -1, -2 - jnp.arange(b, dtype=jnp.int32)),
         "force": jnp.zeros((b,), dtype=bool),
         "logit": jnp.where(sel_alive, logit, DEAD),
         "fused": fused_scored[src],
-        "ctx": ctx_carry[src],
-        "ctx_len": ctx_len_carry[src],
         "ring_lo": ring_lo[src],
         "ring_hi": ring_hi[src],
         "n_words": n_words[src],
-        **({"h_node": jnp.zeros((b,), dtype=jnp.int32)} if cfg.use_hotwords else {}),
     }
+    for i in range(cfg.n_lms):
+        committed_state[f"p_node{i}"] = jnp.zeros((b,), dtype=jnp.int32)
+        committed_state[f"ctx{i}"] = ctx_carries[i][src]
+        committed_state[f"ctx_len{i}"] = ctx_len_carries[i][src]
+    if cfg.use_hotwords:
+        committed_state["h_node"] = jnp.zeros((b,), dtype=jnp.int32)
     return {
         "src": src,
         "logit": logit,
         "score": score,
-        "ctx": ctx_view[src],
-        "ctx_len": ctx_len_view[src],
+        "ctx": tuple(cv[src] for cv in ctx_views),
+        "ctx_len": tuple(cl[src] for cl in ctx_len_views),
         "committed_state": committed_state,
     }
 
@@ -648,28 +728,29 @@ def _finalize(jnp, cfg: EngineConfig, dev: Dict, hot: Dict, prm: Dict, state: Di
 def make_decode_fn(
     cfg: EngineConfig,
     tokens: TokenArrays,
-    device_lm: Optional[DeviceLM],
+    device_lms: Union[None, DeviceLM, Sequence[DeviceLM]],
 ):
     """Build the jittable one-utterance decode function.
 
-    ``fn(logp [T,V] f32, n_frames i32, params [6] f32, start_ctx [ctx_w] i32,
-    start_ctx_len i32)`` returns final ranked beams plus per-frame
-    backpointers for host-side reconstruction.
+    ``fn(logp [T,V] f32, n_frames i32, params f32 vector, start_ctx
+    (per-member tuple of [ctx_w_i] i32), start_ctx_len (per-member tuple),
+    hot)`` returns final ranked beams plus per-frame backpointers for
+    host-side reconstruction.
     """
     import jax
     import jax.numpy as jnp
 
-    tok_dev, dev = _build_dev_tables(jnp, tokens, device_lm)
+    tok_dev, devs = _build_dev_tables(jnp, tokens, device_lms)
 
     def decode(logp, n_frames, params, start_ctx, start_ctx_len, hot=None):
         """Full-utterance decode: scan all frames, then finalize."""
-        prm = _params_dict(params)
+        prm = _params_dict(cfg, params)
         state0 = _init_state(jnp, cfg, start_ctx, start_ctx_len)
-        step = _make_step(jnp, cfg, tok_dev, dev, hot, prm, n_frames)
+        step = _make_step(jnp, cfg, tok_dev, devs, hot, prm, n_frames)
         t_idx = jnp.arange(logp.shape[0], dtype=jnp.int32)
         final_state, (parents, trace) = jax.lax.scan(step, state0, (logp, t_idx))
         fin = _finalize(
-            jnp, cfg, dev, hot, prm, final_state, jnp.bool_(True), jnp.bool_(True)
+            jnp, cfg, devs, hot, prm, final_state, jnp.bool_(True), jnp.bool_(True)
         )
         return {
             "parents": parents,
@@ -687,41 +768,42 @@ def make_decode_fn(
 def make_stream_fns(
     cfg: EngineConfig,
     tokens: TokenArrays,
-    device_lm: Optional[DeviceLM],
+    device_lms: Union[None, DeviceLM, Sequence[DeviceLM]],
 ):
     """Build streaming primitives with a device-resident carried state.
 
     Returns ``(init_fn, chunk_fn, finalize_fn)``:
 
-    * ``init_fn(start_ctx, start_ctx_len) -> state``
-    * ``chunk_fn(state, logp [Tc,V], n_frames, params) ->
+    * ``init_fn(start_ctx, start_ctx_len) -> state`` (per-member tuples)
+    * ``chunk_fn(state, logp [Tc,V], n_frames, params, hot) ->
       (state', parents [Tc,B], trace [Tc,B])``
-    * ``finalize_fn(state, params, do_commit f32, is_end f32) -> outputs``
-      (ranked view of the current hypotheses plus the committed carried
-      state; ``do_commit``/``is_end`` are traced so one compilation serves
-      every streaming mode).
+    * ``finalize_fn(state, params, do_commit f32, is_end f32, hot) ->
+      outputs`` (ranked view of the current hypotheses plus the committed
+      carried state; ``do_commit``/``is_end`` are traced so one compilation
+      serves every streaming mode).
     """
     import jax
     import jax.numpy as jnp
 
-    tok_dev, dev = _build_dev_tables(jnp, tokens, device_lm)
+    tok_dev, devs = _build_dev_tables(jnp, tokens, device_lms)
 
     def init_fn(start_ctx, start_ctx_len):
+        """Fresh beam state for a new stream."""
         return _init_state(jnp, cfg, start_ctx, start_ctx_len)
 
     def chunk_fn(state, logp, n_frames, params, hot=None):
         """Scan one logit chunk, returning the new state and backpointers."""
-        prm = _params_dict(params)
-        step = _make_step(jnp, cfg, tok_dev, dev, hot, prm, n_frames)
+        prm = _params_dict(cfg, params)
+        step = _make_step(jnp, cfg, tok_dev, devs, hot, prm, n_frames)
         t_idx = jnp.arange(logp.shape[0], dtype=jnp.int32)
         state1, (parents, trace) = jax.lax.scan(step, state, (logp, t_idx))
         return state1, parents, trace
 
     def finalize_fn(state, params, do_commit, is_end, hot=None):
         """Rank the current hypotheses (traced commit/eos flags)."""
-        prm = _params_dict(params)
+        prm = _params_dict(cfg, params)
         return _finalize(
-            jnp, cfg, dev, hot, prm, state, do_commit > 0.5, is_end > 0.5
+            jnp, cfg, devs, hot, prm, state, do_commit > 0.5, is_end > 0.5
         )
 
     return init_fn, chunk_fn, finalize_fn

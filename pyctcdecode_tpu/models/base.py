@@ -53,6 +53,18 @@ class MultiLMState(AbstractLMState):
     def states(self) -> Sequence[AbstractLMState]:
         return self._states
 
+    def __eq__(self, other: Any) -> bool:
+        return (
+            isinstance(other, MultiLMState)
+            and list(other.states) == list(self._states)
+        )
+
+    def __hash__(self) -> int:
+        return hash(tuple(self._states))
+
+    def __repr__(self) -> str:
+        return f"MultiLMState({self._states!r})"
+
 
 class AbstractLanguageModel(abc.ABC):
     """Scoring interface consumed by the decoder engines."""

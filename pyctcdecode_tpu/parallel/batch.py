@@ -116,15 +116,7 @@ class ShardedCTCDecoder:
         fn = self._fn_cache.get(key)
         if fn is None:
             d = self._decoder
-            cfg = EngineConfig(
-                beam_width=beam_width,
-                vocab_size=len(d._labels),
-                k_tokens=k,
-                is_bpe=d._alphabet.is_bpe,
-                use_lm=d._lm is not None,
-                order=1 if d._lm is None else d._lm.order,
-                prune_history=prune_history,
-            )
+            cfg = d._engine_cfg(beam_width, k, prune_history, use_hotwords=False)
             raw6 = make_decode_fn(cfg, d._tokens, d._device_lm)
 
             def raw(lp, nf, pr, c0, cl):
@@ -179,13 +171,25 @@ class ShardedCTCDecoder:
             jnp.asarray(logp),
             jnp.asarray(n_frames),
             jnp.asarray(params),
-            jnp.asarray(ctx0),
-            jnp.asarray(np.int32(ctx0_len)),
+            ctx0,
+            ctx0_len,
         )
-        host = {key: np.asarray(val) for key, val in out.items()}
+        host = {
+            key: (
+                tuple(np.asarray(v) for v in val)
+                if isinstance(val, tuple)
+                else np.asarray(val)
+            )
+            for key, val in out.items()
+        }
         results = []
         for i in range(n):
-            one = {key: val[i] for key, val in host.items()}
+            one = {
+                key: (
+                    tuple(v[i] for v in val) if isinstance(val, tuple) else val[i]
+                )
+                for key, val in host.items()
+            }
             results.append(d._build_outputs(one, n_frames=lens[i]))
         return results
 

@@ -173,13 +173,28 @@ class TPUBeamSearchDecoderCTC:
     ) -> None:
         import jax.numpy as jnp
 
+        from .models.language_model import MultiLanguageModel
+
         self._alphabet = alphabet
         self._labels = alphabet.labels
         self._lm = language_model
         self._tokens = build_token_arrays(alphabet)
-        self._device_lm = (
-            None if language_model is None else build_device_lm(language_model, self._tokens)
-        )
+        if language_model is None:
+            self._lm_members = []
+        elif isinstance(language_model, MultiLanguageModel):
+            members = list(language_model._language_models)
+            for m in members:
+                if isinstance(m, MultiLanguageModel):
+                    raise NotImplementedError(
+                        "nested MultiLanguageModel is not supported on the "
+                        "device engine"
+                    )
+            self._lm_members = members
+        else:
+            self._lm_members = [language_model]
+        self._device_lm = [
+            build_device_lm(m, self._tokens) for m in self._lm_members
+        ] or None
         self._fn_cache: Dict[Any, Any] = {}
         self._jnp = jnp
 
@@ -195,15 +210,17 @@ class TPUBeamSearchDecoderCTC:
 
     # -- compiled-function cache -------------------------------------------
     def _engine_cfg(self, beam_width: int, k: int, prune_history: bool, use_hotwords: bool) -> EngineConfig:
+        orders = tuple(m.order for m in self._lm_members)
         return EngineConfig(
             beam_width=beam_width,
             vocab_size=len(self._labels),
             k_tokens=k,
             is_bpe=self._alphabet.is_bpe,
-            use_lm=self._lm is not None,
-            order=1 if self._lm is None else self._lm.order,
+            use_lm=bool(orders),
+            order=max(orders) if orders else 1,
             prune_history=prune_history,
             use_hotwords=use_hotwords,
+            orders=orders,
         )
 
     def _get_fn(
@@ -302,7 +319,7 @@ class TPUBeamSearchDecoderCTC:
             beam_width, k, prune_history, hotwords_enabled
         )
         ctx0, ctx0_len = self._start_ctx(lm_start_state)
-        state = init_fn(self._jnp.asarray(ctx0), np.int32(ctx0_len))
+        state = init_fn(ctx0, ctx0_len)
         return DeviceStreamState(
             beam_state=state,
             chunks=[],
@@ -464,40 +481,49 @@ class TPUBeamSearchDecoderCTC:
         beam_prune_logp: float,
         hotword_weight: float = 0.0,
     ) -> np.ndarray:
-        if self._lm is None:
-            tail = [0.0, 0.0, 0.0, 0.0]
-        else:
-            tail = [
-                float(self._lm.alpha),
-                float(self._lm.beta),
-                float(self._lm.unk_score_offset),
-                1.0 if self._lm.score_boundary else 0.0,
+        vals = [token_min_logp, beam_prune_logp, hotword_weight]
+        for m in self._lm_members:
+            vals += [
+                float(m.alpha),
+                float(m.beta),
+                float(m.unk_score_offset),
+                1.0 if m.score_boundary else 0.0,
             ]
-        return np.array(
-            [token_min_logp, beam_prune_logp] + tail + [hotword_weight],
-            dtype=np.float32,
-        )
+        return np.array(vals, dtype=np.float32)
 
     def _start_ctx(
         self, lm_start_state: Optional[AbstractLMState]
-    ) -> Tuple[np.ndarray, int]:
-        order = 1 if self._lm is None else self._lm.order
-        width = max(order - 1, 1)
-        ctx = np.full(width, -1, dtype=np.int32)
-        if self._lm is None:
-            return ctx, 0
+    ) -> Tuple[tuple, tuple]:
+        """Per-LM-member (context array, context length) start tuples."""
+        from .models.base import MultiLMState
+
+        if not self._lm_members:
+            return (), ()
         if lm_start_state is None:
-            state = self._lm.get_start_state()
+            states = [m.get_start_state() for m in self._lm_members]
+        elif isinstance(lm_start_state, MultiLMState):
+            states = list(lm_start_state.states)
+            if len(states) != len(self._lm_members):
+                raise AssertionError(
+                    f"Number of states ({len(states)}) does not match number "
+                    f"of language models ({len(self._lm_members)})."
+                )
         else:
-            state = lm_start_state
-        if not isinstance(state, NGramLMState):
-            raise AssertionError(
-                f"Expected NGramLMState, got {type(lm_start_state)}"
-            )
-        words = state.context[-(width):] if width else ()
-        for i, wid in enumerate(words):
-            ctx[width - len(words) + i] = wid
-        return ctx, len(words)
+            states = [lm_start_state]
+        ctxs, lens = [], []
+        for m, state in zip(self._lm_members, states):
+            if not isinstance(state, NGramLMState):
+                raise AssertionError(
+                    f"Expected NGramLMState, got {type(state)}"
+                )
+            width = max(m.order - 1, 1)
+            ctx = np.full(width, -1, dtype=np.int32)
+            words = state.context[-(width):] if m.order > 1 else ()
+            for i, wid in enumerate(words):
+                ctx[width - len(words) + i] = wid
+            ctxs.append(ctx)
+            lens.append(np.int32(len(words)))
+        return tuple(ctxs), tuple(lens)
 
     # -- output assembly -----------------------------------------------------
     def _build_outputs(
@@ -511,8 +537,8 @@ class TPUBeamSearchDecoderCTC:
         beam_src = np.asarray(out["beam_src"])  # [B]
         logit = np.asarray(out["logit"])
         lm_score = np.asarray(out["lm_score"])
-        ctx = np.asarray(out["ctx"])
-        ctx_len = np.asarray(out["ctx_len"])
+        ctxs = tuple(np.asarray(c) for c in out["ctx"])  # per-LM-member
+        ctx_lens = tuple(np.asarray(c) for c in out["ctx_len"])
         t_pad = parents.shape[0]
 
         limit = len(beam_src) if top_n is None else min(top_n, len(beam_src))
@@ -538,16 +564,26 @@ class TPUBeamSearchDecoderCTC:
                 words.append(partial)
                 frames.append(pframes)
             text = " ".join(words)
-            if self._lm is None:
-                last_state: Optional[NGramLMState] = None
+            if not self._lm_members:
+                last_state: Optional[AbstractLMState] = None
             else:
-                n_ctx = int(ctx_len[rank])
-                width = ctx.shape[1]
-                last_state = NGramLMState(
-                    tuple(int(w) for w in ctx[rank, width - n_ctx :])
-                    if n_ctx
-                    else ()
-                )
+                states = []
+                for ctx, ctx_len in zip(ctxs, ctx_lens):
+                    n_ctx = int(ctx_len[rank])
+                    width = ctx.shape[1]
+                    states.append(
+                        NGramLMState(
+                            tuple(int(w) for w in ctx[rank, width - n_ctx :])
+                            if n_ctx
+                            else ()
+                        )
+                    )
+                if len(states) == 1:
+                    last_state = states[0]
+                else:
+                    from .models.base import MultiLMState
+
+                    last_state = MultiLMState(states)
             results.append(
                 OutputBeam(
                     text=_normalize_whitespace(text),
@@ -600,8 +636,8 @@ class TPUBeamSearchDecoderCTC:
             self._jnp.asarray(logp_pad),
             np.int32(t),
             self._jnp.asarray(params),
-            self._jnp.asarray(ctx0),
-            np.int32(ctx0_len),
+            ctx0,
+            ctx0_len,
             hot,
         )
         return self._build_outputs(out, n_frames=t, top_n=top_n)
@@ -678,14 +714,26 @@ class TPUBeamSearchDecoderCTC:
             self._jnp.asarray(logp),
             self._jnp.asarray(n_frames),
             self._jnp.asarray(params),
-            self._jnp.asarray(ctx0),
-            np.int32(ctx0_len),
+            ctx0,
+            ctx0_len,
             hot,
         )
-        host = {key: np.asarray(val) for key, val in out.items()}
+        host = {
+            key: (
+                tuple(np.asarray(v) for v in val)
+                if isinstance(val, tuple)
+                else np.asarray(val)
+            )
+            for key, val in out.items()
+        }
         results = []
         for i in range(n):
-            one = {key: val[i] for key, val in host.items()}
+            one = {
+                key: (
+                    tuple(v[i] for v in val) if isinstance(val, tuple) else val[i]
+                )
+                for key, val in host.items()
+            }
             results.append(self._build_outputs(one, n_frames=lens[i], top_n=top_n))
         return results
 

@@ -245,6 +245,54 @@ class TestDeviceEngineWithLM(unittest.TestCase):
         _assert_beams_match(self, hb, db, check_rank=2)
 
 
+@pytest.mark.skipif(not os.path.exists(ARPA), reason="reference fixtures absent")
+class TestDeviceMultiLM(unittest.TestCase):
+    """Device multi-LM averaging (ref language_model.py:455-502)."""
+
+    def tearDown(self):
+        BeamSearchDecoderCTC.clear_class_models()
+
+    def test_duplicate_members_equal_single(self):
+        """MultiLM([lm, lm]) == lm (ref test_decoder.py:386-401)."""
+        from pyctcdecode_tpu import MultiLanguageModel
+
+        lm1 = _sample_lm(alpha=1.0, unk_score_offset=0.0)
+        lm2 = _sample_lm(alpha=1.0, unk_score_offset=0.0)
+        single = TPUBeamSearchDecoderCTC(_sample_alphabet(), lm1)
+        multi = TPUBeamSearchDecoderCTC(
+            _sample_alphabet(), MultiLanguageModel([lm1, lm2])
+        )
+        sb = single.decode_beams(TEST_PROBS, beam_width=16)
+        mb = multi.decode_beams(TEST_PROBS, beam_width=16)
+        self.assertEqual(sb[0].text, mb[0].text)
+        self.assertAlmostEqual(sb[0].lm_score, mb[0].lm_score, delta=SCORE_TOL)
+        # multi-LM carries a per-member state tuple
+        self.assertEqual(len(mb[0].last_lm_state.states), 2)
+        self.assertEqual(mb[0].last_lm_state.states[0], sb[0].last_lm_state)
+
+    def test_mixed_members_match_host(self):
+        """Members with different fusion params, fuzzed vs the host engine."""
+        from pyctcdecode_tpu import MultiLanguageModel
+
+        def _pair():
+            return MultiLanguageModel(
+                [
+                    _sample_lm(alpha=0.8, beta=0.5, unk_score_offset=-2.0),
+                    _sample_lm(alpha=0.3, beta=2.0, unk_score_offset=-6.0,
+                               score_boundary=False),
+                ]
+            )
+
+        host = BeamSearchDecoderCTC(_sample_alphabet(), _pair())
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet(), _pair())
+        rng = np.random.RandomState(23)
+        for _ in range(5):
+            mat = rng.randn(rng.randint(4, 30), len(SAMPLE_LABELS)) * 2.0
+            hb = host.decode_beams(mat, beam_width=6)
+            db = dev.decode_beams(mat, beam_width=6)
+            _assert_beams_match(self, hb, db, check_rank=2)
+
+
 class TestDeviceEngineBPE(unittest.TestCase):
     """BPE alphabets, incl. right-bounded tokens, against the host engine."""
 
