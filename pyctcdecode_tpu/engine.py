@@ -52,7 +52,20 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 import numpy as np
 
 from .constants import AVG_TOKEN_LEN, LOG_BASE_CHANGE_FACTOR
-from .models.device_tables import DeviceLM, lm_score_words_jnp
+from .models.device_tables import (
+    HOT_MINCOMP_MAX,
+    HOT_MINCOMP_SHIFT,
+    HOT_NODE_MASK,
+    HOT_WORD_BIT,
+    DeviceLM,
+    lm_score_words_jnp,
+)
+
+# packed vocab-trie entry bits (see DeviceLM.as_device)
+_NODE_MASK = DeviceLM.NODE_MASK
+_BIT_IN_VOCAB = DeviceLM.BIT_IN_VOCAB
+_BIT_UNI_WORD = DeviceLM.BIT_UNI_WORD
+_BIT_UNI_PREFIX = DeviceLM.BIT_UNI_PREFIX
 from .ops.hashing import hash_extend_char, hash_text_commit
 from .ops.tokens import KIND_BLANK, KIND_BOUNDARY, TokenArrays
 
@@ -183,21 +196,27 @@ def _init_state(jnp, cfg: EngineConfig, start_ctx, start_ctx_len):
     }
     for i in range(cfg.n_lms):
         state[f"p_node{i}"] = i32()
+        state[f"p_flags{i}"] = i32()  # packed entry bits of the current node
         state[f"ctx{i}"] = jnp.broadcast_to(
             start_ctx[i], (b, cfg.ctx_w(i))
         ).astype(jnp.int32)
         state[f"ctx_len{i}"] = jnp.full((b,), start_ctx_len[i], dtype=jnp.int32)
     if cfg.use_hotwords:
         state["h_node"] = i32()
+        state["h_bits"] = i32()  # packed hot entry (min-completion + terminal)
     return state
 
 
-def _member_word_score(jnp, dev, lm_prm, order, node, ctx, ctx_len):
-    """One member's fused word score + new context for a committed partial."""
-    wid_raw = dev["trie_word_id"][node]
-    in_model = wid_raw >= 0
-    wid = jnp.where(in_model, wid_raw, dev["unk_id"])
-    in_uni = dev["trie_is_uni_word"][node]
+def _member_word_score(jnp, dev, lm_prm, order, node, flags, ctx, ctx_len):
+    """One member's fused word score + new context for a committed partial.
+
+    ``flags`` are the node's packed entry bits carried on the beam, so OOV
+    and vocab-membership checks cost no gathers; only the word id itself is
+    fetched (one [B] gather).
+    """
+    in_model = (flags & _BIT_IN_VOCAB) != 0
+    wid = jnp.where(in_model, dev["trie_word_id"][node], dev["unk_id"])
+    in_uni = (flags & _BIT_UNI_WORD) != 0
     is_oov = (dev["has_unigrams"] & ~in_uni) | ~in_model
     raw10, new_ctx, new_ctx_len = lm_score_words_jnp(
         dev, order, dev["unk_prob10"], ctx, ctx_len, wid
@@ -215,9 +234,8 @@ def _commit_quantities(
     if cfg.use_hotwords:
         # full-word hotword boost at commit (ref language_model.py:137-139:
         # weight x #matching words, accumulated incrementally)
-        hot_gain = prm["hot_weight"] * (
-            hot["is_word"][state["h_node"]] & commit
-        ).astype(jnp.float32)
+        is_hot_word = (state["h_bits"] & HOT_WORD_BIT) != 0
+        hot_gain = prm["hot_weight"] * (is_hot_word & commit).astype(jnp.float32)
     else:
         hot_gain = jnp.zeros_like(state["fused"])
     t_lo, t_hi = hash_text_commit(
@@ -247,6 +265,7 @@ def _commit_quantities(
             prm["lm"][i],
             order,
             state[f"p_node{i}"],
+            state[f"p_flags{i}"],
             state[f"ctx{i}"],
             state[f"ctx_len{i}"],
         )
@@ -303,9 +322,10 @@ def _rank(jnp, cfg, lm_score_flat, logit_flat, src_flat, beam_prune_logp):
     return top_scores, logit_flat[top_idx], src_flat[top_idx]
 
 
-def _partial_score(jnp, cfg, devs, hot, prm, nodes, h_node, plen):
-    """score_partial_token for in-progress words.
+def _partial_score(jnp, cfg, hot, prm, flag_list, h_node, h_bits, plen):
+    """score_partial_token for in-progress words — gather-free.
 
+    All membership facts ride on the candidates' packed flag bits.
     Hotword-prefix partials use the hotword completion score
     (ref decoder.py:410-418, language_model.py:141-150); everything else
     uses the (member-averaged) LM unknown-prefix penalty
@@ -314,8 +334,8 @@ def _partial_score(jnp, cfg, devs, hot, prm, nodes, h_node, plen):
     plen_f = plen.astype(jnp.float32)
     if cfg.n_lms:
         acc = None
-        for i, dev in enumerate(devs):
-            is_pref = dev["trie_is_uni_prefix"][nodes[i]]
+        for i in range(cfg.n_lms):
+            is_pref = (flag_list[i] & _BIT_UNI_PREFIX) != 0
             punk = prm["lm"][i]["unk_offset"] * (~is_pref).astype(jnp.float32)
             punk = jnp.where(plen > AVG_TOKEN_LEN, punk * plen_f / AVG_TOKEN_LEN, punk)
             acc = punk if acc is None else acc + punk
@@ -325,9 +345,10 @@ def _partial_score(jnp, cfg, devs, hot, prm, nodes, h_node, plen):
     if not cfg.use_hotwords:
         return lm_part
     hot_pref = (h_node != hot["dead"]) & (plen > 0)
-    hot_part = prm["hot_weight"] * plen_f / jnp.maximum(
-        hot["min_comp"][h_node], 1
-    ).astype(jnp.float32)
+    min_comp = (h_bits >> HOT_MINCOMP_SHIFT) & HOT_MINCOMP_MAX
+    hot_part = prm["hot_weight"] * plen_f / jnp.maximum(min_comp, 1).astype(
+        jnp.float32
+    )
     return jnp.where(hot_pref, hot_part, lm_part)
 
 
@@ -379,28 +400,58 @@ def _make_step(
         else:
             as_boundary = ~stay & boundary_kind[None, :]
 
-        # ---- partial-word extension walk (regular children, raw label)
+        # ---- partial-word extension walk (regular children, raw label).
+        # Trie transitions return PACKED entries (child node + its flags),
+        # so each walk step is one gather and scoring needs no flag lookups.
         ext_lo = jnp.broadcast_to(state["p_lo"][:, None], (b, k))
         ext_hi = jnp.broadcast_to(state["p_hi"][:, None], (b, k))
-        ext_nodes = [
-            jnp.broadcast_to(state[f"p_node{i}"][:, None], (b, k))
+        ext_entries = [
+            jnp.broadcast_to(
+                (state[f"p_node{i}"] | state[f"p_flags{i}"])[:, None], (b, k)
+            )
             for i in range(n_lms)
         ]
         if cfg.use_hotwords:
-            ext_hnode = jnp.broadcast_to(state["h_node"][:, None], (b, k))
-        for l in range(lmax):
-            cid = tok_dev["raw_chars"][toks, l]  # [K]
+            ext_hentry = jnp.broadcast_to(
+                (state["h_node"] | state["h_bits"])[:, None], (b, k)
+            )
+        if lmax == 1:
+            # char alphabets: one char per label. Gather each beam's full
+            # trie row (contiguous, B row-gathers) and index it by token
+            # char in fast memory instead of B*K random gathers into HBM.
+            cid = tok_dev["raw_chars"][toks, 0]  # [K]
             has = (cid >= 0)[None, :]
-            cid_b = jnp.broadcast_to(jnp.maximum(cid, 0)[None, :], (b, k))
+            cid_safe = jnp.maximum(cid, 0)
+            cid_b = jnp.broadcast_to(cid_safe[None, :], (b, k))
             nlo, nhi = hash_extend_char(jnp, ext_lo, ext_hi, cid_b)
             ext_lo = jnp.where(has, nlo, ext_lo)
             ext_hi = jnp.where(has, nhi, ext_hi)
             for i in range(n_lms):
-                ext_nodes[i] = jnp.where(
-                    has, devs[i]["trie_next"][ext_nodes[i], cid_b], ext_nodes[i]
-                )
+                rows = devs[i]["trie_next"][state[f"p_node{i}"]]  # [B, C]
+                ext_entries[i] = jnp.where(has, rows[:, cid_safe], ext_entries[i])
             if cfg.use_hotwords:
-                ext_hnode = jnp.where(has, hot["next"][ext_hnode, cid_b], ext_hnode)
+                hrows = hot["next"][state["h_node"]]  # [B, C]
+                ext_hentry = jnp.where(has, hrows[:, cid_safe], ext_hentry)
+        else:
+            for l in range(lmax):
+                cid = tok_dev["raw_chars"][toks, l]  # [K]
+                has = (cid >= 0)[None, :]
+                cid_b = jnp.broadcast_to(jnp.maximum(cid, 0)[None, :], (b, k))
+                nlo, nhi = hash_extend_char(jnp, ext_lo, ext_hi, cid_b)
+                ext_lo = jnp.where(has, nlo, ext_lo)
+                ext_hi = jnp.where(has, nhi, ext_hi)
+                for i in range(n_lms):
+                    ext_entries[i] = jnp.where(
+                        has,
+                        devs[i]["trie_next"][ext_entries[i] & _NODE_MASK, cid_b],
+                        ext_entries[i],
+                    )
+                if cfg.use_hotwords:
+                    ext_hentry = jnp.where(
+                        has,
+                        hot["next"][ext_hentry & HOT_NODE_MASK, cid_b],
+                        ext_hentry,
+                    )
 
         seed_lo = jnp.broadcast_to(tok_dev["seed_lo"][toks][None, :], (b, k))
         seed_hi = jnp.broadcast_to(tok_dev["seed_hi"][toks][None, :], (b, k))
@@ -419,24 +470,24 @@ def _make_step(
                 state["p_len"][:, None] + tok_rlen[None, :],
             ),
         )
-        p_node_n = []
+        p_entry_n = []
         for i in range(n_lms):
-            seed_node = jnp.broadcast_to(
+            seed_entry = jnp.broadcast_to(
                 devs[i]["seed_node_arr"][toks][None, :], (b, k)
             )
-            p_node_n.append(
+            p_entry_n.append(
                 jnp.where(
                     stay,
-                    state[f"p_node{i}"][:, None],
-                    jnp.where(as_boundary, seed_node, ext_nodes[i]),
+                    (state[f"p_node{i}"] | state[f"p_flags{i}"])[:, None],
+                    jnp.where(as_boundary, seed_entry, ext_entries[i]),
                 )
             )
         if cfg.use_hotwords:
-            seed_hnode = jnp.broadcast_to(hot["seed"][toks][None, :], (b, k))
-            h_node_n = jnp.where(
+            seed_hentry = jnp.broadcast_to(hot["seed"][toks][None, :], (b, k))
+            h_entry_n = jnp.where(
                 stay,
-                state["h_node"][:, None],
-                jnp.where(as_boundary, seed_hnode, ext_hnode),
+                (state["h_node"] | state["h_bits"])[:, None],
+                jnp.where(as_boundary, seed_hentry, ext_hentry),
             )
 
         text_lo_n = jnp.where(
@@ -481,7 +532,8 @@ def _make_step(
             "n_words": _flatten(n_words_n),
         }
         for i in range(n_lms):
-            fields[f"p_node{i}"] = _flatten(p_node_n[i])
+            fields[f"p_node{i}"] = _flatten(p_entry_n[i] & _NODE_MASK)
+            fields[f"p_flags{i}"] = _flatten(p_entry_n[i] & ~_NODE_MASK)
             fields[f"ctx{i}"] = _flatten(
                 jnp.where(
                     as_boundary[:, :, None],
@@ -495,7 +547,8 @@ def _make_step(
                 )
             )
         if cfg.use_hotwords:
-            fields["h_node"] = _flatten(h_node_n)
+            fields["h_node"] = _flatten(h_entry_n & HOT_NODE_MASK)
+            fields["h_bits"] = _flatten(h_entry_n & ~HOT_NODE_MASK)
 
         # ---- block-diagonal merge: [K, B] layout
         to_kb = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
@@ -513,11 +566,11 @@ def _make_step(
             pscore = _partial_score(
                 jnp,
                 cfg,
-                devs,
                 hot,
                 prm,
-                [fields[f"p_node{i}"][src_flat] for i in range(n_lms)],
+                [fields[f"p_flags{i}"][src_flat] for i in range(n_lms)],
                 fields["h_node"][src_flat] if cfg.use_hotwords else None,
+                fields["h_bits"][src_flat] if cfg.use_hotwords else None,
                 fields["p_len"][src_flat],
             )
             extra = fields["fused"][src_flat] + pscore
@@ -596,9 +649,8 @@ def _finalize(
     has_partial = state["p_len"] > 0
     commit = has_partial & do_commit
     if cfg.use_hotwords:
-        hot_gain = prm["hot_weight"] * (
-            hot["is_word"][state["h_node"]] & commit
-        ).astype(jnp.float32)
+        is_hot_word = (state["h_bits"] & HOT_WORD_BIT) != 0
+        hot_gain = prm["hot_weight"] * (is_hot_word & commit).astype(jnp.float32)
     else:
         hot_gain = jnp.zeros_like(state["fused"])
     t_lo, t_hi = hash_text_commit(
@@ -625,10 +677,10 @@ def _finalize(
     ctx_views, ctx_len_views, ctx_carries, ctx_len_carries = [], [], [], []
     for i, (dev, order) in enumerate(zip(devs, cfg.lm_orders)):
         node = state[f"p_node{i}"]
-        wid_raw = dev["trie_word_id"][node]
-        in_model = (wid_raw >= 0) & commit
-        wid = jnp.where(in_model, wid_raw, dev["unk_id"])
-        in_uni = dev["trie_is_uni_word"][node] & commit
+        flags = state[f"p_flags{i}"]
+        in_model = ((flags & _BIT_IN_VOCAB) != 0) & commit
+        wid = jnp.where(in_model, dev["trie_word_id"][node], dev["unk_id"])
+        in_uni = ((flags & _BIT_UNI_WORD) != 0) & commit
         is_oov = (dev["has_unigrams"] & ~in_uni) | ~in_model
         raw10, ctx2, ctx2_len = lm_score_words_jnp(
             dev,
@@ -660,11 +712,11 @@ def _finalize(
     pscore = _partial_score(
         jnp,
         cfg,
-        devs,
         hot,
         prm,
-        [state[f"p_node{i}"] for i in range(cfg.n_lms)],
+        [state[f"p_flags{i}"] for i in range(cfg.n_lms)],
         state["h_node"] if cfg.use_hotwords else None,
+        state["h_bits"] if cfg.use_hotwords else None,
         state["p_len"],
     )
 
@@ -711,10 +763,12 @@ def _finalize(
     }
     for i in range(cfg.n_lms):
         committed_state[f"p_node{i}"] = jnp.zeros((b,), dtype=jnp.int32)
+        committed_state[f"p_flags{i}"] = jnp.zeros((b,), dtype=jnp.int32)
         committed_state[f"ctx{i}"] = ctx_carries[i][src]
         committed_state[f"ctx_len{i}"] = ctx_len_carries[i][src]
     if cfg.use_hotwords:
         committed_state["h_node"] = jnp.zeros((b,), dtype=jnp.int32)
+        committed_state["h_bits"] = jnp.zeros((b,), dtype=jnp.int32)
     return {
         "src": src,
         "logit": logit,

@@ -34,6 +34,13 @@ from .ngram import BOS_WORD, EOS_WORD, UNK_WORD, NGramTables
 
 _MIN_TABLE = 8
 _LOAD_FACTOR = 0.5
+
+# packed hotword-trie entry layout: child node (20 bits), shortest-completion
+# length (10 bits, saturating), is-hotword-terminal (bit 30)
+HOT_NODE_MASK = (1 << 20) - 1
+HOT_MINCOMP_SHIFT = 20
+HOT_MINCOMP_MAX = 1023
+HOT_WORD_BIT = 1 << 30
 # every lookup gathers the table's *max* displacement worth of slots, so a
 # long probe chain taxes all queries; cap it and grow the table instead
 _MAX_PROBES = 8
@@ -279,10 +286,33 @@ class DeviceLM:
     seed_node: np.ndarray  # int32 [V]
     has_unigrams: bool
 
+    # bit layout of packed trie transition entries: the child node id in the
+    # low 28 bits plus the child's flags, so a walk's single gather also
+    # yields everything the scorer asks about the new partial word
+    NODE_MASK = (1 << 28) - 1
+    BIT_IN_VOCAB = 1 << 28
+    BIT_UNI_WORD = 1 << 29
+    BIT_UNI_PREFIX = 1 << 30
+
+    def _node_flag_bits(self, nodes: np.ndarray) -> np.ndarray:
+        bits = np.zeros(nodes.shape, dtype=np.int64)
+        bits |= np.where(self.trie.word_id[nodes] >= 0, self.BIT_IN_VOCAB, 0)
+        bits |= np.where(self.trie.is_uni_word[nodes], self.BIT_UNI_WORD, 0)
+        bits |= np.where(self.trie.is_uni_prefix[nodes], self.BIT_UNI_PREFIX, 0)
+        return bits
+
     def as_device(self) -> Dict:
         """jnp pytree of all arrays (call once, reuse across decodes)."""
         import jax.numpy as jnp
 
+        if self.trie.n_nodes >= (1 << 28):
+            raise ValueError("vocab trie exceeds the 2^28 packed-node limit")
+        packed = (
+            self.trie.next.astype(np.int64) | self._node_flag_bits(self.trie.next)
+        ).astype(np.int32)
+        seed_packed = (
+            self.seed_node.astype(np.int64) | self._node_flag_bits(self.seed_node)
+        ).astype(np.int32)
         return {
             "utable": {
                 "keys": jnp.asarray(self.table.keys),
@@ -290,12 +320,9 @@ class DeviceLM:
                 "backoffs": jnp.asarray(self.table.backoffs),
                 "max_probes": self.table.max_probes,
             },
-            "trie_next": jnp.asarray(self.trie.next),
+            "trie_next": jnp.asarray(packed),
             "trie_word_id": jnp.asarray(self.trie.word_id),
-            "trie_is_uni_word": jnp.asarray(self.trie.is_uni_word),
-            "trie_is_uni_prefix": jnp.asarray(self.trie.is_uni_prefix),
-            "trie_min_completion": jnp.asarray(self.trie.min_completion),
-            "seed_node": jnp.asarray(self.seed_node),
+            "seed_node": jnp.asarray(seed_packed),
             "start_ctx": jnp.asarray(self.start_ctx),
         }
 
@@ -377,8 +404,10 @@ def build_hotword_tables(
     Hotwords change per decode call, so these arrays are *inputs* to the
     compiled program, not baked constants; node counts are padded to powers
     of two so different hotword sets of similar size reuse one executable.
-    Returns ``next [N,C]``, ``is_word [N]``, ``min_comp [N]``, ``seed [V]``
-    (hot-trie node reached by each token's boundary piece) and ``dead``.
+    ``next``/``seed`` entries are packed (child node id + the child's
+    shortest-completion length + terminal flag, see ``HOT_NODE_MASK``) so a
+    walk's single gather also answers every scoring question. ``dead`` is
+    the swallowing node id.
     """
     builder = _TrieBuilder(len(char2id))
     for word in hotword_unigrams:
@@ -395,22 +424,28 @@ def build_hotword_tables(
         node = builder.insert(ids, len(word))
         builder.is_uni_word[node] = True
     trie = builder.pack()
+    if trie.n_nodes >= (1 << 20):
+        raise ValueError("hotword trie exceeds the 2^20 packed-node limit")
+
+    def _pack(nodes: np.ndarray) -> np.ndarray:
+        mc = np.minimum(trie.min_completion[nodes], HOT_MINCOMP_MAX).astype(np.int64)
+        bits = nodes.astype(np.int64) | (mc << HOT_MINCOMP_SHIFT)
+        bits |= np.where(trie.is_uni_word[nodes], HOT_WORD_BIT, 0)
+        return bits.astype(np.int32)
 
     n = trie.n_nodes  # includes the dead node
     n_pad = min_nodes
     while n_pad < n:
         n_pad *= 2
-    nxt = np.full((n_pad, trie.next.shape[1]), trie.dead, dtype=np.int32)
-    nxt[:n] = trie.next
-    is_word = np.zeros(n_pad, dtype=bool)
-    is_word[:n] = trie.is_uni_word
-    min_comp = np.zeros(n_pad, dtype=np.int32)
-    min_comp[:n] = trie.min_completion
+    nxt = np.full(
+        (n_pad, trie.next.shape[1]),
+        int(_pack(np.array([trie.dead]))[0]),
+        dtype=np.int32,
+    )
+    nxt[:n] = _pack(trie.next)
     return {
         "next": nxt,
-        "is_word": is_word,
-        "min_comp": min_comp,
-        "seed": trie_seed_nodes(trie, tokens),
+        "seed": _pack(trie_seed_nodes(trie, tokens)),
         "dead": np.int32(trie.dead),
     }
 

@@ -30,7 +30,11 @@ from ..constants import (
     DEFAULT_PRUNE_LOGP,
 )
 from ..engine import EngineConfig, make_decode_fn
-from ..tpu_decoder import TPUBeamSearchDecoderCTC, _bucket, normalize_host
+from ..tpu_decoder import (
+    TPUBeamSearchDecoderCTC,
+    _bucket,
+    normalize_host_batch,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -160,8 +164,7 @@ class ShardedCTCDecoder:
         per_dev = (n + n_dev - 1) // n_dev
         n_pad = per_dev * n_dev
         logp = np.zeros((n_pad, t_pad, v), dtype=np.float32)
-        for i, mat in enumerate(logits_list):
-            logp[i, : mat.shape[0]] = normalize_host(mat)
+        logp[:n] = normalize_host_batch(logits_list, t_pad, v)
         n_frames = np.zeros(n_pad, dtype=np.int32)
         n_frames[:n] = lens
         fn = self._get_fn(t_pad, beam_width, k, prune_history)

@@ -264,8 +264,6 @@ class TPUBeamSearchDecoderCTC:
     def _hot_to_device(self, tables):
         return {
             "next": self._jnp.asarray(tables["next"]),
-            "is_word": self._jnp.asarray(tables["is_word"]),
-            "min_comp": self._jnp.asarray(tables["min_comp"]),
             "seed": self._jnp.asarray(tables["seed"]),
             "dead": int(tables["dead"]),
         }
@@ -372,17 +370,27 @@ class TPUBeamSearchDecoderCTC:
                 float(weight),
             )
             if ss.hot_sig is not None and new_sig != ss.hot_sig:
+                from .models.device_tables import HOT_NODE_MASK
+
                 partials = ss.last_partials or [""] * ss.beam_width
                 nodes = np.zeros(ss.beam_width, dtype=np.int32)
+                bits = np.zeros(ss.beam_width, dtype=np.int32)
                 nxt = np.asarray(hot["next"])
+                dead = int(hot["dead"])
                 for bi, word in enumerate(partials):
-                    node = 0
+                    node, entry = 0, 0
                     for ch in word:
                         cid = self._tokens.char2id.get(ch)
-                        node = int(nxt[node, cid]) if cid is not None else int(hot["dead"])
+                        if cid is None:
+                            node, entry = dead, dead
+                            break
+                        entry = int(nxt[node, cid])
+                        node = entry & HOT_NODE_MASK
                     nodes[bi] = node
+                    bits[bi] = entry & ~HOT_NODE_MASK
                 ss.beam_state = dict(ss.beam_state)
                 ss.beam_state["h_node"] = self._jnp.asarray(nodes)
+                ss.beam_state["h_bits"] = self._jnp.asarray(bits)
             ss.hot_sig = new_sig
         else:
             if hotwords is not None and list(hotwords):
@@ -695,13 +703,13 @@ class TPUBeamSearchDecoderCTC:
         t_pad = _bucket(max(lens))
         n = len(logits_list)
         n_pad = ((n + batch_pad - 1) // batch_pad) * batch_pad
-        logp = np.zeros((n_pad, t_pad, v), dtype=np.float32)
-        for i, mat in enumerate(logits_list):
+        for mat in logits_list:
             if mat.ndim != 2 or mat.shape[1] != v:
                 raise ValueError(
                     f"Input logits of shape {mat.shape}, but vocabulary is size {v}"
                 )
-            logp[i, : mat.shape[0]] = normalize_host(mat)
+        logp = np.zeros((n_pad, t_pad, v), dtype=np.float32)
+        logp[:n] = normalize_host_batch(logits_list, t_pad, v)
         n_frames = np.zeros(n_pad, dtype=np.int32)
         n_frames[:n] = lens
         fn = self._get_fn(
@@ -767,3 +775,52 @@ def normalize_host(logits: np.ndarray) -> np.ndarray:
     from .utils.logits import normalize_to_logp
 
     return normalize_to_logp(np.asarray(logits)).astype(np.float32)
+
+
+def normalize_host_batch(
+    logits_list: Sequence[np.ndarray], t_pad: int, v: int
+) -> np.ndarray:
+    """Vectorized batch normalization into one padded f32 [n, t_pad, v] array.
+
+    Applies the reference's per-utterance prob/logit sniff (rows summing to
+    ~1 are probabilities; ref decoder.py:759-765) but computes both branches
+    over the whole stacked batch in single vectorized passes — per-utterance
+    Python normalization dominates host time for large batches otherwise.
+    """
+    import math
+
+    from .constants import MIN_TOKEN_CLIP_P
+
+    n = len(logits_list)
+    stacked = np.zeros((n, t_pad, v), dtype=np.float32)
+    lens = np.empty(n, dtype=np.int64)
+    for i, mat in enumerate(logits_list):
+        lens[i] = mat.shape[0]
+        stacked[i, : mat.shape[0]] = mat
+    # per-utterance sniff over true frames only
+    sums = stacked.sum(axis=2)
+    frame_mask = np.arange(t_pad)[None, :] < lens[:, None]
+    with np.errstate(invalid="ignore"):
+        row_sum_mean = np.where(
+            lens > 0, (sums * frame_mask).sum(1) / np.maximum(lens, 1), np.nan
+        )
+    is_probs = np.array(
+        [lens[i] > 0 and math.isclose(float(row_sum_mean[i]), 1) for i in range(n)]
+    )
+    out = np.empty_like(stacked)
+    floor = np.float32(math.log(MIN_TOKEN_CLIP_P))
+    if is_probs.any():
+        idx = np.nonzero(is_probs)[0]
+        with np.errstate(divide="ignore"):
+            out[idx] = np.log(np.clip(stacked[idx], MIN_TOKEN_CLIP_P, 1.0))
+    if (~is_probs).any():
+        idx = np.nonzero(~is_probs)[0]
+        x = stacked[idx]
+        m = np.max(x, axis=2, keepdims=True)
+        m = np.where(np.isfinite(m), m, 0.0)
+        shifted = x - m
+        with np.errstate(divide="ignore"):
+            log_z = np.log(np.exp(shifted).sum(axis=2, keepdims=True))
+        out[idx] = np.clip(shifted - log_z, floor, 0.0)
+    out[~frame_mask] = 0.0
+    return out
