@@ -86,6 +86,10 @@ class EngineConfig:
     prune_history: bool
     use_hotwords: bool = False
     orders: Tuple[int, ...] = ()  # per-member orders; defaults to (order,)
+    # backtrace the top-N beams on device and emit token paths instead of
+    # raw [T, B] backpointer matrices (slashes device->host transfer for
+    # top-1 decoding); None emits the full pointers
+    emit_paths: Optional[int] = None
 
     @property
     def lm_orders(self) -> Tuple[int, ...]:
@@ -172,8 +176,13 @@ def _params_dict(cfg: EngineConfig, params):
     return out
 
 
-def _init_state(jnp, cfg: EngineConfig, start_ctx, start_ctx_len):
-    """Initial beam state; ``start_ctx``/``start_ctx_len`` are per-member tuples."""
+def _init_state(jnp, cfg: EngineConfig, start):
+    """Initial beam state.
+
+    ``start`` is a per-LM-member tuple of dicts ``{"ctx": [ctx_w] i32,
+    "len": i32, "bo": [ctx_w] f32}`` (context ids, length, and the context
+    suffix backoffs, see :func:`lm_score_words_jnp`).
+    """
     b = cfg.beam_width
     u32z = jnp.zeros((b,), dtype=jnp.uint32)
     i32 = functools.partial(jnp.zeros, (b,), dtype=jnp.int32)
@@ -198,32 +207,38 @@ def _init_state(jnp, cfg: EngineConfig, start_ctx, start_ctx_len):
         state[f"p_node{i}"] = i32()
         state[f"p_flags{i}"] = i32()  # packed entry bits of the current node
         state[f"ctx{i}"] = jnp.broadcast_to(
-            start_ctx[i], (b, cfg.ctx_w(i))
+            start[i]["ctx"], (b, cfg.ctx_w(i))
         ).astype(jnp.int32)
-        state[f"ctx_len{i}"] = jnp.full((b,), start_ctx_len[i], dtype=jnp.int32)
+        state[f"ctx_len{i}"] = jnp.broadcast_to(start[i]["len"], (b,)).astype(
+            jnp.int32
+        )
+        state[f"ctx_bo{i}"] = jnp.broadcast_to(
+            start[i]["bo"], (b, cfg.ctx_w(i))
+        ).astype(jnp.float32)
     if cfg.use_hotwords:
         state["h_node"] = i32()
         state["h_bits"] = i32()  # packed hot entry (min-completion + terminal)
     return state
 
 
-def _member_word_score(jnp, dev, lm_prm, order, node, flags, ctx, ctx_len):
+def _member_word_score(jnp, dev, lm_prm, order, node, flags, ctx, ctx_len, ctx_bo):
     """One member's fused word score + new context for a committed partial.
 
     ``flags`` are the node's packed entry bits carried on the beam, so OOV
     and vocab-membership checks cost no gathers; only the word id itself is
-    fetched (one [B] gather).
+    fetched (one [B] gather). ``ctx_bo`` carries the context's suffix
+    backoffs, halving probe volume (see lm_score_words_jnp).
     """
     in_model = (flags & _BIT_IN_VOCAB) != 0
     wid = jnp.where(in_model, dev["trie_word_id"][node], dev["unk_id"])
     in_uni = (flags & _BIT_UNI_WORD) != 0
     is_oov = (dev["has_unigrams"] & ~in_uni) | ~in_model
-    raw10, new_ctx, new_ctx_len = lm_score_words_jnp(
-        dev, order, dev["unk_prob10"], ctx, ctx_len, wid
+    raw10, new_ctx, new_ctx_len, new_bo = lm_score_words_jnp(
+        dev, order, dev["unk_prob10"], ctx, ctx_len, wid, ctx_bo
     )
     raw10 = raw10 + lm_prm["unk_offset"] * is_oov.astype(jnp.float32)
     fused = lm_prm["alpha"] * raw10 * np.float32(LOG_BASE_CHANGE_FACTOR) + lm_prm["beta"]
-    return fused, new_ctx, new_ctx_len
+    return fused, new_ctx, new_ctx_len, new_bo
 
 
 def _commit_quantities(
@@ -259,7 +274,7 @@ def _commit_quantities(
     }
     fused_sum = jnp.zeros_like(state["fused"])
     for i, (dev, order) in enumerate(zip(devs, cfg.lm_orders)):
-        fused_i, new_ctx, new_ctx_len = _member_word_score(
+        fused_i, new_ctx, new_ctx_len, new_bo = _member_word_score(
             jnp,
             dev,
             prm["lm"][i],
@@ -268,10 +283,12 @@ def _commit_quantities(
             state[f"p_flags{i}"],
             state[f"ctx{i}"],
             state[f"ctx_len{i}"],
+            state[f"ctx_bo{i}"],
         )
         fused_sum = fused_sum + fused_i
         out[f"ctx{i}"] = jnp.where(commit[:, None], new_ctx, state[f"ctx{i}"])
         out[f"ctx_len{i}"] = jnp.where(commit, new_ctx_len, state[f"ctx_len{i}"])
+        out[f"ctx_bo{i}"] = jnp.where(commit[:, None], new_bo, state[f"ctx_bo{i}"])
     if cfg.n_lms:
         word_fused = jnp.where(commit, fused_sum / cfg.n_lms, 0.0)
     else:
@@ -546,6 +563,13 @@ def _make_step(
                     as_boundary, cm[f"ctx_len{i}"][:, None], state[f"ctx_len{i}"][:, None]
                 )
             )
+            fields[f"ctx_bo{i}"] = _flatten(
+                jnp.where(
+                    as_boundary[:, :, None],
+                    cm[f"ctx_bo{i}"][:, None, :],
+                    state[f"ctx_bo{i}"][:, None, :],
+                )
+            )
         if cfg.use_hotwords:
             fields["h_node"] = _flatten(h_entry_n & HOT_NODE_MASK)
             fields["h_bits"] = _flatten(h_entry_n & ~HOT_NODE_MASK)
@@ -675,6 +699,7 @@ def _finalize(
     score_word = is_end | commit
     fused_sum = jnp.zeros_like(state["fused"])
     ctx_views, ctx_len_views, ctx_carries, ctx_len_carries = [], [], [], []
+    ctx_bo_carries = []
     for i, (dev, order) in enumerate(zip(devs, cfg.lm_orders)):
         node = state[f"p_node{i}"]
         flags = state[f"p_flags{i}"]
@@ -682,17 +707,18 @@ def _finalize(
         wid = jnp.where(in_model, dev["trie_word_id"][node], dev["unk_id"])
         in_uni = ((flags & _BIT_UNI_WORD) != 0) & commit
         is_oov = (dev["has_unigrams"] & ~in_uni) | ~in_model
-        raw10, ctx2, ctx2_len = lm_score_words_jnp(
+        raw10, ctx2, ctx2_len, ctx2_bo = lm_score_words_jnp(
             dev,
             order,
             dev["unk_prob10"],
             state[f"ctx{i}"],
             state[f"ctx_len{i}"],
             wid,
+            state[f"ctx_bo{i}"],
         )
         eos = jnp.full((b,), dev["eos_id"], dtype=jnp.int32)
-        eos10, _, _ = lm_score_words_jnp(
-            dev, order, dev["unk_prob10"], ctx2, ctx2_len, eos
+        eos10, _, _, _ = lm_score_words_jnp(
+            dev, order, dev["unk_prob10"], ctx2, ctx2_len, eos, ctx2_bo
         )
         lm_prm = prm["lm"][i]
         raw = raw10 + lm_prm["unk_offset"] * is_oov.astype(jnp.float32)
@@ -704,6 +730,7 @@ def _finalize(
         ctx_len_views.append(jnp.where(score_word, ctx2_len, state[f"ctx_len{i}"]))
         ctx_carries.append(jnp.where(commit[:, None], ctx2, state[f"ctx{i}"]))
         ctx_len_carries.append(jnp.where(commit, ctx2_len, state[f"ctx_len{i}"]))
+        ctx_bo_carries.append(jnp.where(commit[:, None], ctx2_bo, state[f"ctx_bo{i}"]))
     if cfg.n_lms:
         word_fused = jnp.where(score_word, fused_sum / cfg.n_lms, 0.0)
         fused_scored = state["fused"] + word_fused + hot_gain
@@ -766,6 +793,7 @@ def _finalize(
         committed_state[f"p_flags{i}"] = jnp.zeros((b,), dtype=jnp.int32)
         committed_state[f"ctx{i}"] = ctx_carries[i][src]
         committed_state[f"ctx_len{i}"] = ctx_len_carries[i][src]
+        committed_state[f"ctx_bo{i}"] = ctx_bo_carries[i][src]
     if cfg.use_hotwords:
         committed_state["h_node"] = jnp.zeros((b,), dtype=jnp.int32)
         committed_state["h_bits"] = jnp.zeros((b,), dtype=jnp.int32)
@@ -786,35 +814,50 @@ def make_decode_fn(
 ):
     """Build the jittable one-utterance decode function.
 
-    ``fn(logp [T,V] f32, n_frames i32, params f32 vector, start_ctx
-    (per-member tuple of [ctx_w_i] i32), start_ctx_len (per-member tuple),
-    hot)`` returns final ranked beams plus per-frame backpointers for
-    host-side reconstruction.
+    ``fn(logp [T,V] f32, n_frames i32, params f32 vector, start (per-member
+    tuple of {"ctx","len","bo"} dicts), hot)`` returns final ranked beams
+    plus per-frame backpointers for host-side reconstruction.
     """
     import jax
     import jax.numpy as jnp
 
     tok_dev, devs = _build_dev_tables(jnp, tokens, device_lms)
 
-    def decode(logp, n_frames, params, start_ctx, start_ctx_len, hot=None):
+    def decode(logp, n_frames, params, start, hot=None):
         """Full-utterance decode: scan all frames, then finalize."""
         prm = _params_dict(cfg, params)
-        state0 = _init_state(jnp, cfg, start_ctx, start_ctx_len)
+        state0 = _init_state(jnp, cfg, start)
         step = _make_step(jnp, cfg, tok_dev, devs, hot, prm, n_frames)
         t_idx = jnp.arange(logp.shape[0], dtype=jnp.int32)
         final_state, (parents, trace) = jax.lax.scan(step, state0, (logp, t_idx))
         fin = _finalize(
             jnp, cfg, devs, hot, prm, final_state, jnp.bool_(True), jnp.bool_(True)
         )
-        return {
-            "parents": parents,
-            "trace": trace,
+        out = {
             "beam_src": fin["src"],
             "logit": fin["logit"],
             "lm_score": fin["score"],
             "ctx": fin["ctx"],
             "ctx_len": fin["ctx_len"],
         }
+        if cfg.emit_paths is None:
+            out["parents"] = parents
+            out["trace"] = trace
+        else:
+            # on-device backtrace of the top-N beams: tiny [N, T] output
+            r = cfg.emit_paths
+
+            def back(cur, xs):
+                par_t, tok_t = xs
+                return par_t[cur], tok_t[cur]
+
+            _, toks_rev = jax.lax.scan(
+                back,
+                fin["src"][:r],
+                (parents[::-1], trace[::-1]),
+            )
+            out["paths"] = toks_rev[::-1].swapaxes(0, 1)  # [N, Tp]
+        return out
 
     return decode
 
@@ -828,7 +871,7 @@ def make_stream_fns(
 
     Returns ``(init_fn, chunk_fn, finalize_fn)``:
 
-    * ``init_fn(start_ctx, start_ctx_len) -> state`` (per-member tuples)
+    * ``init_fn(start) -> state`` (per-member tuple of start dicts)
     * ``chunk_fn(state, logp [Tc,V], n_frames, params, hot) ->
       (state', parents [Tc,B], trace [Tc,B])``
     * ``finalize_fn(state, params, do_commit f32, is_end f32, hot) ->
@@ -841,9 +884,9 @@ def make_stream_fns(
 
     tok_dev, devs = _build_dev_tables(jnp, tokens, device_lms)
 
-    def init_fn(start_ctx, start_ctx_len):
+    def init_fn(start):
         """Fresh beam state for a new stream."""
-        return _init_state(jnp, cfg, start_ctx, start_ctx_len)
+        return _init_state(jnp, cfg, start)
 
     def chunk_fn(state, logp, n_frames, params, hot=None):
         """Scan one logit chunk, returning the new state and backpointers."""

@@ -106,6 +106,36 @@ def _build_hash_table(
         size *= 2  # displacement got pathological; rebuild sparser
 
 
+def host_lookup(table: HashTable, key: np.ndarray):
+    """Host (numpy) probe of one padded key; returns (found, prob, backoff)."""
+    from ..ops.hashing import fnv1a
+
+    key = np.asarray(key, dtype=np.int32).reshape(1, -1)
+    h = int(fnv1a(np, key)[0])
+    mask = table.size - 1
+    for p in range(table.max_probes):
+        slot = (h + p) & mask
+        if np.array_equal(table.keys[slot], key[0]):
+            return True, float(table.probs[slot]), float(table.backoffs[slot])
+        if table.keys[slot, -1] == -1:
+            return False, 0.0, 0.0
+    return False, 0.0, 0.0
+
+
+def context_suffix_backoffs(table: HashTable, order: int, ctx) -> np.ndarray:
+    """Backoff weights of every suffix of ``ctx`` (right-aligned, 0 absent)."""
+    width = max(order - 1, 1)
+    out = np.zeros(width, dtype=np.float32)
+    ctx = tuple(ctx)
+    for j in range(1, len(ctx) + 1):
+        key = np.full(order, -1, dtype=np.int32)
+        key[order - j :] = ctx[len(ctx) - j :]
+        found, _, bo = host_lookup(table, key)
+        if found:
+            out[width - j] = bo
+    return out
+
+
 def _build_unified_table(
     ngrams: List[Dict[Tuple[int, ...], Tuple[np.float32, np.float32]]], order: int
 ) -> HashTable:
@@ -281,6 +311,7 @@ class DeviceLM:
     unk_prob10: float  # unigram log10 prob of <unk> (ill-formed-table fallback)
     start_ctx: np.ndarray  # int32 [order-1], right-aligned, -1 pad (<s> state)
     start_ctx_len: int
+    start_ctx_backoffs: np.ndarray  # f32 [order-1], suffix backoffs of start_ctx
     table: HashTable  # unified over all orders (keys left-padded to `order`)
     trie: PackedTrie
     seed_node: np.ndarray  # int32 [V]
@@ -386,6 +417,7 @@ def build_device_lm(language_model: LanguageModel, tokens: TokenArrays) -> Devic
         unk_prob10=unk_prob10,
         start_ctx=start_ctx,
         start_ctx_len=len(bos_state),
+        start_ctx_backoffs=context_suffix_backoffs(table, order, bos_state),
         table=table,
         trie=trie,
         seed_node=seed_node,
@@ -462,16 +494,22 @@ def lm_score_words_jnp(
     ctx: "object",
     ctx_len: "object",
     wid: "object",
+    ctx_backoffs: "object" = None,
 ):
     """Batched KenLM-``BaseScore``-equivalent on device.
 
     ``ctx``: int32 ``[Q, order-1]`` right-aligned (-1 pad), ``ctx_len [Q]``,
-    ``wid [Q]``. Returns ``(raw10 [Q] f32, out_ctx [Q, order-1], out_len [Q])``
-    matching :meth:`NGramTables.raw_score` bit-for-bit on float32.
+    ``wid [Q]``. Returns ``(raw10 [Q] f32, out_ctx [Q, order-1], out_len [Q],
+    out_backoffs [Q, order-1])`` matching :meth:`NGramTables.raw_score`
+    bit-for-bit on float32.
 
-    All ``2*order - 1`` suffix/backoff keys per query are probed with ONE
-    batched lookup against the unified padded-key table (see
-    :func:`_build_unified_table`) — a single fused gather pass on TPU.
+    ``ctx_backoffs`` holds the backoff weights of every context suffix
+    (right-aligned like ``ctx``; 0 where absent). Because the outgoing
+    state is always a suffix of ``full``, the out-state's suffix backoffs
+    fall out of the same probe — so a beam that carries them never probes
+    context keys again, cutting queries per word from ``2*order - 1`` to
+    ``order``. Pass ``None`` to self-probe the context keys instead
+    (stateless callers).
     """
     import jax.numpy as jnp
 
@@ -482,13 +520,10 @@ def lm_score_words_jnp(
         found, prob, _ = lookup_jnp(dev["utable"], full, jnp.ones((q,), bool))
         score = jnp.where(found, prob, jnp.float32(unk_prob10))
         zeros = jnp.zeros((q,), dtype=jnp.int32)
-        return score.astype(jnp.float32), jnp.full_like(ctx, -1), zeros
+        zbo = jnp.zeros((q, ctx_width), dtype=jnp.float32)
+        return score.astype(jnp.float32), jnp.full_like(ctx, -1), zeros, zbo
 
     full = jnp.concatenate([ctx, wid[:, None].astype(jnp.int32)], axis=1)  # [Q, order]
-    # ctx right-aligned at width `order` (one extra -1 on the left)
-    ctx_pad = jnp.concatenate(
-        [jnp.full((q, 1), -1, dtype=jnp.int32), ctx.astype(jnp.int32)], axis=1
-    )
     k = ctx_len  # number of context words
     pos = jnp.arange(order, dtype=jnp.int32)[None, :]
 
@@ -497,9 +532,14 @@ def lm_score_words_jnp(
     for n in range(1, order + 1):  # full-suffix keys, length n
         queries.append(jnp.where(pos >= order - n, full, -1))
         valids.append((k + 1) >= n)
-    for j in range(1, order):  # context-suffix keys, length j (backoffs)
-        queries.append(jnp.where(pos >= order - j, ctx_pad, -1))
-        valids.append(k >= j)
+    if ctx_backoffs is None:
+        # stateless path: also probe the context-suffix keys for backoffs
+        ctx_pad = jnp.concatenate(
+            [jnp.full((q, 1), -1, dtype=jnp.int32), ctx.astype(jnp.int32)], axis=1
+        )
+        for j in range(1, order):
+            queries.append(jnp.where(pos >= order - j, ctx_pad, -1))
+            valids.append(k >= j)
     nq = len(queries)
     allq = jnp.stack(queries, axis=1).reshape(q * nq, order)
     allv = jnp.stack(valids, axis=1).reshape(q * nq)
@@ -520,12 +560,18 @@ def lm_score_words_jnp(
     matched = jnp.where(no_match, 1, matched)
 
     # backoff accumulation over unmatched context suffixes, ascending j
-    # (sequential f32 adds in the same order as the host scorer)
+    # (sequential f32 adds in the same order as the host scorer); the
+    # suffix-j backoff sits right-aligned at column ctx_width - j when
+    # carried on the beam
     score = best_prob
     for j in range(1, order):
-        col = order + j - 1
-        use = (j >= matched) & (j <= k) & found[:, col]
-        score = jnp.where(use, (score + backoff[:, col]).astype(jnp.float32), score)
+        if ctx_backoffs is None:
+            col = order + j - 1
+            bo_j = jnp.where(found[:, col], backoff[:, col], 0.0)
+        else:
+            bo_j = ctx_backoffs[:, ctx_width - j]
+        use = (j >= matched) & (j <= k)
+        score = jnp.where(use, (score + bo_j).astype(jnp.float32), score)
 
     # outgoing state: longest suffix of `full` present, capped at order-1
     out_n = jnp.zeros_like(k)
@@ -534,4 +580,14 @@ def lm_score_words_jnp(
     positions = jnp.arange(ctx_width)[None, :]
     tail = full[:, 1:]
     out_ctx = jnp.where(positions >= (ctx_width - out_n[:, None]), tail, -1)
-    return score, out_ctx.astype(jnp.int32), out_n.astype(jnp.int32)
+    # out-state suffix backoffs: suffix j of the out state == full suffix j
+    # (valid for j <= out_n); right-aligned at column ctx_width - j
+    out_bo_cols = []
+    for col in range(ctx_width):
+        j = ctx_width - col
+        bo = jnp.where(
+            (j <= out_n) & found[:, j - 1], backoff[:, j - 1], 0.0
+        )
+        out_bo_cols.append(bo)
+    out_backoffs = jnp.stack(out_bo_cols, axis=1).astype(jnp.float32)
+    return score, out_ctx.astype(jnp.int32), out_n.astype(jnp.int32), out_backoffs

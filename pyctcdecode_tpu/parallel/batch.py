@@ -123,16 +123,16 @@ class ShardedCTCDecoder:
             cfg = d._engine_cfg(beam_width, k, prune_history, use_hotwords=False)
             raw6 = make_decode_fn(cfg, d._tokens, d._device_lm)
 
-            def raw(lp, nf, pr, c0, cl):
-                return raw6(lp, nf, pr, c0, cl, None)
+            def raw(lp, nf, pr, c0):
+                return raw6(lp, nf, pr, c0, None)
 
-            vfn = jax.vmap(raw, in_axes=(0, 0, None, None, None))
+            vfn = jax.vmap(raw, in_axes=(0, 0, None, None))
             axis = self._axis
             fn = jax.jit(
                 shard_map(
                     vfn,
                     mesh=self._mesh,
-                    in_specs=(P(axis), P(axis), P(), P(), P()),
+                    in_specs=(P(axis), P(axis), P(), P()),
                     out_specs=P(axis),
                     check_rep=False,
                 )
@@ -169,13 +169,12 @@ class ShardedCTCDecoder:
         n_frames[:n] = lens
         fn = self._get_fn(t_pad, beam_width, k, prune_history)
         params = d._params_vector(token_min_logp, beam_prune_logp)
-        ctx0, ctx0_len = d._start_ctx(None)
+        start = d._start_ctx(None)
         out = fn(
             jnp.asarray(logp),
             jnp.asarray(n_frames),
             jnp.asarray(params),
-            ctx0,
-            ctx0_len,
+            start,
         )
         host = {
             key: (

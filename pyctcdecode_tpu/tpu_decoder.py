@@ -209,7 +209,14 @@ class TPUBeamSearchDecoderCTC:
             self._lm.reset_params(**kwargs)
 
     # -- compiled-function cache -------------------------------------------
-    def _engine_cfg(self, beam_width: int, k: int, prune_history: bool, use_hotwords: bool) -> EngineConfig:
+    def _engine_cfg(
+        self,
+        beam_width: int,
+        k: int,
+        prune_history: bool,
+        use_hotwords: bool,
+        emit_paths: Optional[int] = None,
+    ) -> EngineConfig:
         orders = tuple(m.order for m in self._lm_members)
         return EngineConfig(
             beam_width=beam_width,
@@ -221,6 +228,7 @@ class TPUBeamSearchDecoderCTC:
             prune_history=prune_history,
             use_hotwords=use_hotwords,
             orders=orders,
+            emit_paths=emit_paths,
         )
 
     def _get_fn(
@@ -231,16 +239,19 @@ class TPUBeamSearchDecoderCTC:
         prune_history: bool,
         batch: int,
         use_hotwords: bool = False,
+        emit_paths: Optional[int] = None,
     ):
         import jax
 
-        key = (t_pad, beam_width, k, prune_history, batch, use_hotwords)
+        key = (t_pad, beam_width, k, prune_history, batch, use_hotwords, emit_paths)
         fn = self._fn_cache.get(key)
         if fn is None:
-            cfg = self._engine_cfg(beam_width, k, prune_history, use_hotwords)
+            cfg = self._engine_cfg(
+                beam_width, k, prune_history, use_hotwords, emit_paths
+            )
             raw = make_decode_fn(cfg, self._tokens, self._device_lm)
             if batch > 1:
-                raw = jax.vmap(raw, in_axes=(0, 0, None, None, None, None))
+                raw = jax.vmap(raw, in_axes=(0, 0, None, None, None))
             fn = jax.jit(raw)
             self._fn_cache[key] = fn
         return fn
@@ -316,8 +327,8 @@ class TPUBeamSearchDecoderCTC:
         init_fn, _, _ = self._get_stream_fns(
             beam_width, k, prune_history, hotwords_enabled
         )
-        ctx0, ctx0_len = self._start_ctx(lm_start_state)
-        state = init_fn(ctx0, ctx0_len)
+        start = self._start_ctx(lm_start_state)
+        state = init_fn(start)
         return DeviceStreamState(
             beam_state=state,
             chunks=[],
@@ -499,14 +510,13 @@ class TPUBeamSearchDecoderCTC:
             ]
         return np.array(vals, dtype=np.float32)
 
-    def _start_ctx(
-        self, lm_start_state: Optional[AbstractLMState]
-    ) -> Tuple[tuple, tuple]:
-        """Per-LM-member (context array, context length) start tuples."""
+    def _start_ctx(self, lm_start_state: Optional[AbstractLMState]) -> tuple:
+        """Per-LM-member start dicts ({"ctx", "len", "bo"}) for the engine."""
         from .models.base import MultiLMState
+        from .models.device_tables import context_suffix_backoffs
 
         if not self._lm_members:
-            return (), ()
+            return ()
         if lm_start_state is None:
             states = [m.get_start_state() for m in self._lm_members]
         elif isinstance(lm_start_state, MultiLMState):
@@ -518,8 +528,8 @@ class TPUBeamSearchDecoderCTC:
                 )
         else:
             states = [lm_start_state]
-        ctxs, lens = [], []
-        for m, state in zip(self._lm_members, states):
+        start = []
+        for m, dlm, state in zip(self._lm_members, self._device_lm, states):
             if not isinstance(state, NGramLMState):
                 raise AssertionError(
                     f"Expected NGramLMState, got {type(state)}"
@@ -529,9 +539,11 @@ class TPUBeamSearchDecoderCTC:
             words = state.context[-(width):] if m.order > 1 else ()
             for i, wid in enumerate(words):
                 ctx[width - len(words) + i] = wid
-            ctxs.append(ctx)
-            lens.append(np.int32(len(words)))
-        return tuple(ctxs), tuple(lens)
+            bo = context_suffix_backoffs(dlm.table, dlm.order, words)
+            start.append(
+                {"ctx": ctx, "len": np.int32(len(words)), "bo": bo}
+            )
+        return tuple(start)
 
     # -- output assembly -----------------------------------------------------
     def _build_outputs(
@@ -540,25 +552,34 @@ class TPUBeamSearchDecoderCTC:
         n_frames: int,
         top_n: Optional[int] = None,
     ) -> List[OutputBeam]:
-        parents = np.asarray(out["parents"])  # [Tp, B]
-        trace = np.asarray(out["trace"])  # [Tp, B]
         beam_src = np.asarray(out["beam_src"])  # [B]
         logit = np.asarray(out["logit"])
         lm_score = np.asarray(out["lm_score"])
         ctxs = tuple(np.asarray(c) for c in out["ctx"])  # per-LM-member
         ctx_lens = tuple(np.asarray(c) for c in out["ctx_len"])
-        t_pad = parents.shape[0]
 
         limit = len(beam_src) if top_n is None else min(top_n, len(beam_src))
-        n_live = 0
-        while n_live < limit and lm_score[n_live] > -1.0e29:
-            n_live += 1
-        # vectorized backtrace over all returned ranks at once
-        toks_all = np.empty((t_pad, n_live), dtype=np.int64)
-        cur = beam_src[:n_live].astype(np.int64)
-        for t in range(t_pad - 1, -1, -1):
-            toks_all[t] = trace[t, cur]
-            cur = parents[t, cur]
+        if "paths" in out:
+            paths = np.asarray(out["paths"])  # [N, Tp] device-backtraced
+            limit = min(limit, paths.shape[0])
+            t_pad = paths.shape[1]
+            n_live = 0
+            while n_live < limit and lm_score[n_live] > -1.0e29:
+                n_live += 1
+            toks_all = paths[:n_live].T
+        else:
+            parents = np.asarray(out["parents"])  # [Tp, B]
+            trace = np.asarray(out["trace"])  # [Tp, B]
+            t_pad = parents.shape[0]
+            n_live = 0
+            while n_live < limit and lm_score[n_live] > -1.0e29:
+                n_live += 1
+            # vectorized backtrace over all returned ranks at once
+            toks_all = np.empty((t_pad, n_live), dtype=np.int64)
+            cur = beam_src[:n_live].astype(np.int64)
+            for t in range(t_pad - 1, -1, -1):
+                toks_all[t] = trace[t, cur]
+                cur = parents[t, cur]
 
         results: List[OutputBeam] = []
         for rank in range(n_live):
@@ -636,16 +657,21 @@ class TPUBeamSearchDecoderCTC:
         logp_pad = np.full((t_pad, v), 0.0, dtype=np.float32)
         logp_pad[:t] = logp
         fn = self._get_fn(
-            t_pad, beam_width, k, prune_history, batch=1, use_hotwords=hot is not None
+            t_pad,
+            beam_width,
+            k,
+            prune_history,
+            batch=1,
+            use_hotwords=hot is not None,
+            emit_paths=(min(top_n, beam_width) if top_n is not None else None),
         )
         params = self._params_vector(token_min_logp, beam_prune_logp, weight)
-        ctx0, ctx0_len = self._start_ctx(lm_start_state)
+        start = self._start_ctx(lm_start_state)
         out = fn(
             self._jnp.asarray(logp_pad),
             np.int32(t),
             self._jnp.asarray(params),
-            ctx0,
-            ctx0_len,
+            start,
             hot,
         )
         return self._build_outputs(out, n_frames=t, top_n=top_n)
@@ -715,15 +741,15 @@ class TPUBeamSearchDecoderCTC:
         fn = self._get_fn(
             t_pad, beam_width, k, prune_history, batch=n_pad,
             use_hotwords=hot is not None,
+            emit_paths=(min(top_n, beam_width) if top_n is not None else None),
         )
         params = self._params_vector(token_min_logp, beam_prune_logp, weight)
-        ctx0, ctx0_len = self._start_ctx(None)
+        start = self._start_ctx(None)
         out = fn(
             self._jnp.asarray(logp),
             self._jnp.asarray(n_frames),
             self._jnp.asarray(params),
-            ctx0,
-            ctx0_len,
+            start,
             hot,
         )
         host = {

@@ -99,10 +99,36 @@ class TestDeviceNGramTables(unittest.TestCase):
         ctxs = jnp.asarray(np.stack([q[0] for q in queries]))
         lens = jnp.asarray(np.array([q[1] for q in queries], np.int32))
         wids = jnp.asarray(np.array([q[2] for q in queries], np.int32))
-        raw, octx, olen = lm_score_words_jnp(
+        raw, octx, olen, obo = lm_score_words_jnp(
             dev, dlm.order, dlm.unk_prob10, ctxs, lens, wids
         )
         raw, octx, olen = np.asarray(raw), np.asarray(octx), np.asarray(olen)
+        # carried-backoff path must agree with the stateless path
+        raw2, octx2, olen2, _ = lm_score_words_jnp(
+            dev,
+            dlm.order,
+            dlm.unk_prob10,
+            ctxs,
+            lens,
+            wids,
+            jnp.asarray(
+                np.stack(
+                    [
+                        __import__(
+                            "pyctcdecode_tpu.models.device_tables",
+                            fromlist=["context_suffix_backoffs"],
+                        ).context_suffix_backoffs(
+                            dlm.table,
+                            dlm.order,
+                            tuple(int(w) for w in q[0][q[0] >= 0]),
+                        )
+                        for q in queries
+                    ]
+                )
+            ),
+        )
+        np.testing.assert_allclose(np.asarray(raw2), raw, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(olen2), olen)
         for i, (score, out) in enumerate(expected):
             self.assertAlmostEqual(float(raw[i]), score, places=5)
             self.assertEqual(int(olen[i]), len(out))
