@@ -271,6 +271,77 @@ class TestDeviceEngineWithLM(unittest.TestCase):
         _assert_beams_match(self, hb, db, check_rank=2)
 
 
+class TestDeviceTrigramLM(unittest.TestCase):
+    """Order-3 LM on device (multi-suffix backoff carry, longer contexts)."""
+
+    @classmethod
+    def setUpClass(cls):
+        import tempfile
+
+        from .test_native import _random_arpa
+
+        cls._tmp = tempfile.mkdtemp()
+        cls.arpa = os.path.join(cls._tmp, "tri.arpa")
+        _random_arpa(cls.arpa, seed=5, order=3, n_words=20)
+
+    @classmethod
+    def tearDownClass(cls):
+        import shutil
+
+        shutil.rmtree(cls._tmp, ignore_errors=True)
+        BeamSearchDecoderCTC.clear_class_models()
+
+    def _lm(self):
+        # vocab words w0..w19 are not spellable with the sample alphabet,
+        # so give the model a few spellable unigrams too
+        import random
+
+        rng = random.Random(0)
+        words = [f"w{i}" for i in range(20)]
+        spellable = ["bugs", "bunny", "bun", "guy", "sun"]
+        with open(self.arpa) as fh:
+            text = fh.read()
+        for w, s in zip(words[: len(spellable)], spellable):
+            text = text.replace(f"\t{w}\t", f"\t{s}\t").replace(f" {w}\n", f" {s}\n")
+            text = text.replace(f"\t{w} ", f"\t{s} ").replace(f" {w} ", f" {s} ")
+        path = os.path.join(self._tmp, "tri_spellable.arpa")
+        with open(path, "w") as fh:
+            fh.write(text)
+        return LanguageModel(
+            NGramModel.from_file(path),
+            spellable,
+            alpha=0.7,
+            beta=1.0,
+            unk_score_offset=-3.0,
+        )
+
+    def test_trigram_fuzz_parity(self):
+        lm = self._lm()
+        host = BeamSearchDecoderCTC(_sample_alphabet(), lm)
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet(), lm)
+        self.assertEqual(lm.order, 3)
+        rng = np.random.RandomState(31)
+        for _ in range(6):
+            mat = rng.randn(rng.randint(4, 40), len(SAMPLE_LABELS)) * 2.0
+            hb = host.decode_beams(mat, beam_width=6)
+            db = dev.decode_beams(mat, beam_width=6)
+            _assert_beams_match(self, hb, db, check_rank=2)
+
+    def test_trigram_stateful_chaining(self):
+        lm = self._lm()
+        host = BeamSearchDecoderCTC(_sample_alphabet(), lm)
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet(), lm)
+        rng = np.random.RandomState(33)
+        mat = rng.randn(20, len(SAMPLE_LABELS)) * 2.0
+        h1 = host.decode_beams(mat, beam_width=6)[0]
+        d1 = dev.decode_beams(mat, beam_width=6)[0]
+        self.assertEqual(h1.last_lm_state, d1.last_lm_state)
+        h2 = host.decode_beams(mat, beam_width=6, lm_start_state=h1.last_lm_state)[0]
+        d2 = dev.decode_beams(mat, beam_width=6, lm_start_state=d1.last_lm_state)[0]
+        self.assertEqual(h2.text, d2.text)
+        self.assertAlmostEqual(h2.lm_score, d2.lm_score, delta=SCORE_TOL)
+
+
 @pytest.mark.skipif(not os.path.exists(ARPA), reason="reference fixtures absent")
 class TestDeviceMultiLM(unittest.TestCase):
     """Device multi-LM averaging (ref language_model.py:455-502)."""
@@ -369,6 +440,28 @@ class TestDeviceEngineLibri(unittest.TestCase):
         self.assertEqual(hb.text, db.text)
         self.assertEqual(hb.text_frames, db.text_frames)
         self.assertAlmostEqual(hb.logit_score, db.logit_score, delta=SCORE_TOL)
+        BeamSearchDecoderCTC.clear_class_models()
+
+    @pytest.mark.skipif(
+        not os.path.exists(os.path.join(SAMPLE_DATA, "libri_logits.json")),
+        reason="reference fixtures absent",
+    )
+    def test_libri_spoofed_bpe(self):
+        """Realistic-size BPE alphabet on device (ref test_decoder.py:756-770)."""
+        from pyctcdecode_tpu.alphabet import BPE_TOKEN, UNK_BPE_TOKEN
+
+        with open(os.path.join(SAMPLE_DATA, "libri_logits.json")) as fh:
+            logits = np.array(json.load(fh))
+        labels_bpe = [UNK_BPE_TOKEN, BPE_TOKEN] + ["##" + c for c in LIBRI_LABELS[1:]]
+        unk_col = np.full((logits.shape[0], 1), -100.0)
+        logits_bpe = np.hstack([unk_col, logits])
+        alphabet = Alphabet.build_alphabet(labels_bpe + [""])
+        host = BeamSearchDecoderCTC(alphabet)
+        dev = TPUBeamSearchDecoderCTC(alphabet)
+        ht = host.decode(logits_bpe)
+        dt = dev.decode(logits_bpe)
+        self.assertEqual(dt, LIBRI_TRANSCRIPT)
+        self.assertEqual(ht, dt)
         BeamSearchDecoderCTC.clear_class_models()
 
 
