@@ -586,20 +586,24 @@ def _make_step(
         merged_flat = jnp.where(rep, merged.reshape(c), DEAD)
         live = merged_flat > DEAD_THRESH
 
+        # every member of a merge group shares (text, partial), hence the
+        # same fused accumulator and partial score — use each candidate's
+        # OWN values rather than gathering the donor's (the [C]-wide donor
+        # gathers were the single hottest ops on TPU)
         if n_lms or cfg.use_hotwords:
             pscore = _partial_score(
                 jnp,
                 cfg,
                 hot,
                 prm,
-                [fields[f"p_flags{i}"][src_flat] for i in range(n_lms)],
-                fields["h_node"][src_flat] if cfg.use_hotwords else None,
-                fields["h_bits"][src_flat] if cfg.use_hotwords else None,
-                fields["p_len"][src_flat],
+                [fields[f"p_flags{i}"] for i in range(n_lms)],
+                fields["h_node"] if cfg.use_hotwords else None,
+                fields["h_bits"] if cfg.use_hotwords else None,
+                fields["p_len"],
             )
-            extra = fields["fused"][src_flat] + pscore
+            extra = fields["fused"] + pscore
         else:
-            extra = fields["fused"][src_flat]
+            extra = fields["fused"]
         lm_score_flat = jnp.where(live, merged_flat + extra, DEAD)
 
         top_scores, top_logit, src = _rank(
