@@ -119,12 +119,29 @@ def _mix_key(jnp, a, b, c, d):
     return h * jnp.uint32(0x01000193) ^ d
 
 
-def _build_dev_tables(
+def _normalize_members(
+    device_lms: Union[None, DeviceLM, Sequence[DeviceLM]],
+) -> List[DeviceLM]:
+    if device_lms is None:
+        return []
+    if isinstance(device_lms, DeviceLM):
+        return [device_lms]
+    return list(device_lms)
+
+
+def build_table_args(
     jnp,
     tokens: TokenArrays,
     device_lms: Union[None, DeviceLM, Sequence[DeviceLM]],
 ):
-    tok_dev = {
+    """Device arrays passed as *runtime inputs* to the compiled decode.
+
+    Embedding multi-hundred-MB LM tables as HLO constants bloats the
+    executable (and breaks remote-compile payload limits), so every large
+    array rides as an argument; only shape-relevant scalars stay static
+    (see :func:`build_table_meta`). Build once per decoder and reuse.
+    """
+    tok = {
         "kind": jnp.asarray(tokens.kind),
         "piece_len": jnp.asarray(tokens.piece_len),
         "raw_chars": jnp.asarray(tokens.raw_chars),
@@ -133,22 +150,51 @@ def _build_dev_tables(
         "seed_lo": jnp.asarray(tokens.seed_hash_lo),
         "seed_hi": jnp.asarray(tokens.seed_hash_hi),
     }
-    if device_lms is None:
-        members: List[DeviceLM] = []
-    elif isinstance(device_lms, DeviceLM):
-        members = [device_lms]
-    else:
-        members = list(device_lms)
-    devs = []
-    for dlm in members:
+    lms = []
+    for dlm in _normalize_members(device_lms):
         dev = dlm.as_device()
-        dev["unk_id"] = dlm.unk_id
-        dev["eos_id"] = dlm.eos_id
-        dev["unk_prob10"] = np.float32(dlm.unk_prob10)
-        dev["has_unigrams"] = dlm.has_unigrams
-        dev["seed_node_arr"] = dev["seed_node"]
+        lms.append(
+            {
+                "trie_next": dev["trie_next"],
+                "trie_word_id": dev["trie_word_id"],
+                "seed_node_arr": dev["seed_node"],
+                "utable": {
+                    "keys": dev["utable"]["keys"],
+                    "vals": dev["utable"]["vals"],
+                },
+            }
+        )
+    return {"tok": tok, "lms": lms}
+
+
+def build_table_meta(
+    device_lms: Union[None, DeviceLM, Sequence[DeviceLM]],
+) -> List[Dict]:
+    """Static per-member scalars (closed over by the compiled program)."""
+    meta = []
+    for dlm in _normalize_members(device_lms):
+        meta.append(
+            {
+                "unk_id": dlm.unk_id,
+                "eos_id": dlm.eos_id,
+                "unk_prob10": np.float32(dlm.unk_prob10),
+                "has_unigrams": dlm.has_unigrams,
+                "max_probes": dlm.table.max_probes,
+            }
+        )
+    return meta
+
+
+def _merge_tables(tabs, meta):
+    """Per-call view: runtime arrays + static scalars as one dev dict."""
+    devs = []
+    for arrs, m in zip(tabs["lms"], meta):
+        dev = dict(arrs)
+        dev.update(m)
+        dev["utable"] = dict(arrs["utable"])
+        dev["utable"]["max_probes"] = m["max_probes"]
         devs.append(dev)
-    return tok_dev, devs
+    return tabs["tok"], devs
 
 
 def _params_dict(cfg: EngineConfig, params):
@@ -326,6 +372,32 @@ def _merge_dense(jnp, keys, valid, logit):
     merged = m + jnp.log(tot)
     donor = jnp.max(jnp.where(eq, idx[None, :], -1), axis=-1)
     return merged, dup, jnp.maximum(donor, 0)
+
+
+def _gather_fields(jnp, fields: Dict, src):
+    """Gather every per-candidate field at ``src`` with one gather per dtype.
+
+    Small-array gathers cost ~fixed time per op on TPU; ~20 per-field
+    gathers dominate the selection step. Packing same-dtype fields into one
+    [C, F] matrix turns them into a handful of row-gathers.
+    """
+    out = {}
+    groups: Dict[str, List[str]] = {}
+    for key, arr in fields.items():
+        if arr.ndim != 1:
+            out[key] = arr[src]  # already a row-gather
+            continue
+        kind = "u32" if arr.dtype == jnp.uint32 else (
+            "f32" if arr.dtype == jnp.float32 else "i32"
+        )
+        groups.setdefault(kind, []).append(key)
+    casts = {"u32": jnp.uint32, "f32": jnp.float32, "i32": jnp.int32}
+    for kind, keys in groups.items():
+        mat = jnp.stack([fields[k].astype(casts[kind]) for k in keys], axis=1)
+        gathered = mat[src]
+        for col, key in enumerate(keys):
+            out[key] = gathered[:, col].astype(fields[key].dtype)
+    return out
 
 
 def _rank(jnp, cfg, lm_score_flat, logit_flat, src_flat, beam_prune_logp):
@@ -613,7 +685,7 @@ def _make_step(
         parent = (src % b).astype(jnp.int32)
         token_sel = toks[src // b].astype(jnp.int32)
 
-        new_state = {key: fields[key][src] for key in fields}
+        new_state = _gather_fields(jnp, fields, src)
         new_state["logit"] = jnp.where(sel_alive, top_logit, DEAD)
         new_state["last_tok"] = jnp.where(
             sel_alive, new_state["last_tok"], -2 - jnp.arange(b, dtype=jnp.int32)
@@ -825,10 +897,11 @@ def make_decode_fn(
     import jax
     import jax.numpy as jnp
 
-    tok_dev, devs = _build_dev_tables(jnp, tokens, device_lms)
+    meta = build_table_meta(device_lms)
 
-    def decode(logp, n_frames, params, start, hot=None):
+    def decode(logp, n_frames, params, start, tabs, hot=None):
         """Full-utterance decode: scan all frames, then finalize."""
+        tok_dev, devs = _merge_tables(tabs, meta)
         prm = _params_dict(cfg, params)
         state0 = _init_state(jnp, cfg, start)
         step = _make_step(jnp, cfg, tok_dev, devs, hot, prm, n_frames)
@@ -886,22 +959,24 @@ def make_stream_fns(
     import jax
     import jax.numpy as jnp
 
-    tok_dev, devs = _build_dev_tables(jnp, tokens, device_lms)
+    meta = build_table_meta(device_lms)
 
     def init_fn(start):
         """Fresh beam state for a new stream."""
         return _init_state(jnp, cfg, start)
 
-    def chunk_fn(state, logp, n_frames, params, hot=None):
+    def chunk_fn(state, logp, n_frames, params, tabs, hot=None):
         """Scan one logit chunk, returning the new state and backpointers."""
+        tok_dev, devs = _merge_tables(tabs, meta)
         prm = _params_dict(cfg, params)
         step = _make_step(jnp, cfg, tok_dev, devs, hot, prm, n_frames)
         t_idx = jnp.arange(logp.shape[0], dtype=jnp.int32)
         state1, (parents, trace) = jax.lax.scan(step, state, (logp, t_idx))
         return state1, parents, trace
 
-    def finalize_fn(state, params, do_commit, is_end, hot=None):
+    def finalize_fn(state, params, do_commit, is_end, tabs, hot=None):
         """Rank the current hypotheses (traced commit/eos flags)."""
+        _, devs = _merge_tables(tabs, meta)
         prm = _params_dict(cfg, params)
         return _finalize(
             jnp, cfg, devs, hot, prm, state, do_commit > 0.5, is_end > 0.5

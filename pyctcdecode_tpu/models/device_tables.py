@@ -42,8 +42,9 @@ HOT_MINCOMP_SHIFT = 20
 HOT_MINCOMP_MAX = 1023
 HOT_WORD_BIT = 1 << 30
 # every lookup gathers the table's *max* displacement worth of slots, so a
-# long probe chain taxes all queries; cap it and grow the table instead
-_MAX_PROBES = 8
+# long probe chain taxes all queries; cap it hard and grow the table
+# instead (load factor drops to ~0.25 in the worst case)
+_MAX_PROBES = 4
 
 
 # --------------------------------------------------------------------------
@@ -174,8 +175,9 @@ def lookup_jnp(table_dev: Dict, query: "object", valid: "object"):
     found = jnp.any(hit, axis=-1)
     sel = jnp.argmax(hit, axis=-1)
     slot = jnp.take_along_axis(idx, sel[:, None], axis=1)[:, 0]
-    prob = jnp.where(found, table_dev["probs"][slot], 0.0)
-    backoff = jnp.where(found, table_dev["backoffs"][slot], 0.0)
+    vals = table_dev["vals"][slot]  # [Q, 2]: (prob, backoff) in one gather
+    prob = jnp.where(found, vals[:, 0], 0.0)
+    backoff = jnp.where(found, vals[:, 1], 0.0)
     return found, prob, backoff
 
 
@@ -347,8 +349,9 @@ class DeviceLM:
         return {
             "utable": {
                 "keys": jnp.asarray(self.table.keys),
-                "probs": jnp.asarray(self.table.probs),
-                "backoffs": jnp.asarray(self.table.backoffs),
+                "vals": jnp.asarray(
+                    np.stack([self.table.probs, self.table.backoffs], axis=1)
+                ),
                 "max_probes": self.table.max_probes,
             },
             "trie_next": jnp.asarray(packed),

@@ -123,16 +123,16 @@ class ShardedCTCDecoder:
             cfg = d._engine_cfg(beam_width, k, prune_history, use_hotwords=False)
             raw6 = make_decode_fn(cfg, d._tokens, d._device_lm)
 
-            def raw(lp, nf, pr, c0):
-                return raw6(lp, nf, pr, c0, None)
+            def raw(lp, nf, pr, c0, tabs):
+                return raw6(lp, nf, pr, c0, tabs, None)
 
-            vfn = jax.vmap(raw, in_axes=(0, 0, None, None))
+            vfn = jax.vmap(raw, in_axes=(0, 0, None, None, None))
             axis = self._axis
             fn = jax.jit(
                 shard_map(
                     vfn,
                     mesh=self._mesh,
-                    in_specs=(P(axis), P(axis), P(), P()),
+                    in_specs=(P(axis), P(axis), P(), P(), P()),
                     out_specs=P(axis),
                     check_rep=False,
                 )
@@ -175,6 +175,7 @@ class ShardedCTCDecoder:
             jnp.asarray(n_frames),
             jnp.asarray(params),
             start,
+            d._tabs,
         )
         host = {
             key: (

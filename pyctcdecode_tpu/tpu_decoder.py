@@ -32,7 +32,13 @@ from .constants import (
     DEFAULT_PRUNE_LOGP,
 )
 from .decoder import NULL_FRAMES, LMBeam, OutputBeam, _normalize_whitespace
-from .engine import DEAD_THRESH, EngineConfig, make_decode_fn, make_stream_fns
+from .engine import (
+    DEAD_THRESH,
+    EngineConfig,
+    build_table_args,
+    make_decode_fn,
+    make_stream_fns,
+)
 from .models.base import AbstractLMState, NGramLMState
 from .models.device_tables import build_device_lm
 from .models.language_model import LanguageModel
@@ -195,6 +201,9 @@ class TPUBeamSearchDecoderCTC:
         self._device_lm = [
             build_device_lm(m, self._tokens) for m in self._lm_members
         ] or None
+        # table arrays are runtime inputs to the compiled programs (uploaded
+        # once here, never baked into executables)
+        self._tabs = build_table_args(jnp, self._tokens, self._device_lm)
         self._fn_cache: Dict[Any, Any] = {}
         self._jnp = jnp
 
@@ -251,7 +260,7 @@ class TPUBeamSearchDecoderCTC:
             )
             raw = make_decode_fn(cfg, self._tokens, self._device_lm)
             if batch > 1:
-                raw = jax.vmap(raw, in_axes=(0, 0, None, None, None))
+                raw = jax.vmap(raw, in_axes=(0, 0, None, None, None, None))
             fn = jax.jit(raw)
             self._fn_cache[key] = fn
         return fn
@@ -422,7 +431,7 @@ class TPUBeamSearchDecoderCTC:
             logp_pad[:t] = normalize_host(logits_chunk)
         state1, parents, trace = chunk_fn(
             ss.beam_state, self._jnp.asarray(logp_pad), np.int32(t),
-            self._jnp.asarray(params), hot,
+            self._jnp.asarray(params), self._tabs, hot,
         )
         if t:
             ss.chunks.append(
@@ -434,6 +443,7 @@ class TPUBeamSearchDecoderCTC:
             self._jnp.asarray(params),
             np.float32(1.0 if committed else 0.0),
             np.float32(1.0 if is_end else 0.0),
+            self._tabs,
             hot,
         )
         beam_src = np.asarray(fin["src"])
@@ -672,6 +682,7 @@ class TPUBeamSearchDecoderCTC:
             np.int32(t),
             self._jnp.asarray(params),
             start,
+            self._tabs,
             hot,
         )
         return self._build_outputs(out, n_frames=t, top_n=top_n)
@@ -750,6 +761,7 @@ class TPUBeamSearchDecoderCTC:
             self._jnp.asarray(n_frames),
             self._jnp.asarray(params),
             start,
+            self._tabs,
             hot,
         )
         host = {
