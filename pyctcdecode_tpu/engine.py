@@ -925,6 +925,7 @@ def make_decode_fn(
             r = cfg.emit_paths
 
             def back(cur, xs):
+                """One reverse step: follow parents, emit chosen tokens."""
                 par_t, tok_t = xs
                 return par_t[cur], tok_t[cur]
 
