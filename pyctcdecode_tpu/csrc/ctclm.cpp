@@ -29,7 +29,7 @@ constexpr uint32_t kFnvPrime = 16777619u;
 constexpr int kMinTable = 8;
 // lookups pay the table's max displacement on every probe window; cap it
 // and grow the table instead (matches models/device_tables.py)
-constexpr int kMaxProbes = 4;
+constexpr int kMaxProbes = 8;
 
 inline uint32_t fnv1a(const int32_t* ids, int n) {
   uint32_t h = kFnvOffset;

@@ -385,7 +385,7 @@ def _gather_fields(jnp, fields: Dict, src):
     groups: Dict[str, List[str]] = {}
     for key, arr in fields.items():
         if arr.ndim != 1:
-            out[key] = arr[src]  # already a row-gather
+            out[key] = arr[src]  # multi-column fields are row-gathers already
             continue
         kind = "u32" if arr.dtype == jnp.uint32 else (
             "f32" if arr.dtype == jnp.float32 else "i32"
@@ -393,6 +393,8 @@ def _gather_fields(jnp, fields: Dict, src):
         groups.setdefault(kind, []).append(key)
     casts = {"u32": jnp.uint32, "f32": jnp.float32, "i32": jnp.int32}
     for kind, keys in groups.items():
+        # NOTE: stacking scalars works well; concatenating 2-D fields into
+        # the group matrix regresses badly on TPU (layout churn) — measured.
         mat = jnp.stack([fields[k].astype(casts[kind]) for k in keys], axis=1)
         gathered = mat[src]
         for col, key in enumerate(keys):

@@ -42,9 +42,10 @@ HOT_MINCOMP_SHIFT = 20
 HOT_MINCOMP_MAX = 1023
 HOT_WORD_BIT = 1 << 30
 # every lookup gathers the table's *max* displacement worth of slots, so a
-# long probe chain taxes all queries; cap it hard and grow the table
-# instead (load factor drops to ~0.25 in the worst case)
-_MAX_PROBES = 4
+# long probe chain taxes all queries; cap it and grow the table instead.
+# 8 balances probe-window width against table size (growing the table to
+# force smaller windows hurts gather locality more than it saves rows)
+_MAX_PROBES = 8
 
 
 # --------------------------------------------------------------------------
