@@ -90,6 +90,9 @@ class EngineConfig:
     # raw [T, B] backpointer matrices (slashes device->host transfer for
     # top-1 decoding); None emits the full pointers
     emit_paths: Optional[int] = None
+    # fuse the per-frame merge + prune + top-k into one Pallas kernel
+    # (ops/pallas_merge.py); interpret mode is selected automatically off-TPU
+    use_pallas_merge: bool = False
 
     @property
     def lm_orders(self) -> Tuple[int, ...]:
@@ -650,15 +653,16 @@ def _make_step(
 
         # ---- block-diagonal merge: [K, B] layout
         to_kb = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
-        merged, dup, donor = _merge_dense(
-            jnp, [to_kb(kl), to_kb(kh)], to_kb(valid), to_kb(logit_n)
-        )
-        src_flat = (
-            jnp.arange(k, dtype=jnp.int32)[:, None] * b + donor
-        ).reshape(c)
-        rep = (to_kb(valid) & ~dup).reshape(c)
-        merged_flat = jnp.where(rep, merged.reshape(c), DEAD)
-        live = merged_flat > DEAD_THRESH
+        if not cfg.use_pallas_merge:
+            merged, dup, donor = _merge_dense(
+                jnp, [to_kb(kl), to_kb(kh)], to_kb(valid), to_kb(logit_n)
+            )
+            src_flat = (
+                jnp.arange(k, dtype=jnp.int32)[:, None] * b + donor
+            ).reshape(c)
+            rep = (to_kb(valid) & ~dup).reshape(c)
+            merged_flat = jnp.where(rep, merged.reshape(c), DEAD)
+            live = merged_flat > DEAD_THRESH
 
         # every member of a merge group shares (text, partial), hence the
         # same fused accumulator and partial score — use each candidate's
@@ -678,11 +682,24 @@ def _make_step(
             extra = fields["fused"] + pscore
         else:
             extra = fields["fused"]
-        lm_score_flat = jnp.where(live, merged_flat + extra, DEAD)
+        if cfg.use_pallas_merge:
+            from .ops.pallas_merge import merge_rank_pallas
 
-        top_scores, top_logit, src = _rank(
-            jnp, cfg, lm_score_flat, merged_flat, src_flat, prm["beam_prune_logp"]
-        )
+            top_scores, top_logit, src = merge_rank_pallas(
+                to_kb(kl),
+                to_kb(kh),
+                to_kb(valid),
+                to_kb(logit_n),
+                extra.reshape(k, b),
+                prm["beam_prune_logp"],
+                cfg.beam_width,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            lm_score_flat = jnp.where(live, merged_flat + extra, DEAD)
+            top_scores, top_logit, src = _rank(
+                jnp, cfg, lm_score_flat, merged_flat, src_flat, prm["beam_prune_logp"]
+            )
         sel_alive = top_scores > DEAD_THRESH
         parent = (src % b).astype(jnp.int32)
         token_sel = toks[src // b].astype(jnp.int32)

@@ -176,11 +176,13 @@ class TPUBeamSearchDecoderCTC:
         self,
         alphabet: Alphabet,
         language_model: Optional[LanguageModel] = None,
+        use_pallas_merge: bool = False,
     ) -> None:
         import jax.numpy as jnp
 
         from .models.language_model import MultiLanguageModel
 
+        self._use_pallas_merge = use_pallas_merge
         self._alphabet = alphabet
         self._labels = alphabet.labels
         self._lm = language_model
@@ -238,6 +240,7 @@ class TPUBeamSearchDecoderCTC:
             use_hotwords=use_hotwords,
             orders=orders,
             emit_paths=emit_paths,
+            use_pallas_merge=self._use_pallas_merge,
         )
 
     def _get_fn(

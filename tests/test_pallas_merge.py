@@ -1,0 +1,50 @@
+"""Pallas fused merge+rank kernel parity (interpret mode on CPU)."""
+import os
+import unittest
+
+import numpy as np
+import pytest
+
+from pyctcdecode_tpu import Alphabet, BeamSearchDecoderCTC, LanguageModel
+from pyctcdecode_tpu.models.ngram import NGramModel
+from pyctcdecode_tpu.tpu_decoder import TPUBeamSearchDecoderCTC
+
+from .helpers import SAMPLE_LABELS, TEST_PROBS, TEST_UNIGRAMS
+
+ARPA = "/root/reference/pyctcdecode/tests/sample_data/bugs_bunny_kenlm.arpa"
+SCORE_TOL = 2e-3
+
+
+class TestPallasMerge(unittest.TestCase):
+    def tearDown(self):
+        BeamSearchDecoderCTC.clear_class_models()
+
+    def test_no_lm_parity(self):
+        alphabet = Alphabet.build_alphabet(SAMPLE_LABELS)
+        host = BeamSearchDecoderCTC(alphabet)
+        dev = TPUBeamSearchDecoderCTC(alphabet, use_pallas_merge=True)
+        rng = np.random.RandomState(41)
+        for _ in range(4):
+            mat = rng.randn(rng.randint(2, 25), len(SAMPLE_LABELS)) * 2.0
+            hb = host.decode_beams(mat, beam_width=6)
+            db = dev.decode_beams(mat, beam_width=6)
+            self.assertEqual(hb[0].text, db[0].text)
+            self.assertAlmostEqual(hb[0].lm_score, db[0].lm_score, delta=SCORE_TOL)
+
+    @pytest.mark.skipif(not os.path.exists(ARPA), reason="reference fixtures absent")
+    def test_lm_parity(self):
+        lm = LanguageModel(
+            NGramModel.from_file(ARPA), TEST_UNIGRAMS, alpha=1.0, unk_score_offset=0.0
+        )
+        alphabet = Alphabet.build_alphabet(SAMPLE_LABELS)
+        host = BeamSearchDecoderCTC(alphabet, lm)
+        dev = TPUBeamSearchDecoderCTC(alphabet, lm, use_pallas_merge=True)
+        hb = host.decode_beams(TEST_PROBS, beam_width=16)
+        db = dev.decode_beams(TEST_PROBS, beam_width=16)
+        self.assertEqual(db[0].text, "bugs bunny")
+        self.assertEqual(hb[0].text, db[0].text)
+        self.assertAlmostEqual(hb[0].lm_score, db[0].lm_score, delta=SCORE_TOL)
+
+
+if __name__ == "__main__":
+    unittest.main()
