@@ -1,0 +1,109 @@
+"""Property-based fuzzing of the device engine against the host oracle.
+
+Mirrors the reference's hypothesis tiers (ref test_decoder.py:772-804) but
+targets the device engine: random logit matrices (normalized and raw),
+random alphabets (char and BPE), random decode knobs.
+"""
+import os
+import unittest
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyctcdecode_tpu import Alphabet, BeamSearchDecoderCTC, LanguageModel
+from pyctcdecode_tpu.models.ngram import NGramModel
+from pyctcdecode_tpu.tpu_decoder import TPUBeamSearchDecoderCTC
+
+from .helpers import SAMPLE_LABELS, TEST_UNIGRAMS
+
+ARPA = "/root/reference/pyctcdecode/tests/sample_data/bugs_bunny_kenlm.arpa"
+SCORE_TOL = 2e-3
+
+_CHAR_ALPHABET = Alphabet.build_alphabet(SAMPLE_LABELS)
+_BPE_ALPHABET = Alphabet.build_alphabet(["▁bug", "▁bun", "ny", "s", "un", "▁⁇▁", ""])
+_HOST_CHAR = BeamSearchDecoderCTC(_CHAR_ALPHABET)
+_DEV_CHAR = TPUBeamSearchDecoderCTC(_CHAR_ALPHABET)
+_HOST_BPE = BeamSearchDecoderCTC(_BPE_ALPHABET)
+_DEV_BPE = TPUBeamSearchDecoderCTC(_BPE_ALPHABET)
+
+
+class TestDeviceFuzz(unittest.TestCase):
+    @settings(deadline=None, max_examples=15)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        t=st.integers(0, 48),
+        scale=st.floats(0.5, 4.0),
+    )
+    def test_char_random_logits(self, seed, t, scale):
+        """Random raw logits decode identically on host and device."""
+        rng = np.random.RandomState(seed)
+        mat = rng.randn(t, len(SAMPLE_LABELS)) * scale
+        hb = _HOST_CHAR.decode_beams(mat, beam_width=5)
+        db = _DEV_CHAR.decode_beams(mat, beam_width=5)
+        self.assertEqual(hb[0].text, db[0].text)
+        self.assertAlmostEqual(hb[0].lm_score, db[0].lm_score, delta=SCORE_TOL)
+        self.assertEqual(hb[0].text_frames, db[0].text_frames)
+
+    @settings(deadline=None, max_examples=10)
+    @given(seed=st.integers(0, 2**31 - 1), t=st.integers(1, 40))
+    def test_bpe_random_logits(self, seed, t):
+        """BPE alphabets (incl. double-bounded ▁⁇▁) match the host."""
+        rng = np.random.RandomState(seed)
+        mat = rng.randn(t, len(_BPE_ALPHABET.labels)) * 2.0
+        hb = _HOST_BPE.decode_beams(mat, beam_width=5)
+        db = _DEV_BPE.decode_beams(mat, beam_width=5)
+        self.assertEqual(hb[0].text, db[0].text)
+        self.assertAlmostEqual(hb[0].lm_score, db[0].lm_score, delta=SCORE_TOL)
+
+    @settings(deadline=None, max_examples=8)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        prune=st.floats(-15.0, -2.0),
+        tmin=st.floats(-8.0, -1.0),
+    )
+    def test_char_random_knobs(self, seed, prune, tmin):
+        """Random pruning knobs preserve parity."""
+        rng = np.random.RandomState(seed)
+        mat = rng.randn(20, len(SAMPLE_LABELS)) * 2.0
+        hb = _HOST_CHAR.decode_beams(
+            mat, beam_width=4, beam_prune_logp=prune, token_min_logp=tmin
+        )
+        db = _DEV_CHAR.decode_beams(
+            mat, beam_width=4, beam_prune_logp=prune, token_min_logp=tmin
+        )
+        self.assertEqual(hb[0].text, db[0].text)
+        self.assertAlmostEqual(hb[0].lm_score, db[0].lm_score, delta=SCORE_TOL)
+
+
+@pytest.mark.skipif(not os.path.exists(ARPA), reason="reference fixtures absent")
+class TestDeviceFuzzLM(unittest.TestCase):
+    @classmethod
+    def setUpClass(cls):
+        lm = LanguageModel(
+            NGramModel.from_file(ARPA), TEST_UNIGRAMS, alpha=0.6, beta=1.0,
+            unk_score_offset=-5.0,
+        )
+        cls.host = BeamSearchDecoderCTC(_CHAR_ALPHABET, lm)
+        cls.dev = TPUBeamSearchDecoderCTC(_CHAR_ALPHABET, lm)
+
+    @classmethod
+    def tearDownClass(cls):
+        BeamSearchDecoderCTC.clear_class_models()
+
+    @settings(deadline=None, max_examples=12)
+    @given(seed=st.integers(0, 2**31 - 1), t=st.integers(1, 40))
+    def test_lm_random_logits(self, seed, t):
+        """LM-fused decoding parity incl. output LM states."""
+        rng = np.random.RandomState(seed)
+        mat = rng.randn(t, len(SAMPLE_LABELS)) * 2.0
+        hb = self.host.decode_beams(mat, beam_width=5)
+        db = self.dev.decode_beams(mat, beam_width=5)
+        self.assertEqual(hb[0].text, db[0].text)
+        self.assertAlmostEqual(hb[0].lm_score, db[0].lm_score, delta=SCORE_TOL)
+        self.assertEqual(hb[0].last_lm_state, db[0].last_lm_state)
+
+
+if __name__ == "__main__":
+    unittest.main()

@@ -181,3 +181,25 @@ class TestNativeEndToEnd(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+@needs_native
+@pytest.mark.skipif(not os.path.exists(ARPA), reason="reference fixtures absent")
+class TestNativeSerialization(TempfileTestCase):
+    def test_save_load_round_trip_native_backend(self):
+        """LanguageModel dir round-trip with the native model backend."""
+        from pyctcdecode_tpu import LanguageModel
+
+        lm = LanguageModel(
+            NativeNGramModel.from_file(ARPA), ["bugs", "bunny"], alpha=0.9
+        )
+        lm.save_to_dir(self.temp_dir)
+        loaded = LanguageModel.load_from_dir(self.temp_dir)
+        # auto backend re-opens the copied ARPA natively
+        self.assertIsInstance(loaded.ngram_model, NativeNGramModel)
+        self.assertEqual(loaded.alpha, 0.9)
+        self.assertEqual(loaded.order, 2)
+        score_a, state_a = lm.score(lm.get_start_state(), "bugs")
+        score_b, state_b = loaded.score(loaded.get_start_state(), "bugs")
+        self.assertAlmostEqual(score_a, score_b, places=6)
+        self.assertEqual(state_a, state_b)

@@ -213,3 +213,32 @@ class TestDeviceStreaming(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+@pytest.mark.skipif(not os.path.exists(ARPA), reason="reference fixtures absent")
+class TestStreamingLMPlusHotwords(unittest.TestCase):
+    def tearDown(self):
+        BeamSearchDecoderCTC.clear_class_models()
+
+    def test_streaming_with_lm_and_hotwords(self):
+        """LM fusion and hotword boosting together through the stream."""
+        lm = LanguageModel(
+            NGramModel.from_file(ARPA), TEST_UNIGRAMS, alpha=0.4,
+            unk_score_offset=0.0,
+        )
+        dev = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(SAMPLE_LABELS), lm)
+        chunks = [TEST_LOGITS[:3], TEST_LOGITS[3:8], TEST_LOGITS[8:]]
+        state = dev.get_starting_state(beam_width=16, hotwords_enabled=True)
+        out = None
+        for i, chunk in enumerate(chunks):
+            out = dev.partial_decode_beams(
+                state, chunk, hotwords=["bugs"], hotword_weight=20.0,
+                is_end=(i == len(chunks) - 1),
+            )
+        self.assertEqual(out[0].text, "bugs bunny")
+        # equals the one-shot decode with the same LM + hotwords
+        full = dev.decode_beams(
+            TEST_LOGITS, beam_width=16, hotwords=["bugs"], hotword_weight=20.0
+        )
+        self.assertEqual(full[0].text, out[0].text)
+        self.assertAlmostEqual(full[0].lm_score, out[0].lm_score, delta=SCORE_TOL)
