@@ -23,10 +23,19 @@ SCORE_TOL = 2e-3
 
 _CHAR_ALPHABET = Alphabet.build_alphabet(SAMPLE_LABELS)
 _BPE_ALPHABET = Alphabet.build_alphabet(["▁bug", "▁bun", "ny", "s", "un", "▁⁇▁", ""])
-_HOST_CHAR = BeamSearchDecoderCTC(_CHAR_ALPHABET)
-_DEV_CHAR = TPUBeamSearchDecoderCTC(_CHAR_ALPHABET)
-_HOST_BPE = BeamSearchDecoderCTC(_BPE_ALPHABET)
-_DEV_BPE = TPUBeamSearchDecoderCTC(_BPE_ALPHABET)
+_CACHE = {}
+
+
+def _pair(name, alphabet):
+    # other test files wipe the class-level model registry
+    # (clear_class_models, reference semantics), so rebuild host decoders
+    # whose registry entry disappeared
+    host, dev = _CACHE.get(name, (None, None))
+    if host is None or host._model_key not in BeamSearchDecoderCTC.model_container:
+        host = BeamSearchDecoderCTC(alphabet)
+        dev = _CACHE.get(name, (None, None))[1] or TPUBeamSearchDecoderCTC(alphabet)
+        _CACHE[name] = (host, dev)
+    return _CACHE[name]
 
 
 class TestDeviceFuzz(unittest.TestCase):
@@ -38,10 +47,11 @@ class TestDeviceFuzz(unittest.TestCase):
     )
     def test_char_random_logits(self, seed, t, scale):
         """Random raw logits decode identically on host and device."""
+        host, dev = _pair("char", _CHAR_ALPHABET)
         rng = np.random.RandomState(seed)
         mat = rng.randn(t, len(SAMPLE_LABELS)) * scale
-        hb = _HOST_CHAR.decode_beams(mat, beam_width=5)
-        db = _DEV_CHAR.decode_beams(mat, beam_width=5)
+        hb = host.decode_beams(mat, beam_width=5)
+        db = dev.decode_beams(mat, beam_width=5)
         self.assertEqual(hb[0].text, db[0].text)
         self.assertAlmostEqual(hb[0].lm_score, db[0].lm_score, delta=SCORE_TOL)
         self.assertEqual(hb[0].text_frames, db[0].text_frames)
@@ -50,10 +60,11 @@ class TestDeviceFuzz(unittest.TestCase):
     @given(seed=st.integers(0, 2**31 - 1), t=st.integers(1, 40))
     def test_bpe_random_logits(self, seed, t):
         """BPE alphabets (incl. double-bounded ▁⁇▁) match the host."""
+        host, dev = _pair("bpe", _BPE_ALPHABET)
         rng = np.random.RandomState(seed)
         mat = rng.randn(t, len(_BPE_ALPHABET.labels)) * 2.0
-        hb = _HOST_BPE.decode_beams(mat, beam_width=5)
-        db = _DEV_BPE.decode_beams(mat, beam_width=5)
+        hb = host.decode_beams(mat, beam_width=5)
+        db = dev.decode_beams(mat, beam_width=5)
         self.assertEqual(hb[0].text, db[0].text)
         self.assertAlmostEqual(hb[0].lm_score, db[0].lm_score, delta=SCORE_TOL)
 
@@ -65,12 +76,13 @@ class TestDeviceFuzz(unittest.TestCase):
     )
     def test_char_random_knobs(self, seed, prune, tmin):
         """Random pruning knobs preserve parity."""
+        host, dev = _pair("char", _CHAR_ALPHABET)
         rng = np.random.RandomState(seed)
         mat = rng.randn(20, len(SAMPLE_LABELS)) * 2.0
-        hb = _HOST_CHAR.decode_beams(
+        hb = host.decode_beams(
             mat, beam_width=4, beam_prune_logp=prune, token_min_logp=tmin
         )
-        db = _DEV_CHAR.decode_beams(
+        db = dev.decode_beams(
             mat, beam_width=4, beam_prune_logp=prune, token_min_logp=tmin
         )
         self.assertEqual(hb[0].text, db[0].text)
