@@ -80,7 +80,6 @@ def main() -> None:
     from pyctcdecode_tpu.alphabet import Alphabet
     from pyctcdecode_tpu.decoder import BeamSearchDecoderCTC
     from pyctcdecode_tpu.models.language_model import LanguageModel
-    from pyctcdecode_tpu.models.ngram import NGramModel
     from pyctcdecode_tpu.tpu_decoder import TPUBeamSearchDecoderCTC
 
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax")

@@ -30,7 +30,7 @@ import numpy as np
 from ..ops.hashing import fnv1a
 from ..ops.tokens import TokenArrays
 from .language_model import LanguageModel
-from .ngram import BOS_WORD, EOS_WORD, UNK_WORD, NGramTables
+from .ngram import BOS_WORD, EOS_WORD, NGramTables
 
 _MIN_TABLE = 8
 _LOAD_FACTOR = 0.5

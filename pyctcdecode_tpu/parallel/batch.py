@@ -19,7 +19,7 @@ initialized by the launcher; each host feeds its local shard of the batch
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -29,7 +29,7 @@ from ..constants import (
     DEFAULT_PRUNE_BEAMS,
     DEFAULT_PRUNE_LOGP,
 )
-from ..engine import EngineConfig, make_decode_fn
+from ..engine import make_decode_fn
 from ..tpu_decoder import (
     TPUBeamSearchDecoderCTC,
     _bucket,

@@ -42,7 +42,7 @@ from .engine import (
 from .models.base import AbstractLMState, NGramLMState
 from .models.device_tables import build_device_lm
 from .models.language_model import LanguageModel
-from .ops.tokens import KIND_BLANK, KIND_BOUNDARY, build_token_arrays
+from .ops.tokens import build_token_arrays
 
 logger = logging.getLogger(__name__)
 
