@@ -910,8 +910,9 @@ def make_decode_fn(
     """Build the jittable one-utterance decode function.
 
     ``fn(logp [T,V] f32, n_frames i32, params f32 vector, start (per-member
-    tuple of {"ctx","len","bo"} dicts), hot)`` returns final ranked beams
-    plus per-frame backpointers for host-side reconstruction.
+    tuple of {"ctx","len","bo"} dicts), tabs (build_table_args pytree),
+    hot)`` returns final ranked beams plus per-frame backpointers for
+    host-side reconstruction.
     """
     import jax
     import jax.numpy as jnp
@@ -969,12 +970,13 @@ def make_stream_fns(
     Returns ``(init_fn, chunk_fn, finalize_fn)``:
 
     * ``init_fn(start) -> state`` (per-member tuple of start dicts)
-    * ``chunk_fn(state, logp [Tc,V], n_frames, params, hot) ->
+    * ``chunk_fn(state, logp [Tc,V], n_frames, params, tabs, hot) ->
       (state', parents [Tc,B], trace [Tc,B])``
-    * ``finalize_fn(state, params, do_commit f32, is_end f32, hot) ->
+    * ``finalize_fn(state, params, do_commit f32, is_end f32, tabs, hot) ->
       outputs`` (ranked view of the current hypotheses plus the committed
       carried state; ``do_commit``/``is_end`` are traced so one compilation
-      serves every streaming mode).
+      serves every streaming mode). ``tabs`` is the
+      :func:`build_table_args` pytree of runtime table arrays.
     """
     import jax
     import jax.numpy as jnp

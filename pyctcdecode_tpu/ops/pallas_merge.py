@@ -128,6 +128,17 @@ def merge_rank_pallas(kl, kh, valid, logit, extra, beam_prune_logp, n_out,
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
+    k, b = kl.shape
+    # the kernel materializes several [K, B, B] f32/bool intermediates in
+    # VMEM (~16 MB/core); guard with a clear error instead of a Mosaic
+    # compile failure. Budget: ~3 live [K,B,B] f32 arrays <= 12 MB.
+    if 3 * k * b * b * 4 > 12 * 1024 * 1024:
+        raise ValueError(
+            f"use_pallas_merge: K*B*B too large for VMEM "
+            f"(K={k}, B={b}; need 3*K*B*B*4 <= 12MiB). Reduce beam_width or "
+            f"max_tokens_per_frame, or use the default XLA merge path."
+        )
+
     try:
         from jax.experimental.pallas import tpu as pltpu
 

@@ -31,6 +31,32 @@ class TestPallasMerge(unittest.TestCase):
             self.assertEqual(hb[0].text, db[0].text)
             self.assertAlmostEqual(hb[0].lm_score, db[0].lm_score, delta=SCORE_TOL)
 
+    def test_batch_vmap_parity(self):
+        """The vmapped batch path (grid-lifted kernel) matches host decodes."""
+        alphabet = Alphabet.build_alphabet(SAMPLE_LABELS)
+        host = BeamSearchDecoderCTC(alphabet)
+        dev = TPUBeamSearchDecoderCTC(alphabet, use_pallas_merge=True)
+        rng = np.random.RandomState(43)
+        mats = [rng.randn(rng.randint(3, 20), len(SAMPLE_LABELS)) * 2.0
+                for _ in range(5)]
+        got = dev.decode_batch(mats, beam_width=6)
+        for mat, text in zip(mats, got):
+            self.assertEqual(host.decode(mat, beam_width=6), text)
+
+    def test_vmem_guard(self):
+        """Oversized K*B*B raises a clear error instead of a Mosaic failure."""
+        import jax.numpy as jnp
+
+        from pyctcdecode_tpu.ops.pallas_merge import merge_rank_pallas
+
+        big = jnp.zeros((600, 100), dtype=jnp.uint32)
+        with self.assertRaisesRegex(ValueError, "use_pallas_merge"):
+            merge_rank_pallas(
+                big, big, big != 0, big.astype(jnp.float32),
+                big.astype(jnp.float32), jnp.float32(-10.0), 100,
+                interpret=True,
+            )
+
     @pytest.mark.skipif(not os.path.exists(ARPA), reason="reference fixtures absent")
     def test_lm_parity(self):
         lm = LanguageModel(
