@@ -25,6 +25,7 @@ import numpy as np
 
 from ..constants import (
     DEFAULT_BEAM_WIDTH,
+    DEFAULT_HOTWORD_WEIGHT,
     DEFAULT_MIN_TOKEN_LOGP,
     DEFAULT_PRUNE_BEAMS,
     DEFAULT_PRUNE_LOGP,
@@ -111,28 +112,34 @@ class ShardedCTCDecoder:
     def n_devices(self) -> int:
         return int(self._mesh.devices.size)
 
-    def _get_fn(self, t_pad: int, beam_width: int, k: int, prune_history: bool):
+    def _get_fn(
+        self,
+        t_pad: int,
+        beam_width: int,
+        k: int,
+        prune_history: bool,
+        use_hotwords: bool = False,
+        emit_paths: Optional[int] = None,
+    ):
         import jax
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        key = (t_pad, beam_width, k, prune_history)
+        key = (t_pad, beam_width, k, prune_history, use_hotwords, emit_paths)
         fn = self._fn_cache.get(key)
         if fn is None:
             d = self._decoder
-            cfg = d._engine_cfg(beam_width, k, prune_history, use_hotwords=False)
-            raw6 = make_decode_fn(cfg, d._tokens, d._device_lm)
-
-            def raw(lp, nf, pr, c0, tabs):
-                return raw6(lp, nf, pr, c0, tabs, None)
-
-            vfn = jax.vmap(raw, in_axes=(0, 0, None, None, None))
+            cfg = d._engine_cfg(
+                beam_width, k, prune_history, use_hotwords, emit_paths
+            )
+            raw = make_decode_fn(cfg, d._tokens, d._device_lm)
+            vfn = jax.vmap(raw, in_axes=(0, 0, None, None, None, None))
             axis = self._axis
             fn = jax.jit(
                 shard_map(
                     vfn,
                     mesh=self._mesh,
-                    in_specs=(P(axis), P(axis), P(), P(), P()),
+                    in_specs=(P(axis), P(axis), P(), P(), P(), P()),
                     out_specs=P(axis),
                     check_rep=False,
                 )
@@ -147,7 +154,10 @@ class ShardedCTCDecoder:
         beam_prune_logp: float = DEFAULT_PRUNE_LOGP,
         token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP,
         prune_history: bool = DEFAULT_PRUNE_BEAMS,
+        hotwords=None,
+        hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
         max_tokens_per_frame: Optional[int] = None,
+        top_n: Optional[int] = None,
     ) -> List[List]:
         """Decode a global batch sharded over the mesh; ragged inputs padded."""
         import jax.numpy as jnp
@@ -155,6 +165,7 @@ class ShardedCTCDecoder:
         if not logits_list:
             return []
         d = self._decoder
+        hot, weight, _ = d._hot_tables(hotwords, hotword_weight)
         v = len(d._labels)
         k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
         lens = [m.shape[0] for m in logits_list]
@@ -167,8 +178,15 @@ class ShardedCTCDecoder:
         logp[:n] = normalize_host_batch(logits_list, t_pad, v)
         n_frames = np.zeros(n_pad, dtype=np.int32)
         n_frames[:n] = lens
-        fn = self._get_fn(t_pad, beam_width, k, prune_history)
-        params = d._params_vector(token_min_logp, beam_prune_logp)
+        fn = self._get_fn(
+            t_pad,
+            beam_width,
+            k,
+            prune_history,
+            use_hotwords=hot is not None,
+            emit_paths=(min(top_n, beam_width) if top_n is not None else None),
+        )
+        params = d._params_vector(token_min_logp, beam_prune_logp, weight)
         start = d._start_ctx(None)
         out = fn(
             jnp.asarray(logp),
@@ -176,6 +194,7 @@ class ShardedCTCDecoder:
             jnp.asarray(params),
             start,
             d._tabs,
+            hot,
         )
         host = {
             key: (
@@ -193,7 +212,7 @@ class ShardedCTCDecoder:
                 )
                 for key, val in host.items()
             }
-            results.append(d._build_outputs(one, n_frames=lens[i]))
+            results.append(d._build_outputs(one, n_frames=lens[i], top_n=top_n))
         return results
 
     def decode_batch(
@@ -202,6 +221,8 @@ class ShardedCTCDecoder:
         beam_width: int = DEFAULT_BEAM_WIDTH,
         beam_prune_logp: float = DEFAULT_PRUNE_LOGP,
         token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP,
+        hotwords=None,
+        hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
         max_tokens_per_frame: Optional[int] = None,
     ) -> List[str]:
         """Sharded batch top-1 transcripts."""
@@ -211,6 +232,9 @@ class ShardedCTCDecoder:
             beam_prune_logp=beam_prune_logp,
             token_min_logp=token_min_logp,
             prune_history=True,
+            hotwords=hotwords,
+            hotword_weight=hotword_weight,
             max_tokens_per_frame=max_tokens_per_frame,
+            top_n=1,
         )
         return [b[0].text if b else "" for b in beams]

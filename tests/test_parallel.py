@@ -65,6 +65,16 @@ class TestShardedDecode(unittest.TestCase):
         texts = sharded.decode_batch(batch, beam_width=16)
         self.assertEqual(texts, ["bugs bunny"] * 8)
 
+    def test_sharded_with_hotwords(self):
+        dev = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(SAMPLE_LABELS))
+        sharded = ShardedCTCDecoder(dev, mesh=make_data_mesh(4))
+        texts = sharded.decode_batch(
+            [TEST_PROBS] * 4, beam_width=16, hotwords=["bugs"], hotword_weight=25.0
+        )
+        self.assertEqual(texts, ["bugs bunny"] * 4)
+        plain = sharded.decode_batch([TEST_PROBS] * 4, beam_width=16)
+        self.assertEqual(plain, ["bunny bunny"] * 4)
+
     def test_all_reduce_counts(self):
         mesh = make_data_mesh(8)
         per_shard = np.array(
