@@ -18,6 +18,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <algorithm>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -49,6 +50,7 @@ struct Table {
   std::vector<int32_t> keys;  // size*n, -1 == empty
   std::vector<float> probs;
   std::vector<float> backoffs;
+  std::vector<int32_t> disp;  // robin-hood displacement per slot
 
   // real keys always end in a word id >= 0 (left -1 padding only), so the
   // last column is the occupancy marker
@@ -61,29 +63,48 @@ struct Table {
     keys.assign(size * n, -1);
     probs.assign(size, 0.f);
     backoffs.assign(size, 0.f);
+    disp.assign(size, 0);
     max_probes = 1;
     count = 0;
   }
 
-  // returns false when displacement explodes (caller grows + reinserts)
+  // robin-hood insertion: evict shallower residents so the worst-case
+  // displacement (== every lookup's probe-window width) stays small.
+  // Returns false when displacement explodes (caller grows + reinserts).
   bool insert(const int32_t* key, float prob, float backoff) {
-    int64_t slot = fnv1a(key, n) & mask;
-    int probes = 1;
-    while (!empty_slot(slot)) {
-      if (!memcmp(&keys[slot * n], key, n * sizeof(int32_t))) {
-        probs[slot] = prob;  // duplicate entry: last wins (matches dict)
-        backoffs[slot] = backoff;
+    int32_t cur[16];
+    memcpy(cur, key, n * sizeof(int32_t));
+    float p = prob, b = backoff;
+    int64_t slot = fnv1a(cur, n) & mask;
+    int d = 0;
+    while (true) {
+      if (empty_slot(slot)) {
+        memcpy(&keys[slot * n], cur, n * sizeof(int32_t));
+        probs[slot] = p;
+        backoffs[slot] = b;
+        disp[slot] = d;
+        if (d + 1 > max_probes) max_probes = d + 1;
+        count++;
         return true;
       }
+      if (!memcmp(&keys[slot * n], cur, n * sizeof(int32_t))) {
+        probs[slot] = p;  // duplicate entry: last wins (matches dict)
+        backoffs[slot] = b;
+        return true;
+      }
+      if (disp[slot] < d) {  // swap with the shallower resident
+        int32_t tmp[16];
+        memcpy(tmp, &keys[slot * n], n * sizeof(int32_t));
+        memcpy(&keys[slot * n], cur, n * sizeof(int32_t));
+        memcpy(cur, tmp, n * sizeof(int32_t));
+        std::swap(p, probs[slot]);
+        std::swap(b, backoffs[slot]);
+        std::swap(d, disp[slot]);
+        if (disp[slot] + 1 > max_probes) max_probes = disp[slot] + 1;
+      }
       slot = (slot + 1) & mask;
-      if (++probes > kMaxProbes) return false;
+      if (++d >= kMaxProbes) return false;
     }
-    memcpy(&keys[slot * n], key, n * sizeof(int32_t));
-    probs[slot] = prob;
-    backoffs[slot] = backoff;
-    if (probes > max_probes) max_probes = probes;
-    count++;
-    return true;
   }
 
   bool lookup(const int32_t* key, float* prob, float* backoff) const {

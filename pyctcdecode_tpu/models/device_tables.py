@@ -80,6 +80,7 @@ def _build_hash_table(
         keys = np.full((size, n), -1, dtype=np.int32)
         probs = np.zeros(size, dtype=np.float32)
         backoffs = np.zeros(size, dtype=np.float32)
+        disp = np.zeros(size, dtype=np.int32)  # robin-hood displacement
         max_probes = 1
         ok = True
         if count:
@@ -88,21 +89,33 @@ def _build_hash_table(
             vals = list(entries.values())
             mask = size - 1
             for row in range(count):
+                # robin-hood insertion: evict shallower residents so the
+                # worst-case displacement (== every lookup's window) shrinks
+                key = all_keys[row]
+                p_val, b_val = vals[row]
                 slot = int(hashes[row]) & mask
-                probes = 1
-                # occupancy marker: last column (real keys end in an id >= 0)
-                while keys[slot, n - 1] != -1:
+                d = 0
+                while True:
+                    if keys[slot, n - 1] == -1:
+                        keys[slot] = key
+                        probs[slot] = p_val
+                        backoffs[slot] = b_val
+                        disp[slot] = d
+                        max_probes = max(max_probes, d + 1)
+                        break
+                    if disp[slot] < d:
+                        key, keys[slot] = keys[slot].copy(), key
+                        p_val, probs[slot] = probs[slot], p_val
+                        b_val, backoffs[slot] = backoffs[slot], b_val
+                        d, disp[slot] = disp[slot], d
+                        max_probes = max(max_probes, disp[slot] + 1)
                     slot = (slot + 1) & mask
-                    probes += 1
-                    if probes > _MAX_PROBES:
+                    d += 1
+                    if d >= _MAX_PROBES:
                         ok = False
                         break
                 if not ok:
                     break
-                keys[slot] = all_keys[row]
-                probs[slot] = vals[row][0]
-                backoffs[slot] = vals[row][1]
-                max_probes = max(max_probes, probes)
         if ok:
             return HashTable(keys, probs, backoffs, max_probes)
         size *= 2  # displacement got pathological; rebuild sparser
