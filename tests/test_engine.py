@@ -272,7 +272,9 @@ class TestDeviceEngineWithLM(unittest.TestCase):
 
 
 class TestDeviceTrigramLM(unittest.TestCase):
-    """Order-3 LM on device (multi-suffix backoff carry, longer contexts)."""
+    """Order-3/4 LMs on device (multi-suffix backoff carry, longer contexts)."""
+
+    ORDER = 3
 
     @classmethod
     def setUpClass(cls):
@@ -282,7 +284,7 @@ class TestDeviceTrigramLM(unittest.TestCase):
 
         cls._tmp = tempfile.mkdtemp()
         cls.arpa = os.path.join(cls._tmp, "tri.arpa")
-        _random_arpa(cls.arpa, seed=5, order=3, n_words=20)
+        _random_arpa(cls.arpa, seed=5, order=cls.ORDER, n_words=20)
 
     @classmethod
     def tearDownClass(cls):
@@ -319,7 +321,7 @@ class TestDeviceTrigramLM(unittest.TestCase):
         lm = self._lm()
         host = BeamSearchDecoderCTC(_sample_alphabet(), lm)
         dev = TPUBeamSearchDecoderCTC(_sample_alphabet(), lm)
-        self.assertEqual(lm.order, 3)
+        self.assertEqual(lm.order, self.ORDER)
         rng = np.random.RandomState(31)
         for _ in range(6):
             mat = rng.randn(rng.randint(4, 40), len(SAMPLE_LABELS)) * 2.0
@@ -340,6 +342,12 @@ class TestDeviceTrigramLM(unittest.TestCase):
         d2 = dev.decode_beams(mat, beam_width=6, lm_start_state=d1.last_lm_state)[0]
         self.assertEqual(h2.text, d2.text)
         self.assertAlmostEqual(h2.lm_score, d2.lm_score, delta=SCORE_TOL)
+
+
+class TestDeviceFourGramLM(TestDeviceTrigramLM):
+    """Order-4 LM: deeper backoff chains and 3-word contexts."""
+
+    ORDER = 4
 
 
 @pytest.mark.skipif(not os.path.exists(ARPA), reason="reference fixtures absent")

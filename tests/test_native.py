@@ -24,17 +24,18 @@ def _random_arpa(path: str, seed: int, order: int = 3, n_words: int = 30) -> Non
     rng = random.Random(seed)
     words = [f"w{i}" for i in range(n_words)]
     vocab = ["<unk>", "<s>", "</s>"] + words
-    grams = {1: {}, 2: {}, 3: {}}
+    grams = {n: {} for n in range(1, order + 1)}
     for w in vocab:
         grams[1][(w,)] = (round(rng.uniform(-5, 0), 4), round(rng.uniform(-2, 0), 4))
     for _ in range(n_words * 4):
         a, b = rng.choice(vocab[1:]), rng.choice(vocab[1:])
         grams[2][(a, b)] = (round(rng.uniform(-5, 0), 4), round(rng.uniform(-2, 0), 4))
-    if order >= 3:
-        for a, b in list(grams[2]):
+    for n in range(3, order + 1):
+        for key in list(grams[n - 1]):
             if rng.random() < 0.5:
                 c = rng.choice(vocab[1:])
-                grams[3][(a, b, c)] = (round(rng.uniform(-5, 0), 4), 0.0)
+                bo = 0.0 if n == order else round(rng.uniform(-2, 0), 4)
+                grams[n][key + (c,)] = (round(rng.uniform(-5, 0), 4), bo)
     with open(path, "w") as fh:
         fh.write("\\data\\\n")
         for n in range(1, order + 1):
@@ -98,9 +99,9 @@ class TestNativeParity(unittest.TestCase):
 @needs_native
 class TestNativeRandomArpa(TempfileTestCase):
     def test_random_model_parity(self):
-        for seed in (1, 2):
+        for seed, order in ((1, 3), (2, 3), (3, 4), (4, 5)):
             path = os.path.join(self.temp_dir, f"r{seed}.arpa")
-            _random_arpa(path, seed)
+            _random_arpa(path, seed, order=order)
             nat = NativeNGramModel.from_file(path)
             py = NGramModel.from_file(path)
             rng = random.Random(seed + 100)
