@@ -251,6 +251,12 @@ void* ctclm_load_arpa(const char* path) {
     m->error = "no n-grams found";
     return m;
   }
+  // Table::insert copies keys into fixed int32_t[16] stack buffers; bail out
+  // BEFORE building any table so an over-wide ARPA can never overflow them.
+  if (m->order > 15) {
+    m->error = "n-gram order exceeds native limit (15)";
+    return m;
+  }
   raw.resize(m->order);
   m->tables.resize(m->order);
   for (int n = 1; n <= m->order; n++) build_table(m->tables[n - 1], n, raw[n - 1]);

@@ -63,7 +63,7 @@ def all_reduce_counts(mesh, per_shard_counts: np.ndarray, axis: str = "data") ->
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     arr = jnp.asarray(np.asarray(per_shard_counts, dtype=np.int32))
@@ -122,7 +122,7 @@ class ShardedCTCDecoder:
         emit_paths: Optional[int] = None,
     ):
         import jax
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         key = (t_pad, beam_width, k, prune_history, use_hotwords, emit_paths)
@@ -141,7 +141,7 @@ class ShardedCTCDecoder:
                     mesh=self._mesh,
                     in_specs=(P(axis), P(axis), P(), P(), P(), P()),
                     out_specs=P(axis),
-                    check_rep=False,
+                    check_vma=False,
                 )
             )
             self._fn_cache[key] = fn

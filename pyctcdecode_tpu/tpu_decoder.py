@@ -140,15 +140,21 @@ class DeviceStreamState:
     use_hotwords: bool = False
     hot_sig: Any = None  # (frozenset(unigrams), weight) of the last chunk
     last_partials: Optional[List[str]] = None  # carried beams' partial words
+    # committed transcript prefix per carried slot, folded at force-commit
+    # boundaries so ``chunks`` (and the per-call backtrace cost) stays
+    # proportional to the frames since the last commit, not the stream length
+    prefix_words: Optional[List[List[str]]] = None
+    prefix_spans: Optional[List[List[Tuple[int, int]]]] = None
 
 
 def _backtrace_chunks(
     chunks: Sequence[Tuple[np.ndarray, np.ndarray, int]], start_idx: int
-) -> Tuple[np.ndarray, np.ndarray]:
+) -> Tuple[np.ndarray, np.ndarray, int]:
     """Walk backpointers across chunk boundaries (incl. permutation rows).
 
-    Returns the full chosen-token sequence and matching absolute frame ids
-    for one beam, oldest frame first.
+    Returns the chosen-token sequence and matching absolute frame ids for
+    one beam (oldest frame first), plus the slot index reached at the start
+    of the oldest chunk (the beam's origin in any folded committed prefix).
     """
     toks_rev: List[np.ndarray] = []
     frames_rev: List[np.ndarray] = []
@@ -162,10 +168,11 @@ def _backtrace_chunks(
         toks_rev.append(toks)
         frames_rev.append(offset + np.arange(tc))
     if not toks_rev:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), cur
     return (
         np.concatenate(list(reversed(toks_rev))),
         np.concatenate(list(reversed(frames_rev))),
+        cur,
     )
 
 
@@ -377,6 +384,9 @@ class TPUBeamSearchDecoderCTC:
                 f"Input logits of shape {logits_chunk.shape}, but vocabulary "
                 f"is size {len(self._labels)}"
             )
+        # materialize once: generators would be consumed by the first pass
+        # below and leave the hot-signature / scorer builds inconsistent
+        hotwords = list(hotwords) if hotwords is not None else None
         ss = stream_state
         _, chunk_fn, finalize_fn = self._get_stream_fns(
             ss.beam_width, ss.k_tokens, ss.prune_history, ss.use_hotwords
@@ -454,13 +464,20 @@ class TPUBeamSearchDecoderCTC:
         logits_out = np.asarray(fin["logit"])
 
         beams: List[LMBeam] = []
+        view_slots: List[int] = []  # carried slot behind each ranked view row
         for rank in range(ss.beam_width):
             if scores[rank] <= DEAD_THRESH:
                 break
-            tokens, frame_ids = _backtrace_chunks(ss.chunks, int(beam_src[rank]))
+            slot = int(beam_src[rank])
+            view_slots.append(slot)
+            tokens, frame_ids, origin = _backtrace_chunks(ss.chunks, slot)
             words, spans, (partial, pframes) = replay_token_path(
                 tokens, self._labels, self._alphabet.is_bpe, frame_ids=frame_ids
             )
+            if ss.prefix_words is not None:
+                # prepend the folded committed prefix of this beam's origin
+                words = ss.prefix_words[origin] + words
+                spans = ss.prefix_spans[origin] + spans
             last_label: Optional[str] = None
             for tok in reversed(tokens):
                 if tok >= 0:
@@ -486,23 +503,31 @@ class TPUBeamSearchDecoderCTC:
             )
 
         if committed:
+            # fold the fully-committed transcripts into per-slot prefixes and
+            # drop every backpointer chunk: the next backtrace only walks
+            # frames after this boundary (O(chunk), not O(stream))
             ss.beam_state = fin["committed_state"]
-            ss.chunks.append(
-                (
-                    beam_src[None, :].astype(np.int32),
-                    np.full((1, ss.beam_width), -2, dtype=np.int32),
-                    ss.processed_frames + t,
-                )
-            )
+            prefix_words: List[List[str]] = [[] for _ in range(ss.beam_width)]
+            prefix_spans: List[List[Tuple[int, int]]] = [
+                [] for _ in range(ss.beam_width)
+            ]
+            for rank, beam in enumerate(beams):
+                # committed_state rows are in ranked (view) order
+                prefix_words[rank] = beam.text.split() if beam.text else []
+                prefix_spans[rank] = list(beam.text_frames)
+            ss.prefix_words = prefix_words
+            ss.prefix_spans = prefix_spans
+            ss.chunks = []
             ss.last_partials = [""] * ss.beam_width
         else:
             ss.beam_state = state1
-            # carried order equals view order here; remember partial words so
-            # a swapped hotword scorer can rewalk its trie next chunk
-            ss.last_partials = [
-                beams[i].partial_word if i < len(beams) else ""
-                for i in range(ss.beam_width)
-            ]
+            # partial words keyed by CARRIED slot (view rank r lives in
+            # carried slot beam_src[r]; dead slots keep ""), so a swapped
+            # hotword scorer rewalks the right beam's trie next chunk
+            partials = [""] * ss.beam_width
+            for rank, slot in enumerate(view_slots):
+                partials[slot] = beams[rank].partial_word
+            ss.last_partials = partials
         ss.processed_frames += t
         return beams
 

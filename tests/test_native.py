@@ -179,6 +179,35 @@ class TestNativeEndToEnd(unittest.TestCase):
         model = open_ngram_file(ARPA, backend="python")
         self.assertIsInstance(model, NGramModel)
 
+    def test_rejects_order_above_native_limit(self):
+        """An order-17 ARPA must fail cleanly at load, never build tables.
+
+        The native Table keys are copied through fixed-width stack buffers;
+        the loader refuses over-wide models before any insertion happens.
+        """
+        import tempfile
+
+        from pyctcdecode_tpu.csrc import NativeNGram
+
+        order = 17
+        with tempfile.TemporaryDirectory() as td:
+            path = os.path.join(td, "wide.arpa")
+            with open(path, "w") as fh:
+                fh.write("\\data\\\n")
+                for n in range(1, order + 1):
+                    fh.write(f"ngram {n}=1\n")
+                fh.write("\n")
+                for n in range(1, order + 1):
+                    fh.write(f"\\{n}-grams:\n")
+                    key = " ".join(f"w{i}" for i in range(n))
+                    row = f"-1.0\t{key}"
+                    if n < order:
+                        row += "\t-0.1"
+                    fh.write(row + "\n\n")
+                fh.write("\\end\\\n")
+            with self.assertRaises(ValueError):
+                NativeNGram(path)
+
 
 if __name__ == "__main__":
     unittest.main()

@@ -194,6 +194,63 @@ class TestDeviceStreaming(unittest.TestCase):
             )
         self.assertEqual(out[0].text, "bugs bunny")
 
+    def test_force_commit_folds_backpointer_log(self):
+        """A force-commit collapses the chunk log; views stay correct after.
+
+        Long-running streams must not accumulate per-frame backpointers
+        forever (the carried state is O(beams) in the reference,
+        ref decoder.py:669-728); committed prefixes fold into per-slot word
+        lists at every commit boundary.
+        """
+        alphabet = Alphabet.build_alphabet(SAMPLE_LABELS)
+        dev = TPUBeamSearchDecoderCTC(alphabet)
+        chunks = self._chunks()
+        state = dev.get_starting_state(beam_width=16)
+        out = None
+        for i, chunk in enumerate(chunks):
+            out = dev.partial_decode_beams(
+                state, chunk, force_next_word=(i == 1), is_end=(i == 2)
+            )
+            if i == 1:
+                self.assertEqual(state.chunks, [])  # folded at the commit
+                self.assertIsNotNone(state.prefix_words)
+        # matches the host engine run with the same mid-stream commit
+        host = BeamSearchDecoderCTC(alphabet)
+        beams, lm_cache, p_cache = host.get_starting_state()
+        hb = None
+        for i, chunk in enumerate(chunks):
+            hb = host.partial_decode_beams(
+                chunk, lm_cache, p_cache, beams, [0, 3, 8][i], beam_width=16,
+                force_next_word=(i == 1), is_end=(i == 2),
+            )
+            if i != 2:
+                beams = [Beam.from_lm_beam(b) for b in hb]
+        self.assertEqual(hb[0].text, out[0].text)
+        self.assertEqual(hb[0].text_frames, out[0].text_frames)
+
+    def test_swap_after_history_prune_keeps_partials_aligned(self):
+        """Hotword swap rewalks partials by carried slot, not view rank.
+
+        With history pruning on, finalize's ranked view is a permutation of
+        the carried slots (dead slots included), so partial words must be
+        recorded per carried index for the swap-time trie rewalk.
+        """
+        alphabet = Alphabet.build_alphabet(SAMPLE_LABELS)
+        dev = TPUBeamSearchDecoderCTC(alphabet)
+        chunks = self._chunks()
+        state = dev.get_starting_state(
+            beam_width=16, prune_history=True, hotwords_enabled=True
+        )
+        per_chunk = [(["bugs"], 15.0), (["bugs"], 15.0), (["bunny"], 15.0)]
+        out = None
+        for i, chunk in enumerate(chunks):
+            hws, w = per_chunk[i]
+            out = dev.partial_decode_beams(
+                state, chunk, hotwords=hws, hotword_weight=w,
+                is_end=(i == len(chunks) - 1),
+            )
+        self.assertEqual(out[0].text, "bugs bunny")
+
     def test_fuzz_chunked_equals_full(self):
         alphabet = Alphabet.build_alphabet(SAMPLE_LABELS)
         dev = TPUBeamSearchDecoderCTC(alphabet)
