@@ -8,7 +8,8 @@ and model serialization — plus a vectorized on-device decode engine that
 shards utterance batches across TPU meshes.
 """
 from .alphabet import Alphabet
-from .decoder import Beam, BeamSearchDecoderCTC, LMBeam, OutputBeam, build_ctcdecoder
+from .api import build_ctcdecoder
+from .decoder import Beam, BeamSearchDecoderCTC, LMBeam, OutputBeam
 from .models import (
     AbstractLanguageModel,
     AbstractLMState,

@@ -37,16 +37,16 @@ def _looks_like_bpe(labels: List[str]) -> bool:
         lab.startswith(BPE_TOKEN) for lab in labels
     )
     logger.info(
-        "Alphabet determined to be of %s style.", "BPE" if bpe else "regular"
+        "label set classified as %s-style", "piece (BPE)" if bpe else "character"
     )
     return bpe
 
 
 def _validate(labels: List[str], is_bpe: bool) -> None:
     if len(set(labels)) != len(labels):
-        raise ValueError("Alphabet contains duplicate entries, this is not allowed.")
+        raise ValueError("every label must be unique; the vocabulary contains duplicates")
     if is_bpe and any(" " in lab for lab in labels):
-        raise ValueError("Space token ' ' found in vocabulary even though it looks like BPE.")
+        raise ValueError("a bare space label cannot appear in a piece-style (BPE) vocabulary")
 
 
 def _substitute(labels: List[str], ptn: re.Pattern, replacement: str, what: str) -> List[str]:
@@ -54,8 +54,7 @@ def _substitute(labels: List[str], ptn: re.Pattern, replacement: str, what: str)
     out = []
     for lab in labels:
         if ptn.match(lab):
-            logger.info("Found %r in vocabulary, interpreting as %s, substituting with %r.",
-                        lab, what, replacement)
+            logger.info("treating label %r as %s and rewriting it to %r", lab, what, replacement)
             out.append(replacement)
         else:
             out.append(lab)
@@ -67,25 +66,25 @@ def _normalize_regular(labels: List[str]) -> List[str]:
     out = list(labels)
     # "|" is a common stand-in for the word separator.
     if "|" in out and " " not in out:
-        logger.info("Found '|' in vocabulary but not ' ', doing substitution.")
+        logger.info("no ' ' label present; rewriting the '|' separator label to ' '")
         out[out.index("|")] = " "
     # <pad>/[pad] style blank tokens.
-    out = _substitute(out, _BLANK_PTN, "", "a CTC blank token")
+    out = _substitute(out, _BLANK_PTN, "", "the CTC blank")
     # bare "_" as blank if no blank present yet
     if "_" in out and "" not in out:
-        logger.info("Found '_' in vocabulary but not '', doing substitution.")
+        logger.info("no blank label present; treating the bare '_' label as the CTC blank")
         out[out.index("_")] = ""
     if "" not in out:
-        logger.info("CTC blank char '' not found, appending to end.")
+        logger.info("no CTC blank in the label list; appending '' as the final label")
         out.append("")
-    out = _substitute(out, _UNK_PTN, UNK_TOKEN, "unknown token")
+    out = _substitute(out, _UNK_PTN, UNK_TOKEN, "the unknown token")
     if any(len(lab) > 1 for lab in out):
         logger.warning(
-            "Found entries of length > 1 in alphabet. This is unusual unless style is "
-            "BPE, but the alphabet was not recognized as BPE type. Is this correct?"
+            "multi-character labels found in a character-style alphabet; if "
+            "this vocabulary is BPE its pieces were not recognized as such"
         )
     if " " not in out:
-        logger.warning("Space token ' ' missing from vocabulary.")
+        logger.warning("no ' ' label: word segmentation will never trigger for this alphabet")
     return out
 
 
@@ -103,13 +102,13 @@ def _normalize_bpe(labels: List[str]) -> List[str]:
     out = list(labels)
     if any(lab.startswith("##") for lab in labels):
         out = [_hash_style_to_bpe(lab) for lab in out]
-    out = _substitute(out, _BLANK_PTN, "", "a CTC blank token")
+    out = _substitute(out, _BLANK_PTN, "", "the CTC blank")
     if "" not in out:
-        logger.info("CTC blank char '' not found, appending to end.")
+        logger.info("no CTC blank in the label list; appending '' as the final label")
         out.append("")
-    out = _substitute(out, _UNK_PTN, UNK_BPE_TOKEN, "unknown token")
+    out = _substitute(out, _UNK_PTN, UNK_BPE_TOKEN, "the unknown token")
     if UNK_BPE_TOKEN not in out:
-        logger.warning("UNK token %s not found, is this a mistake?", UNK_BPE_TOKEN)
+        logger.warning("piece-style alphabet lacks the unknown piece %s", UNK_BPE_TOKEN)
     return out
 
 
@@ -149,7 +148,10 @@ class Alphabet:
         expected = {"labels", "is_bpe"}
         got = set(payload.keys())
         if got != expected:
-            raise ValueError(f"unexpected keys found. Expected {expected}, found {got}")
+            raise ValueError(
+                f"alphabet JSON must contain exactly the keys {sorted(expected)}; "
+                f"got {sorted(got)}"
+            )
         return cls(payload["labels"], payload["is_bpe"])
 
 
@@ -158,4 +160,7 @@ def verify_alphabet_coverage(alphabet: Alphabet, unigrams: Collection[str]) -> N
     label_chars = set(alphabet.labels)
     unigram_chars = set("".join(unigrams))
     if unigram_chars and len(unigram_chars - label_chars) / len(unigram_chars) > 0.2:
-        logger.warning("Unigrams and labels don't seem to agree.")
+        logger.warning(
+            "over 20%% of unigram characters cannot be produced by this "
+            "alphabet; check that the LM vocabulary matches the acoustic labels"
+        )

@@ -1,30 +1,35 @@
-"""CTC beam-search decoder — host engine and public API.
+"""Host reference engine for CTC beam search (the framework's parity oracle).
 
-This module is the framework's *exact* engine: a host-side beam search with
-bit-level behavioral parity to the reference decoder
-(``pyctcdecode/decoder.py:261-1099``), used for golden verification, small
-workloads, and as the semantic specification for the TPU engine
-(``pyctcdecode_tpu/engine.py``), which vectorizes the same transition system
-onto fixed-width device arrays.
+The *flagship* decode path of this framework is the TPU engine
+(:mod:`pyctcdecode_tpu.engine` driven by
+:class:`pyctcdecode_tpu.tpu_decoder.TPUBeamSearchDecoderCTC`); the factory
+:func:`pyctcdecode_tpu.build_ctcdecoder` returns it by default. This module
+is the slow-but-exact host implementation of the same transition system. It
+exists to (a) pin the reference semantics bit-for-bit (golden tests compare
+against reference fixture outputs, ref ``pyctcdecode/decoder.py:261-1099``),
+(b) serve small one-off workloads with zero compile cost, and (c) act as the
+oracle the device engine is validated against.
 
-Semantics preserved from the reference (each verified by tests):
+Semantics pinned here (each covered by tests):
 
-* 4-way per-(token, beam) transition: blank/repeat extend, BPE ``▁`` word
-  boundary (incl. right-bounded tokens like ``▁⁇▁``), char-alphabet space,
-  plain partial extension (ref decoder.py:443-534).
-* log-domain prefix merging keyed on (text⊕next_word, partial, last char)
-  with stable insertion order (ref decoder.py:211-224).
-* incremental cached LM fusion + hotword boosting (ref decoder.py:346-424).
-* score-window pruning, stable top-k trimming, optional n-gram history
-  pruning (ref decoder.py:165-167, 227-258, 536-554).
-* streaming with caller-held state, frame-accurate word spans, batch decode,
-  directory/HF-hub serialization.
+* per-(token, beam) transitions — blank/repeat extend the acoustic score
+  only; a BPE ``▁`` piece or a char-alphabet space promotes the in-progress
+  word for LM scoring; anything else extends the in-progress word
+  (ref decoder.py:443-534).
+* duplicate-prefix combination in log space, keyed on
+  (committed text ⊕ pending word, partial word, last token), first
+  occurrence keeps its rank, newest occurrence donates metadata
+  (ref decoder.py:211-224).
+* incremental LM fusion with per-text score caching, hotword boosting, OOV
+  and partial-word rules (ref decoder.py:346-424).
+* score-window pruning against the best hypothesis, stable trimming to the
+  beam width, optional recent-history deduplication
+  (ref decoder.py:165-167, 227-258, 536-554).
 
-One deliberate fix: the reference tracks the BPE "previous token was
-right-bounded" flag in a loop variable shared across beams
+One deliberate divergence: the reference keeps the BPE "previous piece was
+right-bounded" flag in a loop variable shared by every beam
 (``force_next_break``, ref decoder.py:442,474-482); here it is per-beam
-state (``Beam.force_next_break``), which is the correct reading of the
-intent and only diverges on alphabets containing right-bounded tokens.
+state, which only matters on alphabets with ``▁…▁`` double-bounded pieces.
 """
 from __future__ import annotations
 
@@ -34,12 +39,11 @@ import logging
 import math
 import multiprocessing as mp
 import os
-import sys
 from multiprocessing.pool import Pool
 from pathlib import Path
 from typing import (
     Any,
-    Collection,
+    Callable,
     Dict,
     Iterable,
     List,
@@ -51,24 +55,17 @@ from typing import (
 
 import numpy as np
 
-from .alphabet import BPE_TOKEN, Alphabet, verify_alphabet_coverage
+from .alphabet import BPE_TOKEN, Alphabet
 from .constants import (
-    DEFAULT_ALPHA,
     DEFAULT_BEAM_WIDTH,
-    DEFAULT_BETA,
     DEFAULT_HOTWORD_WEIGHT,
     DEFAULT_MIN_TOKEN_LOGP,
     DEFAULT_PRUNE_BEAMS,
     DEFAULT_PRUNE_LOGP,
-    DEFAULT_SCORE_LM_BOUNDARY,
-    DEFAULT_UNK_LOGP_OFFSET,
-    MIN_TOKEN_CLIP_P,
 )
 from .models.base import AbstractLanguageModel, AbstractLMState
 from .models.hotwords import HotwordScorer
 from .models.language_model import LanguageModel
-from .models.native import open_ngram_file
-from .models.ngram import NGramModel, load_unigram_set_from_arpa
 from .utils.logits import normalize_to_logp
 
 logger = logging.getLogger(__name__)
@@ -158,89 +155,99 @@ LMScoreCache = Dict[LMScoreCacheKey, LMScoreCacheValue]
 EMPTY_START_BEAM = Beam("", "", "", None, [], NULL_FRAMES, 0.0)
 
 
-def _get_valid_pool(pool: Optional[Pool]) -> Optional[Pool]:
-    """Reject spawn-context pools (workers can't inherit the LM registry)."""
+def _forkable_pool(pool: Optional[Pool]) -> Optional[Pool]:
+    """Return ``pool`` unless its workers were started with *spawn*.
+
+    Spawned workers import a fresh interpreter and therefore cannot see the
+    class-level model registry that fork-children inherit copy-on-write, so
+    such pools are declined (ref decoder.py:146-157 semantics).
+    """
     if pool is not None and isinstance(
         pool._ctx, mp.context.SpawnContext  # type: ignore[attr-defined]
     ):
         logger.warning(
-            "Specified pool object has a spawn context, which is not currently "
-            "supported. Falling back to sequential decoding."
+            "the supplied process pool uses the 'spawn' start method, whose "
+            "workers cannot inherit the shared language-model registry; "
+            "decoding sequentially in this process instead"
         )
         return None
     return pool
 
 
-def _normalize_whitespace(text: str) -> str:
-    """Collapse runs of whitespace and trim."""
+def collapse_spaces(text: str) -> str:
+    """Squeeze whitespace runs to single spaces and strip the ends."""
     return " ".join(text.split())
 
 
-def _sum_log_scores(s1: float, s2: float) -> float:
-    """Numerically stable log(exp(s1) + exp(s2))."""
-    if s1 >= s2:
-        return s1 + math.log(1 + math.exp(s2 - s1))
-    return s2 + math.log(1 + math.exp(s1 - s2))
+def log_add(s1: float, s2: float) -> float:
+    """log(exp(s1) + exp(s2)) without overflow."""
+    big, small = (s1, s2) if s1 >= s2 else (s2, s1)
+    return big + math.log(1 + math.exp(small - big))
 
 
-def _merge_tokens(token_1: str, token_2: str) -> str:
-    """Join two words with a single space, tolerating empties."""
-    if not token_2:
-        return token_1
-    if not token_1:
-        return token_2
-    return token_1 + " " + token_2
+def _join_words(left: str, right: str) -> str:
+    """Concatenate two word strings with one space; empties vanish."""
+    if not left or not right:
+        return left or right
+    return left + " " + right
 
 
-def _merge_beams(beams: List[Beam]) -> List[Beam]:
-    """Combine beams sharing (text⊕next_word, partial, last char) by logsumexp.
+def _combine_prefixes(beams: List[Beam]) -> List[Beam]:
+    """Fold beams that denote the same decoding prefix into one.
 
-    Insertion order is preserved; on a collision the newest beam's metadata
-    wins while scores accumulate (matches ref decoder.py:211-224).
+    Two beams are the same prefix when their (committed ⊕ pending word,
+    in-progress word, last token, break flag) keys match; their acoustic
+    probabilities add (log-domain), the earliest keeps its list position and
+    the latest supplies the metadata (ref decoder.py:211-224 contract).
     """
-    merged: Dict[Tuple[str, str, Optional[str], bool], Beam] = {}
+    slot_of: Dict[Tuple[str, str, Optional[str], bool], int] = {}
+    folded: List[Beam] = []
     for beam in beams:
         key = (
-            _merge_tokens(beam.text, beam.next_word),
+            _join_words(beam.text, beam.next_word),
             beam.partial_word,
             beam.last_char,
             beam.force_next_break,
         )
-        seen = merged.get(key)
-        if seen is None:
-            merged[key] = beam
+        slot = slot_of.get(key)
+        if slot is None:
+            slot_of[key] = len(folded)
+            folded.append(beam)
         else:
-            merged[key] = dataclasses.replace(
-                beam, logit_score=_sum_log_scores(seen.logit_score, beam.logit_score)
+            folded[slot] = dataclasses.replace(
+                beam,
+                logit_score=log_add(folded[slot].logit_score, beam.logit_score),
             )
-    return list(merged.values())
+    return folded
 
 
-def _sort_and_trim_beams(beams: List[LMBeam], beam_width: int) -> List[LMBeam]:
-    """Stable top-N by fused score."""
+def _best_beams(beams: List[LMBeam], beam_width: int) -> List[LMBeam]:
+    """Stable top-``beam_width`` by fused score (ties keep input order)."""
     return sorted(beams, key=lambda b: b.lm_score, reverse=True)[:beam_width]
 
 
-def _prune_history(beams: List[LMBeam], lm_order: int) -> List[Beam]:
-    """Drop beams identical over the LM-visible recent history.
+def _collapse_history(beams: List[LMBeam], lm_order: int) -> List[Beam]:
+    """Keep one beam per LM-visible recent history.
 
-    Keeps the first (= highest-scoring, input is sorted) beam per truncated
-    history key; LM scores are stripped. Trades beam diversity for speed
-    (ref decoder.py:227-258).
+    Hypotheses that agree on the last ``lm_order - 1`` committed words plus
+    the in-progress word can never be re-ranked differently by the LM, so
+    only the best (first, since input is sorted) survives. LM scores are
+    stripped from the survivors (ref decoder.py:227-258).
     """
-    min_n_history = max(1, lm_order - 1)
-    seen = set()
-    kept: List[Beam] = []
+    window = max(1, lm_order - 1)
+    survivors: List[Beam] = []
+    taken = set()
     for lm_beam in beams:
         key = (
-            tuple(lm_beam.text.split()[-min_n_history:]),
+            tuple(lm_beam.text.split()[-window:]),
             lm_beam.partial_word,
             lm_beam.last_char,
         )
-        if key not in seen:
-            seen.add(key)
-            kept.append(Beam.from_lm_beam(lm_beam))
-    return kept
+        if key in taken:
+            continue
+        taken.add(key)
+        survivors.append(Beam.from_lm_beam(lm_beam))
+    return survivors
 
 
 class _TokenTable:
@@ -280,7 +287,7 @@ class _TokenTable:
 
 
 class BeamSearchDecoderCTC:
-    """CTC beam-search decoder with optional shallow-fusion LM.
+    """CTC beam-search decoder with optional shallow-fusion LM (host engine).
 
     Language models are registered in a class-level container keyed by a
     random token so forked batch workers share them copy-on-write instead of
@@ -331,33 +338,32 @@ class BeamSearchDecoderCTC:
         language_model = self._language_model
         if language_model is None:
             return
-        params: Dict[str, Any] = {}
-        if alpha is not None:
-            params["alpha"] = alpha
-        if beta is not None:
-            params["beta"] = beta
-        if unk_score_offset is not None:
-            params["unk_score_offset"] = unk_score_offset
-        if lm_score_boundary is not None:
-            params["score_boundary"] = lm_score_boundary
-        language_model.reset_params(**params)
+        updates = {
+            "alpha": alpha,
+            "beta": beta,
+            "unk_score_offset": unk_score_offset,
+            "score_boundary": lm_score_boundary,
+        }
+        language_model.reset_params(
+            **{k: v for k, v in updates.items() if v is not None}
+        )
 
     # -- validation ---------------------------------------------------------
-    def _check_logits_dimension(self, logits: np.ndarray) -> None:
-        if len(logits.shape) != 2:
+    def _require_time_vocab_shape(self, logits: np.ndarray) -> None:
+        if logits.ndim != 2:
             raise ValueError(
-                "Input logits have %s dimensions, but need 2: (time, vocabulary)"
-                % len(logits.shape)
+                f"logit input must be a 2-D (time, vocabulary) matrix; "
+                f"received an array with {logits.ndim} dimension(s)"
             )
         if logits.shape[-1] != len(self._idx2vocab):
             raise ValueError(
-                "Input logits shape is %s, but vocabulary is size %s. "
-                "Need logits of shape: (time, vocabulary)"
-                % (logits.shape, len(self._idx2vocab))
+                f"logit matrix of shape {logits.shape} does not cover this "
+                f"decoder's {len(self._idx2vocab)}-label alphabet; the second "
+                f"axis must equal the label count"
             )
 
     # -- LM fusion -----------------------------------------------------------
-    def _get_lm_beams(
+    def _fuse_lm_scores(
         self,
         beams: List[Beam],
         hotword_scorer: HotwordScorer,
@@ -365,34 +371,22 @@ class BeamSearchDecoderCTC:
         cached_partial_token_scores: Dict[str, float],
         is_eos: bool = False,
     ) -> List[LMBeam]:
-        """Attach fused scores, folding next_word into text (cached, incremental)."""
+        """Attach fused scores, folding each pending word into its text.
+
+        LM lookups are incremental — the cache stores the cumulative raw LM
+        score and state per (text, eos) key, so a new word costs exactly one
+        ``language_model.score`` call per *unique* extended text
+        (ref decoder.py:346-424).
+        """
         language_model = self._language_model
-        new_beams: List[LMBeam] = []
-        if language_model is None:
-            for beam in beams:
-                new_text = _merge_tokens(beam.text, beam.next_word)
-                fused = (
+
+        def fused_for(beam: Beam, new_text: str) -> float:
+            if language_model is None:
+                return (
                     beam.logit_score
                     + hotword_scorer.score(new_text)
                     + hotword_scorer.score_partial_token(beam.partial_word)
                 )
-                new_beams.append(
-                    LMBeam(
-                        text=new_text,
-                        next_word="",
-                        partial_word=beam.partial_word,
-                        last_char=beam.last_char,
-                        text_frames=beam.text_frames,
-                        partial_frames=beam.partial_frames,
-                        logit_score=beam.logit_score,
-                        force_next_break=beam.force_next_break,
-                        lm_score=fused,
-                    )
-                )
-            return new_beams
-
-        for beam in beams:
-            new_text = _merge_tokens(beam.text, beam.next_word)
             cache_key = (new_text, is_eos)
             if cache_key not in cached_lm_scores:
                 _, prev_raw, prev_state = cached_lm_scores[(beam.text, False)]
@@ -405,39 +399,44 @@ class BeamSearchDecoderCTC:
                     raw,
                     end_state,
                 )
-            lm_score = cached_lm_scores[cache_key][0]
+            score = cached_lm_scores[cache_key][0]
             partial = beam.partial_word
             if partial:
                 if partial not in cached_partial_token_scores:
-                    if partial in hotword_scorer:
-                        cached_partial_token_scores[partial] = (
-                            hotword_scorer.score_partial_token(partial)
-                        )
-                    else:
-                        cached_partial_token_scores[partial] = (
-                            language_model.score_partial_token(partial)
-                        )
-                lm_score += cached_partial_token_scores[partial]
-            new_beams.append(
+                    scorer: Any = (
+                        hotword_scorer
+                        if partial in hotword_scorer
+                        else language_model
+                    )
+                    cached_partial_token_scores[partial] = (
+                        scorer.score_partial_token(partial)
+                    )
+                score += cached_partial_token_scores[partial]
+            return beam.logit_score + score
+
+        out: List[LMBeam] = []
+        for beam in beams:
+            new_text = _join_words(beam.text, beam.next_word)
+            out.append(
                 LMBeam(
                     text=new_text,
                     next_word="",
-                    partial_word=partial,
+                    partial_word=beam.partial_word,
                     last_char=beam.last_char,
                     text_frames=beam.text_frames,
                     partial_frames=beam.partial_frames,
                     logit_score=beam.logit_score,
                     force_next_break=beam.force_next_break,
-                    lm_score=beam.logit_score + lm_score,
+                    lm_score=fused_for(beam, new_text),
                 )
             )
-        return new_beams
+        return out
 
     # -- transition system ----------------------------------------------------
-    def _expand_beam(
+    def _apply_token(
         self, beam: Beam, idx_char: int, char: str, p_char: float, frame_idx: int
     ) -> Beam:
-        """Apply one token to one beam (the 4-way CTC+word-boundary transition)."""
+        """Apply one token to one beam (the CTC + word-boundary transition)."""
         tok = self._tokens
         if char == "" or beam.last_char == char:
             # blank or repeated token: acoustic score only
@@ -451,11 +450,9 @@ class BeamSearchDecoderCTC:
                 partial_frames=new_frames,
                 logit_score=beam.logit_score + p_char,
             )
-        boundary = (
-            tok.kind[idx_char] == _TokenTable.BOUNDARY
-            if not self._is_bpe
-            else (tok.kind[idx_char] == _TokenTable.BOUNDARY or beam.force_next_break)
-        )
+        boundary = tok.kind[idx_char] == _TokenTable.BOUNDARY
+        if self._is_bpe:
+            boundary = boundary or beam.force_next_break
         if boundary:
             # word boundary: promote the in-progress word for LM scoring
             committed_frames = (
@@ -498,7 +495,16 @@ class BeamSearchDecoderCTC:
             force_next_break=beam.force_next_break,
         )
 
-    def _partial_decode_logits(
+    @staticmethod
+    def _admitted_tokens(logit_col: np.ndarray, token_min_logp: float) -> np.ndarray:
+        """Frame candidate set: every token above threshold, plus the argmax."""
+        max_idx = int(logit_col.argmax())
+        admitted = np.flatnonzero(logit_col >= token_min_logp)
+        if max_idx not in admitted:
+            admitted = np.sort(np.append(admitted, max_idx))
+        return admitted
+
+    def _advance_frames(
         self,
         logits: np.ndarray,
         beams: List[Beam],
@@ -511,41 +517,39 @@ class BeamSearchDecoderCTC:
         cached_p_lm_scores: Dict[str, float],
         processed_frames: int = 0,
     ) -> List[Beam]:
-        """Run the per-frame expand → merge → LM-fuse → prune pipeline."""
+        """Per frame: expand × admitted tokens, fold, fuse, prune, trim."""
         language_model = self._language_model
         for frame_offset, logit_col in enumerate(logits):
             frame_idx = processed_frames + frame_offset
-            max_idx = int(logit_col.argmax())
-            candidates = np.flatnonzero(logit_col >= token_min_logp)
-            if max_idx not in candidates:
-                candidates = np.sort(np.append(candidates, max_idx))
-            new_beams: List[Beam] = []
-            for idx_char in candidates:
+            expanded: List[Beam] = []
+            for idx_char in self._admitted_tokens(logit_col, token_min_logp):
                 idx_char = int(idx_char)
                 char = self._idx2vocab[idx_char]
                 p_char = logit_col[idx_char]
-                for beam in beams:
-                    new_beams.append(
-                        self._expand_beam(beam, idx_char, char, p_char, frame_idx)
-                    )
+                expanded.extend(
+                    self._apply_token(beam, idx_char, char, p_char, frame_idx)
+                    for beam in beams
+                )
 
-            merged = _merge_beams(new_beams)
-            scored = self._get_lm_beams(
-                merged, hotword_scorer, cached_lm_scores, cached_p_lm_scores
+            scored = self._fuse_lm_scores(
+                _combine_prefixes(expanded),
+                hotword_scorer,
+                cached_lm_scores,
+                cached_p_lm_scores,
             )
-            # window prune relative to the best beam, then top-k
-            max_score = max(b.lm_score for b in scored)
-            cutoff = max_score + beam_prune_logp
-            scored = [b for b in scored if b.lm_score >= cutoff]
-            trimmed = _sort_and_trim_beams(scored, beam_width)
+            # keep only beams within the score window of the best, then trim
+            cutoff = max(b.lm_score for b in scored) + beam_prune_logp
+            trimmed = _best_beams(
+                [b for b in scored if b.lm_score >= cutoff], beam_width
+            )
             if prune_history:
                 lm_order = 1 if language_model is None else language_model.order
-                beams = _prune_history(trimmed, lm_order=lm_order)
+                beams = _collapse_history(trimmed, lm_order=lm_order)
             else:
                 beams = [Beam.from_lm_beam(b) for b in trimmed]
         return beams
 
-    def _finalize_beams(
+    def _rank_hypotheses(
         self,
         beams: Sequence[Beam],
         beam_width: int,
@@ -576,23 +580,21 @@ class BeamSearchDecoderCTC:
                         logit_score=beam.logit_score,
                     )
                 )
-            new_beams = _merge_beams(committed)
+            ranked_input = _combine_prefixes(committed)
         else:
-            new_beams = list(beams)
-        scored = self._get_lm_beams(
-            new_beams,
+            ranked_input = list(beams)
+        scored = self._fuse_lm_scores(
+            ranked_input,
             hotword_scorer,
             cached_lm_scores,
             cached_p_lm_scores,
             is_eos=is_end,
         )
-        max_score = max(b.lm_score for b in scored)
-        cutoff = max_score + beam_prune_logp
-        scored = [b for b in scored if b.lm_score >= cutoff]
-        return _sort_and_trim_beams(scored, beam_width)
+        cutoff = max(b.lm_score for b in scored) + beam_prune_logp
+        return _best_beams([b for b in scored if b.lm_score >= cutoff], beam_width)
 
     # -- one-shot decoding -----------------------------------------------------
-    def _decode_logits(
+    def _search(
         self,
         logits: np.ndarray,
         beam_width: int,
@@ -614,7 +616,7 @@ class BeamSearchDecoderCTC:
             cached_lm_scores = {("", False): (0.0, 0.0, start_state)}
         cached_p_lm_scores: Dict[str, float] = {}
 
-        beams = self._partial_decode_logits(
+        beams = self._advance_frames(
             logits,
             [EMPTY_START_BEAM],
             beam_width,
@@ -625,7 +627,7 @@ class BeamSearchDecoderCTC:
             cached_lm_scores,
             cached_p_lm_scores,
         )
-        trimmed = self._finalize_beams(
+        ranked = self._rank_hypotheses(
             beams,
             beam_width,
             beam_prune_logp,
@@ -637,7 +639,7 @@ class BeamSearchDecoderCTC:
         )
         return [
             OutputBeam(
-                text=_normalize_whitespace(b.text),
+                text=collapse_spaces(b.text),
                 last_lm_state=(
                     cached_lm_scores[(b.text, True)][-1]
                     if (b.text, True) in cached_lm_scores
@@ -647,7 +649,7 @@ class BeamSearchDecoderCTC:
                 logit_score=b.logit_score,
                 lm_score=b.lm_score,
             )
-            for b in trimmed
+            for b in ranked
         ]
 
     # -- streaming API -----------------------------------------------------------
@@ -657,7 +659,9 @@ class BeamSearchDecoderCTC:
         if language_model is None:
             cached_lm_scores: LMScoreCache = {}
         else:
-            cached_lm_scores = {("", False): (0.0, 0.0, language_model.get_start_state())}
+            cached_lm_scores = {
+                ("", False): (0.0, 0.0, language_model.get_start_state())
+            }
         return [EMPTY_START_BEAM], cached_lm_scores, {}
 
     def partial_decode_beams(
@@ -676,10 +680,10 @@ class BeamSearchDecoderCTC:
         is_end: bool = False,
     ) -> List[LMBeam]:
         """Consume one chunk of logits, carrying caller-held decode state."""
-        self._check_logits_dimension(logits)
+        self._require_time_vocab_shape(logits)
         hotword_scorer = hotword_scorer or HotwordScorer.build_scorer([], weight=0.0)
         logits = normalize_to_logp(logits)
-        beams = self._partial_decode_logits(
+        beams = self._advance_frames(
             logits,
             beams,
             beam_width,
@@ -691,7 +695,7 @@ class BeamSearchDecoderCTC:
             cached_p_lm_scores,
             processed_frames=processed_frames,
         )
-        return self._finalize_beams(
+        return self._rank_hypotheses(
             beams,
             beam_width,
             beam_prune_logp,
@@ -730,10 +734,10 @@ class BeamSearchDecoderCTC:
         Returns:
             Ranked :class:`OutputBeam` list.
         """
-        self._check_logits_dimension(logits)
+        self._require_time_vocab_shape(logits)
         hotword_scorer = HotwordScorer.build_scorer(hotwords, weight=hotword_weight)
         logits = normalize_to_logp(logits)
-        return self._decode_logits(
+        return self._search(
             logits,
             beam_width=beam_width,
             beam_prune_logp=beam_prune_logp,
@@ -766,7 +770,7 @@ class BeamSearchDecoderCTC:
         )[0].text
 
     # -- batch decoding -----------------------------------------------------------
-    def _decode_beams_mp_safe(
+    def _decode_beams_for_pool(
         self,
         logits: np.ndarray,
         beam_width: int,
@@ -776,6 +780,7 @@ class BeamSearchDecoderCTC:
         hotwords: Optional[Iterable[str]],
         hotword_weight: float,
     ) -> List[OutputBeam]:
+        """decode_beams variant whose outputs survive the pickle boundary."""
         decoded = self.decode_beams(
             logits=logits,
             beam_width=beam_width,
@@ -786,6 +791,22 @@ class BeamSearchDecoderCTC:
             hotword_weight=hotword_weight,
         )
         return [beam.get_mp_safe_beam() for beam in decoded]
+
+    def _map_batch(
+        self,
+        pool: Optional[Pool],
+        fn: Callable[[np.ndarray], Any],
+        logits_list: Sequence[np.ndarray],
+        validate: bool,
+    ) -> List[Any]:
+        """Run ``fn`` over the batch through ``pool`` (fork only) or inline."""
+        valid_pool = _forkable_pool(pool)
+        if valid_pool is None:
+            return [fn(logits) for logits in logits_list]
+        if validate:
+            for logits in logits_list:
+                self._require_time_vocab_shape(logits)
+        return valid_pool.map(fn, logits_list)
 
     def decode_beams_batch(
         self,
@@ -799,32 +820,20 @@ class BeamSearchDecoderCTC:
         hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
     ) -> List[List[OutputBeam]]:
         """Data-parallel beam decode over a multiprocessing pool (fork only)."""
-        valid_pool = _get_valid_pool(pool)
-        if valid_pool is None:
-            return [
-                self._decode_beams_mp_safe(
-                    logits,
-                    beam_width=beam_width,
-                    beam_prune_logp=beam_prune_logp,
-                    token_min_logp=token_min_logp,
-                    hotwords=hotwords,
-                    prune_history=prune_history,
-                    hotword_weight=hotword_weight,
-                )
-                for logits in logits_list
-            ]
-        for logits in logits_list:
-            self._check_logits_dimension(logits)
-        p_decode = functools.partial(
-            self._decode_beams_mp_safe,
-            beam_width=beam_width,
-            beam_prune_logp=beam_prune_logp,
-            token_min_logp=token_min_logp,
-            hotwords=hotwords,
-            prune_history=prune_history,
-            hotword_weight=hotword_weight,
+        return self._map_batch(
+            pool,
+            functools.partial(
+                self._decode_beams_for_pool,
+                beam_width=beam_width,
+                beam_prune_logp=beam_prune_logp,
+                token_min_logp=token_min_logp,
+                hotwords=hotwords,
+                prune_history=prune_history,
+                hotword_weight=hotword_weight,
+            ),
+            logits_list,
+            validate=True,
         )
-        return valid_pool.map(p_decode, logits_list)
 
     def decode_batch(
         self,
@@ -837,28 +846,19 @@ class BeamSearchDecoderCTC:
         hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
     ) -> List[str]:
         """Data-parallel top-1 decode over a multiprocessing pool (fork only)."""
-        valid_pool = _get_valid_pool(pool)
-        if valid_pool is None:
-            return [
-                self.decode(
-                    logits,
-                    beam_width=beam_width,
-                    beam_prune_logp=beam_prune_logp,
-                    token_min_logp=token_min_logp,
-                    hotwords=hotwords,
-                    hotword_weight=hotword_weight,
-                )
-                for logits in logits_list
-            ]
-        p_decode = functools.partial(
-            self.decode,
-            beam_width=beam_width,
-            beam_prune_logp=beam_prune_logp,
-            token_min_logp=token_min_logp,
-            hotwords=hotwords,
-            hotword_weight=hotword_weight,
+        return self._map_batch(
+            pool,
+            functools.partial(
+                self.decode,
+                beam_width=beam_width,
+                beam_prune_logp=beam_prune_logp,
+                token_min_logp=token_min_logp,
+                hotwords=hotwords,
+                hotword_weight=hotword_weight,
+            ),
+            logits_list,
+            validate=False,
         )
-        return valid_pool.map(p_decode, logits_list)
 
     # -- serialization ----------------------------------------------------------
     def save_to_dir(self, filepath: str) -> None:
@@ -868,42 +868,42 @@ class BeamSearchDecoderCTC:
             fh.write(self._alphabet.dumps())
         lm = self._language_model
         if lm is None:
-            logger.info("decoder has no language model.")
+            logger.info("no language model attached; serializing the alphabet only")
         else:
             lm_path = os.path.join(filepath, self._LANGUAGE_MODEL_SERIALIZED_DIRECTORY)
             os.makedirs(lm_path)
-            logger.info("Saving language model to %s", lm_path)
+            logger.info("writing the language model under %s", lm_path)
             lm.save_to_dir(lm_path)
 
     @staticmethod
     def parse_directory_contents(filepath: str) -> Dict[str, Union[str, None]]:
         """Validate a serialized-decoder directory layout."""
+        alphabet_name = BeamSearchDecoderCTC._ALPHABET_SERIALIZED_FILENAME
+        lm_dir_name = BeamSearchDecoderCTC._LANGUAGE_MODEL_SERIALIZED_DIRECTORY
         contents = [
             c
             for c in os.listdir(filepath)
             if not c.startswith(".") and not c.startswith("__")
         ]
-        if BeamSearchDecoderCTC._ALPHABET_SERIALIZED_FILENAME not in contents:
+        if alphabet_name not in contents:
             raise ValueError(
-                f"Could not find alphabet file "
-                f"{BeamSearchDecoderCTC._ALPHABET_SERIALIZED_FILENAME}. Found {contents}"
+                f"not a serialized decoder directory: {alphabet_name} is "
+                f"absent from {filepath} (directory holds {contents})"
             )
-        alphabet_filepath = os.path.join(
-            filepath, BeamSearchDecoderCTC._ALPHABET_SERIALIZED_FILENAME
-        )
-        contents.remove(BeamSearchDecoderCTC._ALPHABET_SERIALIZED_FILENAME)
+        contents.remove(alphabet_name)
         lm_directory: Optional[str] = None
         if contents:
-            if BeamSearchDecoderCTC._LANGUAGE_MODEL_SERIALIZED_DIRECTORY not in contents:
+            if lm_dir_name not in contents:
                 raise ValueError(
-                    f"Could not find language model directory. Looking for "
-                    f"{BeamSearchDecoderCTC._LANGUAGE_MODEL_SERIALIZED_DIRECTORY}, "
-                    f"found {contents}"
+                    f"unexpected extra entries {contents} in a serialized "
+                    f"decoder directory; only {lm_dir_name!r} may accompany "
+                    f"{alphabet_name!r}"
                 )
-            lm_directory = os.path.join(
-                filepath, BeamSearchDecoderCTC._LANGUAGE_MODEL_SERIALIZED_DIRECTORY
-            )
-        return {"alphabet": alphabet_filepath, "language_model": lm_directory}
+            lm_directory = os.path.join(filepath, lm_dir_name)
+        return {
+            "alphabet": os.path.join(filepath, alphabet_name),
+            "language_model": lm_directory,
+        }
 
     @classmethod
     def load_from_dir(
@@ -931,61 +931,8 @@ class BeamSearchDecoderCTC:
             from huggingface_hub import snapshot_download
         except ImportError as err:
             raise ImportError(
-                "You need to install huggingface_hub to use `load_from_hf_hub`. "
-                "See https://pypi.org/project/huggingface-hub/ for installation."
+                "loading from the HuggingFace Hub requires the optional "
+                "huggingface_hub package (pip install huggingface-hub)"
             ) from err
         cached_directory = snapshot_download(model_id, cache_dir=cache_dir, **kwargs)
         return cls.load_from_dir(cached_directory)
-
-
-def build_ctcdecoder(
-    labels: List[str],
-    kenlm_model_path: Optional[str] = None,
-    unigrams: Optional[Collection[str]] = None,
-    alpha: float = DEFAULT_ALPHA,
-    beta: float = DEFAULT_BETA,
-    unk_score_offset: float = DEFAULT_UNK_LOGP_OFFSET,
-    lm_score_boundary: bool = DEFAULT_SCORE_LM_BOUNDARY,
-) -> BeamSearchDecoderCTC:
-    """Build a ready-to-use decoder (main entry point).
-
-    Args:
-        labels: raw model labels (logit column order).
-        kenlm_model_path: optional path to an ARPA (or compiled) n-gram LM;
-            the kwarg name is kept for drop-in compatibility with the
-            reference API, but the file is loaded by this framework's own
-            n-gram runtime.
-        unigrams: known word vocabulary (inferred from \\1-grams for ARPA).
-        alpha: LM weight for shallow fusion.
-        beta: per-word length bonus.
-        unk_score_offset: log-score offset for OOV words.
-        lm_score_boundary: whether the LM scores <s>/</s> boundaries.
-
-    Returns:
-        A :class:`BeamSearchDecoderCTC`.
-    """
-    ngram_model = None if kenlm_model_path is None else open_ngram_file(kenlm_model_path)
-    if kenlm_model_path is not None and kenlm_model_path.endswith(".arpa"):
-        logger.info("Using arpa instead of binary LM file, decoder instantiation might be slow.")
-    if unigrams is None and kenlm_model_path is not None:
-        if kenlm_model_path.endswith(".arpa"):
-            unigrams = load_unigram_set_from_arpa(kenlm_model_path)
-        else:
-            logger.warning(
-                "Unigrams not provided and cannot be automatically determined from "
-                "LM file (only arpa format). Decoding accuracy might be reduced."
-            )
-    alphabet = Alphabet.build_alphabet(labels)
-    if unigrams is not None:
-        verify_alphabet_coverage(alphabet, unigrams)
-    language_model: Optional[AbstractLanguageModel] = None
-    if ngram_model is not None:
-        language_model = LanguageModel(
-            ngram_model,
-            unigrams,
-            alpha=alpha,
-            beta=beta,
-            unk_score_offset=unk_score_offset,
-            score_boundary=lm_score_boundary,
-        )
-    return BeamSearchDecoderCTC(alphabet, language_model)

@@ -40,16 +40,16 @@ def _prepare_unigram_set(unigrams: Collection[str], model: NGramModel) -> Set[st
     """Keep only unigrams known to the n-gram model's vocabulary."""
     if len(unigrams) < 1000:
         logger.warning(
-            "Only %s unigrams passed as vocabulary. Is this small or artificial data?",
+            "the supplied vocabulary has just %s unigrams; real models "
+            "usually ship far more (toy/test data?)",
             len(unigrams),
         )
     unigram_set = {t for t in set(unigrams) if t in model}
     retained = 1.0 if len(unigrams) == 0 else len(unigram_set) / len(unigrams)
     if retained < 0.1:
         logger.warning(
-            "Only %s%% of unigrams in vocabulary found in the language model -- this "
-            "might mean that your vocabulary and language model are incompatible. "
-            "Is this intentional?",
+            "the n-gram model recognizes only %s%% of the supplied unigrams; "
+            "the vocabulary and the LM probably come from different sources",
             round(retained * 100, 1),
         )
     return unigram_set
@@ -73,7 +73,10 @@ class LanguageModel(AbstractLanguageModel):
     ) -> None:
         self._model = ngram_model
         if unigrams is None:
-            logger.warning("No known unigrams provided, decoding results might be a lot worse.")
+            logger.warning(
+                "decoding without a known-word vocabulary: every partial word "
+                "is scored as unknown, which usually costs accuracy"
+            )
             unigram_set: Set[str] = set()
             char_trie = None
         else:
@@ -99,31 +102,26 @@ class LanguageModel(AbstractLanguageModel):
     def order(self) -> int:
         return self._model.order
 
-    # -- live re-tuning (ref language_model.py:271-301) -----------------------
+    # tunable knob -> required type (live-retunable without reloading tables)
+    _TUNABLE = {
+        "alpha": float,
+        "beta": float,
+        "unk_score_offset": float,
+        "score_boundary": bool,
+    }
+
     def reset_params(self, **params: Dict[str, Any]) -> None:
-        """Re-tune alpha/beta/unk_score_offset/score_boundary without reloading."""
-        alpha = params.get("alpha")
-        if alpha is not None:
-            if not isinstance(alpha, float):
-                raise ValueError(f"alpha must be a float. Got {type(alpha)}.")
-            self.alpha = alpha
-        beta = params.get("beta")
-        if beta is not None:
-            if not isinstance(beta, float):
-                raise ValueError(f"beta must be a float. Got {type(beta)}.")
-            self.beta = beta
-        unk_score_offset = params.get("unk_score_offset")
-        if unk_score_offset is not None:
-            if not isinstance(unk_score_offset, float):
+        """Re-tune alpha/beta/unk_score_offset/score_boundary in place."""
+        for name, required in self._TUNABLE.items():
+            value = params.get(name)
+            if value is None:
+                continue
+            if not isinstance(value, required):
                 raise ValueError(
-                    f"unk_score_offset must be a float. Got {type(unk_score_offset)}."
+                    f"{name} accepts {required.__name__} values only; "
+                    f"received {type(value).__name__}"
                 )
-            self.unk_score_offset = unk_score_offset
-        score_boundary = params.get("score_boundary")
-        if score_boundary is not None:
-            if not isinstance(score_boundary, bool):
-                raise ValueError(f"score_boundary must be a bool. Got {type(score_boundary)}.")
-            self.score_boundary = score_boundary
+            setattr(self, name, value)
 
     # -- scoring --------------------------------------------------------------
     def get_start_state(self) -> NGramLMState:
@@ -154,7 +152,8 @@ class LanguageModel(AbstractLanguageModel):
         """Fused shallow-fusion score of one word (ref language_model.py:338-360)."""
         if not isinstance(prev_state, NGramLMState):
             raise AssertionError(
-                f"Wrong input state type found. Expected NGramLMState, got {type(prev_state)}"
+                f"LanguageModel.score needs an NGramLMState; "
+                f"received {type(prev_state).__name__}"
             )
         raw, end_context = self._model.raw_score_word(prev_state.context, word)
         if self._is_oov(word):
@@ -172,7 +171,7 @@ class LanguageModel(AbstractLanguageModel):
         for name in LanguageModel.JSON_ATTRS:
             val = getattr(self, name)
             if val is None:
-                raise ValueError(f"attribute {name} not found. Cannot serialize")
+                raise ValueError(f"cannot serialize: tunable attribute {name!r} is unset")
             attrs[name] = val
         return attrs
 
@@ -191,7 +190,7 @@ class LanguageModel(AbstractLanguageModel):
         if src is None:
             raise ValueError("Language model has no backing file; cannot serialize.")
         dst = os.path.join(filepath, os.path.basename(src))
-        logger.info("copying n-gram model from %s to %s. This may take some time", src, dst)
+        logger.info("copying the n-gram model file %s -> %s (may be large)", src, dst)
         if os.path.abspath(src) != os.path.abspath(dst):
             shutil.copy2(src, dst)
 
@@ -205,19 +204,26 @@ class LanguageModel(AbstractLanguageModel):
         ]
         if len(contents) != 3:
             raise ValueError(
-                f"Found wrong number of files in directory. Expected 3 files, found {contents}"
+                "a serialized LM directory holds exactly three files "
+                f"(attributes, unigrams, model); this one holds {contents}"
             )
         if LanguageModel._ATTRS_SERIALIZED_FILENAME not in contents:
-            raise ValueError(f"did not find attributes file in files: {contents}")
+            raise ValueError(
+                f"missing {LanguageModel._ATTRS_SERIALIZED_FILENAME} in the LM "
+                f"directory; present: {contents}"
+            )
         contents.remove(LanguageModel._ATTRS_SERIALIZED_FILENAME)
         if LanguageModel._UNIGRAMS_SERIALIZED_FILENAME not in contents:
-            raise ValueError(f"did not find unigrams file in files: {contents}")
+            raise ValueError(
+                f"missing {LanguageModel._UNIGRAMS_SERIALIZED_FILENAME} in the LM "
+                f"directory; present: {contents}"
+            )
         contents.remove(LanguageModel._UNIGRAMS_SERIALIZED_FILENAME)
         lm_file = contents[0]
         if os.path.splitext(lm_file)[1] not in {".arpa", ".bin", ".binary", ".ctclm"}:
             raise ValueError(
-                f"Expected language model file to end in `.arpa`, `.bin(ary)` or "
-                f"`.ctclm`. Found {lm_file}"
+                f"unrecognized LM file {lm_file!r}: supported extensions are "
+                ".arpa, .bin, .binary and .ctclm"
             )
         return {
             "json_attrs": os.path.join(filepath, LanguageModel._ATTRS_SERIALIZED_FILENAME),
@@ -235,8 +241,8 @@ class LanguageModel(AbstractLanguageModel):
             attrs = json.load(fh)
         if set(attrs.keys()) != set(cls.JSON_ATTRS):
             raise ValueError(
-                f"Expected json serialized attributes to be {cls.JSON_ATTRS} "
-                f"but found {attrs.keys()}"
+                f"attrs.json must define exactly {cls.JSON_ATTRS}; "
+                f"it defines {sorted(attrs.keys())}"
             )
         with open(filenames["unigrams"], "r", encoding=unigram_encoding) as fh:
             unigrams = fh.read().splitlines()
@@ -251,7 +257,7 @@ class MultiLanguageModel(AbstractLanguageModel):
 
     def __init__(self, language_models: Sequence[AbstractLanguageModel]) -> None:
         if len(language_models) < 2:
-            raise ValueError("This class is meant to contain at least 2 language models.")
+            raise ValueError("an ensemble needs two or more member language models")
         self._language_models = list(language_models)
 
     @property
@@ -272,12 +278,13 @@ class MultiLanguageModel(AbstractLanguageModel):
         """Average of member scores; state is the tuple of member states."""
         if not isinstance(prev_state, MultiLMState):
             raise AssertionError(
-                f"Wrong input state type found. Expected MultiLMState, got {type(prev_state)}"
+                f"MultiLanguageModel.score needs a MultiLMState; "
+                f"received {type(prev_state).__name__}"
             )
         if len(prev_state.states) != len(self._language_models):
             raise AssertionError(
-                f"Number of states ({len(prev_state.states)}) does not match number of "
-                f"language models ({len(self._language_models)})."
+                f"state carries {len(prev_state.states)} member states but the "
+                f"ensemble has {len(self._language_models)} models"
             )
         total = 0.0
         out_states = []

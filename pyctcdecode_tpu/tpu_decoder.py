@@ -31,7 +31,7 @@ from .constants import (
     DEFAULT_PRUNE_BEAMS,
     DEFAULT_PRUNE_LOGP,
 )
-from .decoder import NULL_FRAMES, LMBeam, OutputBeam, _normalize_whitespace
+from .decoder import NULL_FRAMES, LMBeam, OutputBeam, collapse_spaces
 from .engine import (
     DEAD_THRESH,
     EngineConfig,
@@ -653,7 +653,7 @@ class TPUBeamSearchDecoderCTC:
                     last_state = MultiLMState(states)
             results.append(
                 OutputBeam(
-                    text=_normalize_whitespace(text),
+                    text=collapse_spaces(text),
                     last_lm_state=last_state,
                     text_frames=list(zip(words, frames)),
                     logit_score=float(logit[rank]),
@@ -740,9 +740,28 @@ class TPUBeamSearchDecoderCTC:
             top_n=1,
         )[0].text
 
+    @staticmethod
+    def _without_pool_arg(first: Any, rest: Tuple[Any, ...]) -> Any:
+        """Support the reference batch calling convention.
+
+        The reference batch APIs lead with a ``multiprocessing`` pool
+        (ref decoder.py:801, 895); the device engine vectorizes the batch
+        on-chip in one program, so a leading pool (or ``None``) is accepted
+        for drop-in compatibility and ignored.
+        """
+        if not rest:
+            return first
+        if len(rest) > 1:
+            raise TypeError(
+                "batch decode takes the logits list plus at most one leading "
+                "pool argument"
+            )
+        return rest[0]
+
     def decode_beams_batch(
         self,
         logits_list: Sequence[np.ndarray],
+        *_pool_compat: Any,
         beam_width: int = DEFAULT_BEAM_WIDTH,
         beam_prune_logp: float = DEFAULT_PRUNE_LOGP,
         token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP,
@@ -759,6 +778,7 @@ class TPUBeamSearchDecoderCTC:
         batch dimension is padded to a multiple of ``batch_pad`` so repeated
         calls reuse compiled executables.
         """
+        logits_list = self._without_pool_arg(logits_list, _pool_compat)
         if not logits_list:
             return []
         hot, weight, _ = self._hot_tables(hotwords, hotword_weight)
@@ -814,6 +834,7 @@ class TPUBeamSearchDecoderCTC:
     def decode_batch(
         self,
         logits_list: Sequence[np.ndarray],
+        *_pool_compat: Any,
         beam_width: int = DEFAULT_BEAM_WIDTH,
         beam_prune_logp: float = DEFAULT_PRUNE_LOGP,
         token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP,
@@ -821,7 +842,8 @@ class TPUBeamSearchDecoderCTC:
         hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
         max_tokens_per_frame: Optional[int] = None,
     ) -> List[str]:
-        """Batch top-1 transcripts."""
+        """Batch top-1 transcripts (leading pool argument accepted, unused)."""
+        logits_list = self._without_pool_arg(logits_list, _pool_compat)
         beams = self.decode_beams_batch(
             logits_list,
             beam_width=beam_width,
@@ -834,6 +856,68 @@ class TPUBeamSearchDecoderCTC:
             top_n=1,
         )
         return [b[0].text if b else "" for b in beams]
+
+    # -- serialization (same directory layout as the host engine) -------------
+    def save_to_dir(self, filepath: str) -> None:
+        """Write alphabet.json (+ language_model/ when present) to a directory."""
+        import os
+
+        from .decoder import BeamSearchDecoderCTC as _Host
+
+        alphabet_path = os.path.join(filepath, _Host._ALPHABET_SERIALIZED_FILENAME)
+        with open(alphabet_path, "w") as fh:
+            fh.write(self._alphabet.dumps())
+        if self._lm is None:
+            logger.info("no language model attached; serializing the alphabet only")
+        else:
+            lm_path = os.path.join(
+                filepath, _Host._LANGUAGE_MODEL_SERIALIZED_DIRECTORY
+            )
+            os.makedirs(lm_path)
+            logger.info("writing the language model under %s", lm_path)
+            self._lm.save_to_dir(lm_path)
+
+    @staticmethod
+    def parse_directory_contents(filepath: str):
+        """Validate a serialized-decoder directory layout (host-compatible)."""
+        from .decoder import BeamSearchDecoderCTC as _Host
+
+        return _Host.parse_directory_contents(filepath)
+
+    @classmethod
+    def load_from_dir(
+        cls, filepath: str, unigram_encoding: Optional[str] = None
+    ) -> "TPUBeamSearchDecoderCTC":
+        """Load a serialized decoder directory onto the device engine."""
+        filenames = cls.parse_directory_contents(filepath)
+        with open(filenames["alphabet"], "r") as fh:  # type: ignore[arg-type]
+            alphabet = Alphabet.loads(fh.read())
+        language_model: Optional[LanguageModel] = None
+        if filenames["language_model"] is not None:
+            language_model = LanguageModel.load_from_dir(
+                filenames["language_model"], unigram_encoding=unigram_encoding
+            )
+        return cls(alphabet, language_model=language_model)
+
+    @classmethod
+    def load_from_hf_hub(
+        cls, model_id: str, cache_dir: Optional[str] = None, **kwargs: Any
+    ) -> "TPUBeamSearchDecoderCTC":
+        """Load a decoder directory from the HuggingFace Hub (or its cache)."""
+        import os
+        from pathlib import Path
+
+        if cache_dir is None:
+            cache_dir = os.path.join(Path.home(), ".cache", "pyctcdecode_tpu")
+        try:
+            from huggingface_hub import snapshot_download
+        except ImportError as err:
+            raise ImportError(
+                "loading from the HuggingFace Hub requires the optional "
+                "huggingface_hub package (pip install huggingface-hub)"
+            ) from err
+        cached_directory = snapshot_download(model_id, cache_dir=cache_dir, **kwargs)
+        return cls.load_from_dir(cached_directory)
 
 
 def normalize_host(logits: np.ndarray) -> np.ndarray:

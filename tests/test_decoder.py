@@ -26,11 +26,11 @@ from pyctcdecode_tpu.decoder import (
     Beam,
     LMBeam,
     OutputBeam,
-    _merge_beams,
-    _normalize_whitespace,
-    _prune_history,
-    _sort_and_trim_beams,
-    _sum_log_scores,
+    _best_beams,
+    _collapse_history,
+    _combine_prefixes,
+    collapse_spaces,
+    log_add,
 )
 from pyctcdecode_tpu.models.ngram import NGramModel
 
@@ -79,17 +79,17 @@ def _approx_output(beams, precis=5):
 
 
 class TestBeamAlgebra(unittest.TestCase):
-    def test_normalize_whitespace(self):
-        self.assertEqual(_normalize_whitespace(""), "")
-        self.assertEqual(_normalize_whitespace("  a   b c "), "a b c")
+    def testcollapse_spaces(self):
+        self.assertEqual(collapse_spaces(""), "")
+        self.assertEqual(collapse_spaces("  a   b c "), "a b c")
 
-    def test_sum_log_scores(self):
-        self.assertEqual(_sum_log_scores(0, 0), math.log(2))
-        self.assertAlmostEqual(_sum_log_scores(1 - math.log(2), 1 - math.log(2)), 1.0)
+    def testlog_add(self):
+        self.assertEqual(log_add(0, 0), math.log(2))
+        self.assertAlmostEqual(log_add(1 - math.log(2), 1 - math.log(2)), 1.0)
         # asymmetric, stable for large gaps
-        self.assertAlmostEqual(_sum_log_scores(-1000.0, 0.0), 0.0)
+        self.assertAlmostEqual(log_add(-1000.0, 0.0), 0.0)
 
-    def test_merge_beams(self):
+    def test_combine_prefixes(self):
         beams = [
             Beam("deep space", "", "nin", "n", [], (-1, -1), -1.0),
             Beam("deep space", "nine", "", "", [], (-1, -1), -1.0),
@@ -97,7 +97,7 @@ class TestBeamAlgebra(unittest.TestCase):
             Beam("deep space", "", "nin", "", [], (-1, -1), -1.0),
             Beam("deep  space", "", "nin", "", [], (-1, -1), -1.0),
         ]
-        merged = _merge_beams(beams)
+        merged = _combine_prefixes(beams)
         self.assertEqual(len(merged), 4)
         scores = [b.logit_score for b in merged]
         self.assertAlmostEqual(scores[2], math.log(2 * math.exp(-1)))
@@ -108,10 +108,10 @@ class TestBeamAlgebra(unittest.TestCase):
             LMBeam("b", "", "x", "x", [], (-1, -1), -1.0, -9.0),
             LMBeam("c", "", "x", "x", [], (-1, -1), -1.0, -5.0),
         ]
-        out = _sort_and_trim_beams(beams, 2)
+        out = _best_beams(beams, 2)
         self.assertEqual([b.text for b in out], ["a", "c"])
 
-    def test_prune_history(self):
+    def test_collapse_history(self):
         beams = [
             LMBeam("A x owns", "", "potatoes", "s", [], (-1, -1), -1.0, -1.0),
             LMBeam("B x owns", "", "potatoes", "", [], (-1, -1), -1.0, -1.0),
@@ -119,7 +119,7 @@ class TestBeamAlgebra(unittest.TestCase):
             LMBeam("D x sells", "", "yeast", "", [], (-1, -1), -1.0, -1.0),
             LMBeam("E x owns", "", "yeast", "", [], (-1, -1), -1.0, -1.0),
         ]
-        pruned = _prune_history(beams, 3)
+        pruned = _collapse_history(beams, 3)
         self.assertEqual([b.text.split()[0] for b in pruned], ["A", "B", "D", "E"])
         self.assertTrue(all(isinstance(b, Beam) for b in pruned))
 
@@ -169,13 +169,13 @@ class TestDecoder:
         BeamSearchDecoderCTC.clear_class_models()
         assert len(BeamSearchDecoderCTC.model_container) == 0
 
-    def test_build_ctcdecoder(self, bugs_bunny_arpa_path):
-        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path)
+    def test_build_ctcdecoder(self, bugs_bunny_arpa_path, engine="host"):
+        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, engine="host")
         assert decoder.decode(TEST_LOGITS) == "bugs bunny"
 
     def test_golden_scores(self, bugs_bunny_arpa_path):
         """Exact float parity with the reference's golden OutputBeam."""
-        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, TEST_UNIGRAMS)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, TEST_UNIGRAMS, engine="host")
         beams = decoder.decode_beams(TEST_LOGITS)
         top = beams[0]
         assert top.text == "bugs bunny"
@@ -184,7 +184,7 @@ class TestDecoder:
         assert top.lm_score == pytest.approx(GOLDEN_TOP_LM_SCORE, abs=1e-12)
 
     def test_decode_batch(self, bugs_bunny_arpa_path):
-        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, TEST_UNIGRAMS)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, TEST_UNIGRAMS, engine="host")
         pool = MockPool(MockContext())
         texts = decoder.decode_batch(pool, [TEST_LOGITS] * 5)
         assert texts == ["bugs bunny"] * 5
@@ -199,7 +199,7 @@ class TestDecoder:
         assert not spawn_pool.map_has_run
 
     def test_decode_beams_batch_mp_safe(self, bugs_bunny_arpa_path):
-        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, TEST_UNIGRAMS)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, TEST_UNIGRAMS, engine="host")
         pool = MockPool(MockContext())
         beam_lists = decoder.decode_beams_batch(pool, [TEST_LOGITS] * 2)
         assert pool.map_has_run
@@ -212,7 +212,7 @@ class TestDecoder:
             assert top.lm_score == pytest.approx(GOLDEN_TOP_LM_SCORE, abs=1e-12)
 
     def test_logit_shape_mismatch(self):
-        decoder = build_ctcdecoder(SAMPLE_LABELS)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, engine="host")
         with pytest.raises(ValueError):
             decoder.decode(np.hstack([TEST_LOGITS] * 2))
         with pytest.raises(ValueError):
@@ -231,14 +231,14 @@ class TestDecoder:
         )
 
     def test_token_min_logp_pruning(self, bugs_bunny_arpa_path):
-        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, engine="host")
         assert decoder.decode(TEST_LOGITS) == "bugs bunny"
         assert _greedy(TEST_LOGITS, decoder._alphabet) == "bunny bunny"
         # admitting only the argmax forces the greedy answer
         assert decoder.decode(TEST_LOGITS, token_min_logp=0.0) == "bunny bunny"
 
     def test_history_pruning(self):
-        decoder = build_ctcdecoder(SAMPLE_LABELS)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, engine="host")
         add = np.vstack([SPACE_PROBS, BUNNY_PROBS])
         logits = np.log(np.clip(np.vstack([TEST_PROBS] + [add] * 5), 1e-15, 1))
         beams = decoder.decode_beams(logits, prune_history=False)
@@ -256,10 +256,10 @@ class TestDecoder:
                 + BUNNY_PROBS * 0.49,
             ]
         )
-        no_lm = build_ctcdecoder(SAMPLE_LABELS)
+        no_lm = build_ctcdecoder(SAMPLE_LABELS, engine="host")
         assert no_lm.decode(bunny_bunny_probs) == "bugs bugs"
 
-        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, TEST_UNIGRAMS)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, TEST_UNIGRAMS, engine="host")
         assert decoder.decode(bunny_bunny_probs) == "bugs bunny"
 
         # splitting breaks the bigram context
@@ -278,7 +278,7 @@ class TestDecoder:
         assert text == "bugs bunny"
 
     def test_hotwords(self, bugs_bunny_arpa_path):
-        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, engine="host")
         assert decoder.decode(TEST_LOGITS) == "bugs bunny"
         assert (
             decoder.decode(TEST_LOGITS, hotwords=["bunny"], hotword_weight=20)
@@ -292,18 +292,18 @@ class TestDecoder:
             decoder.decode(TEST_LOGITS, hotwords=["bugs bunny"], hotword_weight=20)
             == "bugs bunny"
         )
-        no_lm = build_ctcdecoder(SAMPLE_LABELS)
+        no_lm = build_ctcdecoder(SAMPLE_LABELS, engine="host")
         assert no_lm.decode(TEST_LOGITS) == "bunny bunny"
         assert no_lm.decode(TEST_LOGITS, hotwords=["bugs"]) == "bugs bunny"
 
     def test_beam_results(self, bugs_bunny_arpa_path):
-        decoder = build_ctcdecoder(SAMPLE_LABELS)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, engine="host")
         beams = decoder.decode_beams(TEST_LOGITS)
         assert len(beams) == 16
         assert beams[0].text == "bunny bunny"
         assert beams[-1].text == "bugs bunny"
 
-        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, engine="host")
         beams = decoder.decode_beams(TEST_LOGITS)
         assert len(beams) == 1
         assert beams[0].text == "bugs bunny"
@@ -317,7 +317,7 @@ class TestDecoder:
         assert beams[1].text == "bunny bunny"
 
     def test_frame_annotations(self):
-        decoder = build_ctcdecoder(SAMPLE_LABELS)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, engine="host")
         beams = decoder.decode_beams(TEST_LOGITS)
         assert beams[0].text == "bunny bunny"
         assert beams[0].text_frames == [("bunny", (0, 6)), ("bunny", (7, 13))]
@@ -334,7 +334,7 @@ class TestDecoder:
     def test_bpe_frame_annotations(self):
         bpe_labels = ["▁bugs", "▁bun", "ny", ""]
         vocab = {c: n for n, c in enumerate(bpe_labels)}
-        decoder = build_ctcdecoder(bpe_labels)
+        decoder = build_ctcdecoder(bpe_labels, engine="host")
         seq = ["", "▁bugs", "▁bun", "ny", "ny", ""]
         logits = np.zeros((len(seq), len(vocab)))
         for n, c in enumerate(seq):
@@ -344,7 +344,7 @@ class TestDecoder:
         assert top.text_frames == [("bugs", (1, 2)), ("bunny", (2, 5))]
 
     def test_realistic_char_alphabet(self, libri_logits):
-        decoder = build_ctcdecoder(LIBRI_LABELS)
+        decoder = build_ctcdecoder(LIBRI_LABELS, engine="host")
         assert decoder.decode(libri_logits) == LIBRI_TRANSCRIPT
         beams = decoder.decode_beams(libri_logits)
         assert len(beams[0].text.split()) == len(beams[0].text_frames)
@@ -355,11 +355,11 @@ class TestDecoder:
         labels_bpe = [UNK_BPE_TOKEN, BPE_TOKEN] + ["##" + c for c in LIBRI_LABELS[1:]]
         zero_col = np.full((libri_logits.shape[0], 1), -100.0)
         logits_bpe = np.hstack([zero_col, libri_logits])
-        decoder = build_ctcdecoder(labels_bpe)
+        decoder = build_ctcdecoder(labels_bpe, engine="host")
         assert decoder.decode(logits_bpe) == LIBRI_TRANSCRIPT
 
     def test_reset_params(self, bugs_bunny_arpa_path):
-        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, alpha=0.0)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, alpha=0.0, engine="host")
         assert decoder.decode(TEST_LOGITS) == "bunny bunny"
         decoder.reset_params(alpha=1.0)
         assert decoder.decode(TEST_LOGITS) == "bugs bunny"
@@ -368,7 +368,7 @@ class TestDecoder:
         BeamSearchDecoderCTC.clear_class_models()
 
     def test_empty_logits(self):
-        decoder = build_ctcdecoder(SAMPLE_LABELS)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, engine="host")
         beams = decoder.decode_beams(np.zeros((0, len(SAMPLE_LABELS))))
         assert beams[0].text == ""
 
@@ -381,7 +381,7 @@ class TestFuzz(unittest.TestCase):
         xs = np.exp(rng.normal(size=(rows, len(LIBRI_LABELS) + 1)))
         ps = (xs.T / np.sum(xs, axis=1)).T if rows else xs
         logits = np.log(ps) if rows else xs
-        decoder = build_ctcdecoder(LIBRI_LABELS)
+        decoder = build_ctcdecoder(LIBRI_LABELS, engine="host")
         decoder.decode(logits)
 
     @settings(deadline=2000, max_examples=25)
@@ -389,7 +389,7 @@ class TestFuzz(unittest.TestCase):
     def test_fuzz_decode_unnormalized(self, rows, seed):
         rng = np.random.default_rng(seed)
         logits = rng.normal(size=(rows, len(LIBRI_LABELS) + 1))
-        decoder = build_ctcdecoder(LIBRI_LABELS)
+        decoder = build_ctcdecoder(LIBRI_LABELS, engine="host")
         decoder.decode(logits)
 
 
@@ -404,7 +404,7 @@ class TestFuzzResetParams:
     def test_fuzz_reset_params(
         self, alpha, beta, unk_score_offset, lm_score_boundary, bugs_bunny_arpa_path
     ):
-        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, alpha=0.0)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, alpha=0.0, engine="host")
         decoder.reset_params(
             alpha=alpha,
             beta=beta,

@@ -41,7 +41,7 @@ class TestDecoderSerialization(TempfileTestCase):
     def test_round_trip_no_lm(self):
         from pyctcdecode_tpu import build_ctcdecoder
 
-        decoder = build_ctcdecoder(LIBRI_LABELS)
+        decoder = build_ctcdecoder(LIBRI_LABELS, engine="host")
         old_count = _count_models()
         decoder.save_to_dir(self.temp_dir)
         self.assertEqual(_count_models(), old_count)

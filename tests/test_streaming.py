@@ -37,7 +37,7 @@ def _run_chunked(decoder, chunks, offsets, scorers=None, **kwargs):
 
 class TestPartialDecode:
     def test_chunked_equals_full(self):
-        decoder = build_ctcdecoder(SAMPLE_LABELS)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, engine="host")
         beams0, lm_cache, p_cache = decoder.get_starting_state()
         full = decoder.partial_decode_beams(
             TEST_LOGITS, lm_cache, p_cache, beams0, 0, is_end=True
@@ -65,7 +65,7 @@ class TestPartialDecode:
             assert d.logit_score == pytest.approx(c.logit_score)
 
     def test_chunked_equals_full_with_lm(self, bugs_bunny_arpa_path):
-        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, bugs_bunny_arpa_path, engine="host")
         chunked = _run_chunked(
             decoder,
             [TEST_LOGITS[:3], TEST_LOGITS[3:8], TEST_LOGITS[8:]],
@@ -80,7 +80,7 @@ class TestPartialDecode:
             assert d.logit_score == pytest.approx(c.logit_score)
 
     def test_chunked_with_hotwords(self):
-        decoder = build_ctcdecoder(SAMPLE_LABELS)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, engine="host")
         scorer = HotwordScorer.build_scorer(["bugs"], weight=25.0)
         chunked = _run_chunked(
             decoder,
@@ -95,7 +95,7 @@ class TestPartialDecode:
             assert d.logit_score == pytest.approx(c.logit_score)
 
     def test_swappable_hotword_scorers(self):
-        decoder = build_ctcdecoder(SAMPLE_LABELS)
+        decoder = build_ctcdecoder(SAMPLE_LABELS, engine="host")
         hw_bugs = HotwordScorer.build_scorer(["bugs"], weight=15.0)
         hw_bunny = HotwordScorer.build_scorer(["bunny"], weight=15.0)
 
