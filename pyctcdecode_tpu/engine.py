@@ -162,8 +162,9 @@ def build_table_args(
                 "trie_word_id": dev["trie_word_id"],
                 "seed_node_arr": dev["seed_node"],
                 "utable": {
-                    "keys": dev["utable"]["keys"],
-                    "vals": dev["utable"]["vals"],
+                    "key_cols": dev["utable"]["key_cols"],
+                    "prob": dev["utable"]["prob"],
+                    "backoff": dev["utable"]["backoff"],
                 },
             }
         )

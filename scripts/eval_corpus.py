@@ -1,0 +1,111 @@
+"""Corpus WER / throughput / parity evaluation CLI.
+
+The committed analog of the reference's ``03_eval_performance.ipynb``
+methodology: decode a corpus at a given beam width with an n-gram LM,
+report WER and audio-seconds/s for the host and device engines, and check
+top-1 parity between them. With no ``--arpa`` a synthetic LM + corpus are
+generated (no network in this environment); with one, the corpus is drawn
+from the model's unigrams.
+
+    python scripts/eval_corpus.py --n 128 --beam 100 [--arpa lm.arpa]
+    python scripts/eval_corpus.py --engine device   # single-engine timing
+"""
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+LIBRI_LABELS = [" "] + list("abcdefghijklmnopqrstuvwxyz") + ["'"] + [""]
+
+
+def _synth_arpa(path: str, n_words: int, seed: int) -> list:
+    """Small synthetic 2-gram over random words (for LM-on decoding)."""
+    rng = np.random.RandomState(seed)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    vocab = set()
+    while len(vocab) < n_words:
+        vocab.add("".join(rng.choice(letters, size=rng.randint(3, 9))))
+    vocab = sorted(vocab)
+    with open(path, "w") as fh:
+        fh.write("\\data\\\n")
+        fh.write(f"ngram 1={len(vocab) + 3}\n")
+        fh.write(f"ngram 2={len(vocab)}\n\n")
+        fh.write("\\1-grams:\n")
+        fh.write("-10\t<unk>\t0\n-2\t<s>\t-0.5\n-2\t</s>\t0\n")
+        for w in vocab:
+            fh.write(f"-2.5\t{w}\t-0.5\n")
+        fh.write("\n\\2-grams:\n")
+        for i, w in enumerate(vocab):
+            fh.write(f"-1.0\t{w} {vocab[(i + 1) % len(vocab)]}\n")
+        fh.write("\n\\end\\\n")
+    return vocab
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n", type=int, default=128, help="utterances")
+    ap.add_argument("--beam", type=int, default=100)
+    ap.add_argument("--alpha", type=float, default=0.5)
+    ap.add_argument("--beta", type=float, default=1.5)
+    ap.add_argument("--k", type=int, default=None, help="device token preselect")
+    ap.add_argument("--arpa", default=None, help="n-gram LM (synthesized if absent)")
+    ap.add_argument("--vocab-words", type=int, default=2000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--engine", choices=["both", "host", "device"], default="both",
+        help="'both' also reports parity",
+    )
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from pyctcdecode_tpu import build_ctcdecoder
+    from pyctcdecode_tpu.evaluation import (
+        compare_engines,
+        evaluate_corpus,
+        synthesize_corpus,
+    )
+    from pyctcdecode_tpu.models.ngram import load_unigram_set_from_arpa
+
+    with tempfile.TemporaryDirectory() as td:
+        arpa = args.arpa
+        if arpa is None:
+            arpa = os.path.join(td, "eval.arpa")
+            vocab = _synth_arpa(arpa, args.vocab_words, args.seed)
+        else:
+            vocab = sorted(load_unigram_set_from_arpa(arpa))
+        corpus = synthesize_corpus(
+            LIBRI_LABELS, vocab, n_utterances=args.n, seed=args.seed
+        )
+        kwargs = {}
+        if args.k is not None:
+            kwargs["max_tokens_per_frame"] = args.k
+        build = dict(alpha=args.alpha, beta=args.beta)
+        if args.engine == "both":
+            host = build_ctcdecoder(LIBRI_LABELS, arpa, engine="host", **build)
+            dev = build_ctcdecoder(LIBRI_LABELS, arpa, engine="tpu", **build)
+            report = compare_engines(host, dev, corpus, args.beam, **kwargs)
+            report.pop("host_hypotheses")
+            report.pop("device_hypotheses")
+        else:
+            engine = "host" if args.engine == "host" else "tpu"
+            dec = build_ctcdecoder(LIBRI_LABELS, arpa, engine=engine, **build)
+            if engine == "host":
+                kwargs.pop("max_tokens_per_frame", None)
+            report = evaluate_corpus(dec, corpus, args.beam, **kwargs)
+            report.pop("hypotheses")
+            report["engine"] = args.engine
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
