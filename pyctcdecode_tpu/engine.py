@@ -161,11 +161,15 @@ def build_table_args(
                 "trie_next": dev["trie_next"],
                 "trie_word_id": dev["trie_word_id"],
                 "seed_node_arr": dev["seed_node"],
-                "utable": {
-                    "key_cols": dev["utable"]["key_cols"],
-                    "prob": dev["utable"]["prob"],
-                    "backoff": dev["utable"]["backoff"],
-                },
+                "uni": dev["uni"],
+                "fp": [
+                    {
+                        "win": t["win"],
+                        "seed_lo": t["seed_lo"],
+                        "seed_hi": t["seed_hi"],
+                    }
+                    for t in dev["fp"]
+                ],
             }
         )
     return {"tok": tok, "lms": lms}
@@ -183,7 +187,10 @@ def build_table_meta(
                 "eos_id": dlm.eos_id,
                 "unk_prob10": np.float32(dlm.unk_prob10),
                 "has_unigrams": dlm.has_unigrams,
-                "max_probes": dlm.table.max_probes,
+                "fp_meta": [
+                    {"size": t.size, "max_probes": t.max_probes}
+                    for t in dlm.fp_tables
+                ],
             }
         )
     return meta
@@ -195,8 +202,9 @@ def _merge_tables(tabs, meta):
     for arrs, m in zip(tabs["lms"], meta):
         dev = dict(arrs)
         dev.update(m)
-        dev["utable"] = dict(arrs["utable"])
-        dev["utable"]["max_probes"] = m["max_probes"]
+        dev["fp"] = [
+            dict(t, **fm) for t, fm in zip(arrs["fp"], m["fp_meta"])
+        ]
         devs.append(dev)
     return tabs["tok"], devs
 

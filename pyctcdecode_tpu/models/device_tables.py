@@ -1,14 +1,22 @@
-"""Device-resident LM tables: n-gram hash tables and a packed vocab trie.
+"""Device-resident LM tables: fingerprint probe tables and a packed vocab trie.
 
 The reference scores beams through per-word C++ callbacks into KenLM
 (ref ``language_model.py:306-360``); a TPU cannot call back to the host per
 word, so this module compiles the same model into flat arrays probed
 on-device with gathers:
 
-* **n-gram tables** — one open-addressing, linear-probing hash table per
-  order. Slots store the *full* id key (exact compare, so lookups are
-  collision-free), the log10 probability and the backoff weight. Linear
-  probing keeps probe windows contiguous in HBM.
+* **n-gram tables** — one ordered-linear-probing table per order n >= 2,
+  stored in a *window-row* layout: row ``s`` holds slots ``s..s+P-1``
+  packed as ``(fp_lo, fp_hi, prob, backoff)`` int32 quadruples, so one
+  row-gather per query fetches the entire probe window. TPU gather cost is
+  dominated by gathered *row count* (measured ~14-40 ns/row almost
+  independent of width), so this layout beats per-slot fetches by the
+  window width. Keys are matched by 64-bit fingerprint (KenLM's probing
+  format accepts the same hashed-key risk); build-time detection of
+  in-window fingerprint collisions reseeds the lanes, so every key that IS
+  in the table always resolves to its own value.
+* **unigrams** — a dense ``[vocab, 4]`` array indexed by word id directly
+  (no hashing at all for order-1 probes).
 * **vocab trie** — a packed character trie over the LM vocabulary plus the
   known-unigram set. Beams carry their in-progress word as a trie node id;
   one gather per consumed character advances it. Node flags answer every
@@ -17,17 +25,19 @@ on-device with gathers:
   word's LM id", "is it in the unigram set / the LM vocab"
   (OOV rule, ref ``language_model.py:349-353``).
 
-Everything is built host-side as numpy and moved to device once per model;
-lookup functions are pure jnp and shape-static, safe under ``jit``/``scan``.
+Everything is built host-side as numpy (fully vectorized — ordered linear
+probing placement is a ``maximum.accumulate`` over base-sorted entries) and
+moved to device once per model; lookup functions are pure jnp and
+shape-static, safe under ``jit``/``scan``.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..ops.hashing import fnv1a
+from ..ops.hashing import fnv1a, fnv1a_seeded
 from ..ops.tokens import TokenArrays
 from .language_model import LanguageModel
 from .ngram import BOS_WORD, EOS_WORD, NGramTables
@@ -41,166 +51,221 @@ HOT_NODE_MASK = (1 << 20) - 1
 HOT_MINCOMP_SHIFT = 20
 HOT_MINCOMP_MAX = 1023
 HOT_WORD_BIT = 1 << 30
-# every lookup gathers the table's *max* displacement worth of slots, so a
-# long probe chain taxes all queries; cap it and grow the table instead.
-# 8 balances probe-window width against table size (growing the table to
-# force smaller windows hurts gather locality more than it saves rows)
-_MAX_PROBES = 8
 
 
 # --------------------------------------------------------------------------
-# n-gram hash tables
+# n-gram fingerprint tables (orders >= 2) + dense unigram array
 # --------------------------------------------------------------------------
+_FP_EMPTY = np.uint32(0xFFFFFFFF)  # fp_hi sentinel marking an empty slot
+_MAX_WINDOW = 8  # grow the table instead of letting windows get wider
+_FP_SEED_LO = 0x811C9DC5 ^ 0x5BD1E995
+_FP_SEED_HI = 0x811C9DC5 ^ 0xC2B2AE35
+
+
 @dataclasses.dataclass
-class HashTable:
-    """One order's open-addressing table (numpy arrays)."""
+class FPTable:
+    """One order's probe table in the window-row device layout."""
 
-    keys: np.ndarray  # int32 [size, n], -1 = empty
-    probs: np.ndarray  # float32 [size]
-    backoffs: np.ndarray  # float32 [size]
-    max_probes: int
+    n: int  # key width (the order)
+    size: int  # base slot count, power of two
+    max_probes: int  # window width P (max displacement + 1)
+    seed_lo: int  # fingerprint lane seeds (reseeded on build-time collision)
+    seed_hi: int
+    count: int
+    # padded flat slot planes [size + P] (host probing + window construction)
+    fp_lo: np.ndarray  # u32
+    fp_hi: np.ndarray  # u32, _FP_EMPTY = vacant
+    prob: np.ndarray  # f32
+    backoff: np.ndarray  # f32
+    windows: np.ndarray  # i32 [size, P * 4] — row s = slots s..s+P-1 packed
 
-    @property
-    def size(self) -> int:
-        return int(self.keys.shape[0])
 
-    @property
-    def width(self) -> int:
-        return int(self.keys.shape[1])
+def _fp_lanes(keys: np.ndarray, seed_lo: int, seed_hi: int):
+    """64-bit fingerprint as two u32 lanes (hi reserves the empty sentinel)."""
+    lo = fnv1a_seeded(np, keys, np.uint32(seed_lo))
+    hi = fnv1a_seeded(np, keys, np.uint32(seed_hi))
+    hi = np.minimum(hi, _FP_EMPTY - np.uint32(1))
+    return lo, hi
 
 
-def _build_hash_table(
-    entries: Dict[Tuple[int, ...], Tuple[np.float32, np.float32]], n: int
-) -> HashTable:
-    count = len(entries)
+def build_fp_table(
+    keys: np.ndarray, probs: np.ndarray, backoffs: np.ndarray
+) -> FPTable:
+    """Build one order's table with vectorized ordered linear probing.
+
+    Ordered (base-sorted) placement gives the same worst-case displacement
+    as robin-hood insertion and vectorizes: after sorting entries by base
+    slot, ``slot_i = i + cummax(base_i - i)``. Probing is non-circular —
+    the slot planes carry a P-slot tail pad — so windows are plain
+    contiguous ranges. The table grows until every displacement fits the
+    window cap; fingerprint lanes reseed until no two residents of any
+    window share a fingerprint (lookups of present keys are then exact).
+    """
+    keys = np.asarray(keys, dtype=np.int32)
+    count, n = keys.shape if keys.ndim == 2 else (0, 1)
+    probs = np.asarray(probs, dtype=np.float32)
+    backoffs = np.asarray(backoffs, dtype=np.float32)
     size = _MIN_TABLE
     while size * _LOAD_FACTOR < max(count, 1):
         size *= 2
     while True:
-        keys = np.full((size, n), -1, dtype=np.int32)
-        probs = np.zeros(size, dtype=np.float32)
-        backoffs = np.zeros(size, dtype=np.float32)
-        disp = np.zeros(size, dtype=np.int32)  # robin-hood displacement
-        max_probes = 1
-        ok = True
         if count:
-            all_keys = np.array(list(entries.keys()), dtype=np.int32).reshape(count, n)
-            hashes = fnv1a(np, all_keys)
-            vals = list(entries.values())
-            mask = size - 1
-            for row in range(count):
-                # robin-hood insertion: evict shallower residents so the
-                # worst-case displacement (== every lookup's window) shrinks
-                key = all_keys[row]
-                p_val, b_val = vals[row]
-                slot = int(hashes[row]) & mask
-                d = 0
-                while True:
-                    if keys[slot, n - 1] == -1:
-                        keys[slot] = key
-                        probs[slot] = p_val
-                        backoffs[slot] = b_val
-                        disp[slot] = d
-                        max_probes = max(max_probes, d + 1)
-                        break
-                    if disp[slot] < d:
-                        key, keys[slot] = keys[slot].copy(), key
-                        p_val, probs[slot] = probs[slot], p_val
-                        b_val, backoffs[slot] = backoffs[slot], b_val
-                        d, disp[slot] = disp[slot], d
-                        max_probes = max(max_probes, disp[slot] + 1)
-                    slot = (slot + 1) & mask
-                    d += 1
-                    if d >= _MAX_PROBES:
-                        ok = False
-                        break
-                if not ok:
-                    break
-        if ok:
-            return HashTable(keys, probs, backoffs, max_probes)
-        size *= 2  # displacement got pathological; rebuild sparser
+            base = (fnv1a(np, keys) & np.uint32(size - 1)).astype(np.int64)
+            order_idx = np.argsort(base, kind="stable")
+            sb = base[order_idx]
+            arange = np.arange(count, dtype=np.int64)
+            slots = arange + np.maximum.accumulate(sb - arange)
+            disp_max = int((slots - sb).max())
+        else:
+            order_idx = np.empty(0, dtype=np.int64)
+            slots = np.empty(0, dtype=np.int64)
+            disp_max = 0
+        if disp_max < _MAX_WINDOW:
+            break
+        size *= 2
+    p = disp_max + 1
+    keys_sorted = keys[order_idx] if count else keys.reshape(0, n)
+    seed_lo, seed_hi = _FP_SEED_LO, _FP_SEED_HI
+    while True:
+        lo, hi = _fp_lanes(keys_sorted, seed_lo, seed_hi)
+        collision = False
+        for d in range(1, p):
+            if count <= d:
+                break
+            near = (slots[d:] - slots[:-d]) < p
+            same = (lo[d:] == lo[:-d]) & (hi[d:] == hi[:-d])
+            if bool(np.any(near & same)):
+                collision = True
+                break
+        if not collision:
+            break
+        seed_lo = (seed_lo + 0x9E3779B9) & 0xFFFFFFFF
+        seed_hi = (seed_hi + 0x85EBCA6B) & 0xFFFFFFFF
+    padded = size + p
+    fp_lo = np.zeros(padded, dtype=np.uint32)
+    fp_hi = np.full(padded, _FP_EMPTY, dtype=np.uint32)
+    prob = np.zeros(padded, dtype=np.float32)
+    backoff = np.zeros(padded, dtype=np.float32)
+    if count:
+        fp_lo[slots] = lo
+        fp_hi[slots] = hi
+        prob[slots] = probs[order_idx]
+        backoff[slots] = backoffs[order_idx]
+    win = np.empty((size, p, 4), dtype=np.int32)
+    for d in range(p):
+        win[:, d, 0] = fp_lo[d : d + size].view(np.int32)
+        win[:, d, 1] = fp_hi[d : d + size].view(np.int32)
+        win[:, d, 2] = prob[d : d + size].view(np.int32)
+        win[:, d, 3] = backoff[d : d + size].view(np.int32)
+    return FPTable(
+        n=n,
+        size=size,
+        max_probes=p,
+        seed_lo=seed_lo,
+        seed_hi=seed_hi,
+        count=count,
+        fp_lo=fp_lo,
+        fp_hi=fp_hi,
+        prob=prob,
+        backoff=backoff,
+        windows=win.reshape(size, p * 4),
+    )
 
 
-def host_lookup(table: HashTable, key: np.ndarray):
-    """Host (numpy) probe of one padded key; returns (found, prob, backoff)."""
-    from ..ops.hashing import fnv1a
+def probe_fp_host(table: FPTable, keys: np.ndarray):
+    """Vectorized numpy mirror of the device probe (build/host-state path)."""
+    keys = np.asarray(keys, dtype=np.int32).reshape(-1, table.n)
+    nq = keys.shape[0]
+    base = (fnv1a(np, keys) & np.uint32(table.size - 1)).astype(np.int64)
+    lo, hi = _fp_lanes(keys, table.seed_lo, table.seed_hi)
+    found = np.zeros(nq, dtype=bool)
+    prob = np.zeros(nq, dtype=np.float32)
+    backoff = np.zeros(nq, dtype=np.float32)
+    for d in range(table.max_probes):
+        s = base + d
+        hit = (~found) & (table.fp_lo[s] == lo) & (table.fp_hi[s] == hi)
+        found |= hit
+        prob = np.where(hit, table.prob[s], prob)
+        backoff = np.where(hit, table.backoff[s], backoff)
+    return found, prob, backoff
 
-    key = np.asarray(key, dtype=np.int32).reshape(1, -1)
-    h = int(fnv1a(np, key)[0])
-    mask = table.size - 1
-    for p in range(table.max_probes):
-        slot = (h + p) & mask
-        if np.array_equal(table.keys[slot], key[0]):
-            return True, float(table.probs[slot]), float(table.backoffs[slot])
-        if table.keys[slot, -1] == -1:
-            return False, 0.0, 0.0
-    return False, 0.0, 0.0
+
+def build_unigram_array(
+    entries: Dict[Tuple[int, ...], Tuple[np.float32, np.float32]], n_vocab: int
+) -> np.ndarray:
+    """Dense ``[vocab, 4]`` f32 rows: (prob, backoff, exists, 0) by word id."""
+    uni = np.zeros((max(n_vocab, 1), 4), dtype=np.float32)
+    for (wid,), (p_val, b_val) in entries.items():
+        if 0 <= wid < n_vocab:
+            uni[wid, 0] = p_val
+            uni[wid, 1] = b_val
+            uni[wid, 2] = 1.0
+    return uni
 
 
-def context_suffix_backoffs(table: HashTable, order: int, ctx) -> np.ndarray:
+def context_suffix_backoffs(dlm: "DeviceLM", ctx) -> np.ndarray:
     """Backoff weights of every suffix of ``ctx`` (right-aligned, 0 absent)."""
-    width = max(order - 1, 1)
+    width = max(dlm.order - 1, 1)
     out = np.zeros(width, dtype=np.float32)
-    ctx = tuple(ctx)
+    ctx = tuple(int(w) for w in ctx)
     for j in range(1, len(ctx) + 1):
-        key = np.full(order, -1, dtype=np.int32)
-        key[order - j :] = ctx[len(ctx) - j :]
-        found, _, bo = host_lookup(table, key)
-        if found:
-            out[width - j] = bo
+        suffix = ctx[len(ctx) - j :]
+        if j == 1:
+            wid = suffix[0]
+            if 0 <= wid < dlm.uni.shape[0] and dlm.uni[wid, 2] > 0.5:
+                out[width - 1] = dlm.uni[wid, 1]
+        else:
+            found, _, bo = probe_fp_host(
+                dlm.fp_tables[j - 2], np.asarray(suffix, dtype=np.int32)
+            )
+            if bool(found[0]):
+                out[width - j] = float(bo[0])
     return out
 
 
-def _build_unified_table(
-    ngrams: List[Dict[Tuple[int, ...], Tuple[np.float32, np.float32]]], order: int
-) -> HashTable:
-    """All orders in one table, keys left-padded with -1 to ``order`` width.
-
-    One padded layout means the device scores a word with a *single*
-    batched probe over every suffix/backoff key instead of one lookup
-    chain per order — the dominant cost of LM fusion on TPU.
-    """
-    combined: Dict[Tuple[int, ...], Tuple[np.float32, np.float32]] = {}
-    for n, table in enumerate(ngrams, start=1):
-        for key, val in table.items():
-            combined[(-1,) * (order - n) + key] = val
-    return _build_hash_table(combined, order)
-
-
-def lookup_jnp(table_dev: Dict, query: "object", valid: "object"):
-    """Probe one order's table for a batch of keys.
-
-    ``table_dev``: dict of jnp arrays (``key_cols``/``prob``/``backoff``) plus
-    the static ``max_probes``. ``query``: int32 ``[Q, n]``; ``valid``: bool
-    ``[Q]``. Returns ``(found [Q] bool, prob [Q] f32, backoff [Q] f32)``.
-
-    Layout note: key columns are *separate flat arrays* and values are split
-    into flat prob/backoff planes. Gathering rows of a 2-D ``[size, n]``
-    table inside a scanned loop makes XLA:TPU pick a Q-minor layout for the
-    ``[Q*P, n]`` result — each 3-int row then lands megabytes apart and the
-    gather runs two orders of magnitude slower than the same op standalone
-    (measured: 6.6 ms vs 0.05 ms for 460k rows). Flat 1-D gathers sidestep
-    the layout assignment entirely.
-    """
+def _probe_uni_jnp(uni_dev, wid):
+    """Dense order-1 lookup: one row-gather per query, no hashing."""
     import jax.numpy as jnp
 
-    cols = table_dev["key_cols"]
-    n = len(cols)
-    size = cols[0].shape[0]
-    max_probes = table_dev["max_probes"]
-    mask = size - 1
+    rows = uni_dev[jnp.maximum(wid, 0)]
+    exists = (rows[:, 2] > 0.5) & (wid >= 0)
+    prob = jnp.where(exists, rows[:, 0], 0.0)
+    backoff = jnp.where(exists, rows[:, 1], 0.0)
+    return exists, prob, backoff
+
+
+def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object"):
+    """Probe one order's window-row table on device.
+
+    ``tab_dev``: {"win": i32 [size, P*4], "seed_lo"/"seed_hi": u32 scalars,
+    "max_probes": static int, "size": static int}. ``query``: int32
+    ``[Q, n]``; ``valid``: bool ``[Q]``. One gathered row per query.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    p = tab_dev["max_probes"]
+    size = tab_dev["size"]
     h = fnv1a(jnp, query)
-    base = (h & jnp.uint32(mask)).astype(jnp.int32)
-    offs = jnp.arange(max_probes, dtype=jnp.int32)
-    idx = (base[:, None] + offs[None, :]) & mask  # [Q, P]
-    hit = jnp.broadcast_to(valid[:, None], idx.shape)
-    for c in range(n):
-        hit = hit & (cols[c][idx] == query[:, c][:, None])
+    base = (h & jnp.uint32(size - 1)).astype(jnp.int32)
+    lo = fnv1a_seeded(jnp, query, tab_dev["seed_lo"])
+    hi = jnp.minimum(
+        fnv1a_seeded(jnp, query, tab_dev["seed_hi"]),
+        jnp.uint32(0xFFFFFFFE),
+    )
+    rows = tab_dev["win"][base]  # [Q, P*4] — the only gather
+    r = rows.reshape(rows.shape[0], p, 4)
+    hit = (
+        (r[..., 0].astype(jnp.uint32) == lo[:, None])
+        & (r[..., 1].astype(jnp.uint32) == hi[:, None])
+        & valid[:, None]
+    )
     found = jnp.any(hit, axis=-1)
-    sel = jnp.argmax(hit, axis=-1)
-    slot = jnp.take_along_axis(idx, sel[:, None], axis=1)[:, 0]
-    prob = jnp.where(found, table_dev["prob"][slot], 0.0)
-    backoff = jnp.where(found, table_dev["backoff"][slot], 0.0)
+    sel = jnp.argmax(hit, axis=-1)[:, None]
+    pb = jnp.take_along_axis(r[..., 2], sel, axis=1)[:, 0]
+    bb = jnp.take_along_axis(r[..., 3], sel, axis=1)[:, 0]
+    prob = jnp.where(found, jax.lax.bitcast_convert_type(pb, jnp.float32), 0.0)
+    backoff = jnp.where(found, jax.lax.bitcast_convert_type(bb, jnp.float32), 0.0)
     return found, prob, backoff
 
 
@@ -337,7 +402,8 @@ class DeviceLM:
     start_ctx: np.ndarray  # int32 [order-1], right-aligned, -1 pad (<s> state)
     start_ctx_len: int
     start_ctx_backoffs: np.ndarray  # f32 [order-1], suffix backoffs of start_ctx
-    table: HashTable  # unified over all orders (keys left-padded to `order`)
+    uni: np.ndarray  # f32 [vocab, 4]: (prob, backoff, exists, 0) by word id
+    fp_tables: List[FPTable]  # orders 2..order, window-row layout
     trie: PackedTrie
     seed_node: np.ndarray  # int32 [V]
     has_unigrams: bool
@@ -370,18 +436,17 @@ class DeviceLM:
             self.seed_node.astype(np.int64) | self._node_flag_bits(self.seed_node)
         ).astype(np.int32)
         return {
-            "utable": {
-                # flat per-column key planes + split value planes: see the
-                # lookup_jnp layout note (2-D row gathers are pathological
-                # inside scanned loops on TPU)
-                "key_cols": tuple(
-                    jnp.asarray(np.ascontiguousarray(self.table.keys[:, c]))
-                    for c in range(self.table.width)
-                ),
-                "prob": jnp.asarray(self.table.probs),
-                "backoff": jnp.asarray(self.table.backoffs),
-                "max_probes": self.table.max_probes,
-            },
+            "uni": jnp.asarray(self.uni),
+            "fp": [
+                {
+                    "win": jnp.asarray(t.windows),
+                    "seed_lo": jnp.uint32(t.seed_lo),
+                    "seed_hi": jnp.uint32(t.seed_hi),
+                    "max_probes": t.max_probes,
+                    "size": t.size,
+                }
+                for t in self.fp_tables
+            ],
             "trie_next": jnp.asarray(packed),
             "trie_word_id": jnp.asarray(self.trie.word_id),
             "seed_node": jnp.asarray(seed_packed),
@@ -405,15 +470,24 @@ def build_device_lm(language_model: LanguageModel, tokens: TokenArrays) -> Devic
         unk_id = nat.unk_id
         eos_id = nat.eos_id if nat.eos_id >= 0 else unk_id
         unk_prob10 = nat.unk_prob10
-        e = nat.export_unified()
-        table = HashTable(
-            keys=e["keys"],
-            probs=e["probs"],
-            backoffs=e["backoffs"],
-            max_probes=e["max_probes"],
-        )
         vocab = {w: i for i, w in enumerate(nat.vocab_list())}
         bos_state = ngram.begin_sentence_state()
+        # per-order occupied entries straight from the native tables
+        uni = np.zeros((max(len(vocab), 1), 4), dtype=np.float32)
+        fp_tables: List[FPTable] = []
+        for n_order, exp in enumerate(nat.export_tables(), start=1):
+            keys = exp["keys"]
+            occupied = keys[:, -1] >= 0
+            keys = keys[occupied]
+            probs = exp["probs"][occupied]
+            backoffs = exp["backoffs"][occupied]
+            if n_order == 1:
+                wids = keys[:, 0]
+                uni[wids, 0] = probs
+                uni[wids, 1] = backoffs
+                uni[wids, 2] = 1.0
+            else:
+                fp_tables.append(build_fp_table(keys, probs, backoffs))
     else:
         tables_py: NGramTables = ngram.tables
         order = tables_py.order
@@ -421,9 +495,19 @@ def build_device_lm(language_model: LanguageModel, tokens: TokenArrays) -> Devic
         eos_id = tables_py.vocab.get(EOS_WORD, unk_id)
         uni_unk = tables_py.ngrams[0].get((unk_id,))
         unk_prob10 = float(uni_unk[0]) if uni_unk is not None else -99.0
-        table = _build_unified_table(tables_py.ngrams, order)
         vocab = tables_py.vocab
         bos_state = tables_py.begin_sentence_state()
+        uni = build_unigram_array(tables_py.ngrams[0], len(vocab))
+        fp_tables = []
+        for n_order in range(2, order + 1):
+            entries = tables_py.ngrams[n_order - 1]
+            keys = np.array(list(entries.keys()), dtype=np.int32).reshape(
+                len(entries), n_order
+            )
+            vals = np.array(list(entries.values()), dtype=np.float32).reshape(
+                len(entries), 2
+            )
+            fp_tables.append(build_fp_table(keys, vals[:, 0], vals[:, 1]))
 
     # the trie's char ids must extend the token char map with vocab-only chars
     char2id = dict(tokens.char2id)
@@ -441,19 +525,22 @@ def build_device_lm(language_model: LanguageModel, tokens: TokenArrays) -> Devic
     start_ctx = np.full(ctx_width, -1, dtype=np.int32)
     for i, wid in enumerate(bos_state):
         start_ctx[ctx_width - len(bos_state) + i] = wid
-    return DeviceLM(
+    dlm = DeviceLM(
         order=order,
         unk_id=unk_id,
         eos_id=eos_id,
         unk_prob10=unk_prob10,
         start_ctx=start_ctx,
         start_ctx_len=len(bos_state),
-        start_ctx_backoffs=context_suffix_backoffs(table, order, bos_state),
-        table=table,
+        start_ctx_backoffs=np.zeros(ctx_width, dtype=np.float32),
+        uni=uni,
+        fp_tables=fp_tables,
         trie=trie,
         seed_node=seed_node,
         has_unigrams=len(language_model.unigram_set) > 0,
     )
+    dlm.start_ctx_backoffs = context_suffix_backoffs(dlm, bos_state)
+    return dlm
 
 
 def build_hotword_tables(
@@ -546,46 +633,50 @@ def lm_score_words_jnp(
 
     ctx_width = max(order - 1, 1)
     q = wid.shape[0]
+    f1, p1, b1 = _probe_uni_jnp(dev["uni"], wid)
     if order == 1:
-        full = wid[:, None].astype(jnp.int32)
-        found, prob, _ = lookup_jnp(dev["utable"], full, jnp.ones((q,), bool))
-        score = jnp.where(found, prob, jnp.float32(unk_prob10))
+        score = jnp.where(f1, p1, jnp.float32(unk_prob10))
         zeros = jnp.zeros((q,), dtype=jnp.int32)
         zbo = jnp.zeros((q, ctx_width), dtype=jnp.float32)
         return score.astype(jnp.float32), jnp.full_like(ctx, -1), zeros, zbo
 
     full = jnp.concatenate([ctx, wid[:, None].astype(jnp.int32)], axis=1)  # [Q, order]
     k = ctx_len  # number of context words
-    pos = jnp.arange(order, dtype=jnp.int32)[None, :]
 
-    queries = []
-    valids = []
-    for n in range(1, order + 1):  # full-suffix keys, length n
-        queries.append(jnp.where(pos >= order - n, full, -1))
-        valids.append((k + 1) >= n)
+    # probe every full-suffix key: order 1 via the dense unigram rows, the
+    # rest via each order's window-row table (one gathered row per query)
+    found = [f1]
+    prob = [p1]
+    backoff = [b1]
+    for n in range(2, order + 1):
+        f, p, b = probe_fp_jnp(
+            dev["fp"][n - 2], full[:, order - n :], (k + 1) >= n
+        )
+        found.append(f)
+        prob.append(p)
+        backoff.append(b)
     if ctx_backoffs is None:
         # stateless path: also probe the context-suffix keys for backoffs
-        ctx_pad = jnp.concatenate(
-            [jnp.full((q, 1), -1, dtype=jnp.int32), ctx.astype(jnp.int32)], axis=1
-        )
+        ctx_bo = []
         for j in range(1, order):
-            queries.append(jnp.where(pos >= order - j, ctx_pad, -1))
-            valids.append(k >= j)
-    nq = len(queries)
-    allq = jnp.stack(queries, axis=1).reshape(q * nq, order)
-    allv = jnp.stack(valids, axis=1).reshape(q * nq)
-    found, prob, backoff = lookup_jnp(dev["utable"], allq, allv)
-    found = found.reshape(q, nq)
-    prob = prob.reshape(q, nq)
-    backoff = backoff.reshape(q, nq)
+            if j == 1:
+                cf, _, cb = _probe_uni_jnp(dev["uni"], ctx[:, -1])
+                cf = cf & (k >= 1)
+            else:
+                cf, _, cb = probe_fp_jnp(
+                    dev["fp"][j - 2], ctx[:, ctx_width - j :], k >= j
+                )
+            ctx_bo.append(jnp.where(cf, cb, 0.0))
+    else:
+        ctx_bo = [ctx_backoffs[:, ctx_width - j] for j in range(1, order)]
 
     # longest match over full suffixes
     matched = jnp.zeros_like(k)
     best_prob = jnp.zeros((q,), dtype=jnp.float32)
     for n in range(1, order + 1):
-        take = found[:, n - 1]
+        take = found[n - 1]
         matched = jnp.where(take, n, matched)
-        best_prob = jnp.where(take, prob[:, n - 1], best_prob)
+        best_prob = jnp.where(take, prob[n - 1], best_prob)
     no_match = matched == 0
     best_prob = jnp.where(no_match, jnp.float32(unk_prob10), best_prob)
     matched = jnp.where(no_match, 1, matched)
@@ -596,18 +687,13 @@ def lm_score_words_jnp(
     # carried on the beam
     score = best_prob
     for j in range(1, order):
-        if ctx_backoffs is None:
-            col = order + j - 1
-            bo_j = jnp.where(found[:, col], backoff[:, col], 0.0)
-        else:
-            bo_j = ctx_backoffs[:, ctx_width - j]
         use = (j >= matched) & (j <= k)
-        score = jnp.where(use, (score + bo_j).astype(jnp.float32), score)
+        score = jnp.where(use, (score + ctx_bo[j - 1]).astype(jnp.float32), score)
 
     # outgoing state: longest suffix of `full` present, capped at order-1
     out_n = jnp.zeros_like(k)
     for n in range(1, order):
-        out_n = jnp.where(found[:, n - 1], n, out_n)
+        out_n = jnp.where(found[n - 1], n, out_n)
     positions = jnp.arange(ctx_width)[None, :]
     tail = full[:, 1:]
     out_ctx = jnp.where(positions >= (ctx_width - out_n[:, None]), tail, -1)
@@ -616,9 +702,7 @@ def lm_score_words_jnp(
     out_bo_cols = []
     for col in range(ctx_width):
         j = ctx_width - col
-        bo = jnp.where(
-            (j <= out_n) & found[:, j - 1], backoff[:, j - 1], 0.0
-        )
+        bo = jnp.where((j <= out_n) & found[j - 1], backoff[j - 1], 0.0)
         out_bo_cols.append(bo)
     out_backoffs = jnp.stack(out_bo_cols, axis=1).astype(jnp.float32)
     return score, out_ctx.astype(jnp.int32), out_n.astype(jnp.int32), out_backoffs

@@ -65,6 +65,26 @@ def fnv1a(xp, ids, valid_len=None):
     return h
 
 
+def fnv1a_seeded(xp, ids, seed):
+    """FNV-1a over the trailing dimension with a caller-supplied offset basis.
+
+    Used for the n-gram tables' fingerprint lanes: the probe-slot hash and
+    the two fingerprint lanes must be independent, and a table that detects
+    an in-window fingerprint collision at build time re-derives its lanes
+    from bumped seeds (passed to the device as runtime scalars, so a reseed
+    never recompiles).
+    """
+    ids = xp.asarray(ids)
+    n = ids.shape[-1]
+    h = xp.broadcast_to(
+        xp.asarray(seed, dtype=xp.uint32), ids.shape[:-1]
+    ).astype(xp.uint32)
+    prime = _u32(xp, FNV_PRIME)
+    for j in range(n):
+        h = (h ^ ids[..., j].astype(xp.uint32)) * prime
+    return h
+
+
 def hash_extend_char(xp, h_lo, h_hi, char_id):
     """Fold one character id into a partial-word hash pair."""
     c = char_id.astype(xp.uint32) if hasattr(char_id, "astype") else _u32(xp, char_id)

@@ -577,7 +577,7 @@ class TPUBeamSearchDecoderCTC:
             words = state.context[-(width):] if m.order > 1 else ()
             for i, wid in enumerate(words):
                 ctx[width - len(words) + i] = wid
-            bo = context_suffix_backoffs(dlm.table, dlm.order, words)
+            bo = context_suffix_backoffs(dlm, words)
             start.append(
                 {"ctx": ctx, "len": np.int32(len(words)), "bo": bo}
             )

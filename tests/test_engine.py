@@ -118,8 +118,7 @@ class TestDeviceNGramTables(unittest.TestCase):
                             "pyctcdecode_tpu.models.device_tables",
                             fromlist=["context_suffix_backoffs"],
                         ).context_suffix_backoffs(
-                            dlm.table,
-                            dlm.order,
+                            dlm,
                             tuple(int(w) for w in q[0][q[0] >= 0]),
                         )
                         for q in queries
