@@ -165,6 +165,7 @@ def build_table_args(
                 "fp": [
                     {
                         "win": t["win"],
+                        "slots": t["slots"],
                         "seed_lo": t["seed_lo"],
                         "seed_hi": t["seed_hi"],
                     }
@@ -411,6 +412,69 @@ def _gather_fields(jnp, fields: Dict, src):
         gathered = mat[src]
         for col, key in enumerate(keys):
             out[key] = gathered[:, col].astype(fields[key].dtype)
+    return out
+
+
+def _select_fields_mxu(jnp, fields: Dict, src, n_candidates: int):
+    """Select per-candidate fields at ``src`` with one one-hot matmul.
+
+    TPU gathers cost ~14-60 ns per gathered row regardless of width, which
+    makes per-field row gathers the selection bottleneck; a one-hot [B, C]
+    matrix times a packed [C, F] field matrix does the same permutation on
+    the MXU in microseconds. Exactness: every 32-bit field is bitcast to
+    u32 and split into four 8-bit chunks stored as f32. XLA:TPU lowers f32
+    matmuls to bf16 passes by default, and bf16 represents every integer up
+    to 256 exactly — so each product (one-hot 1.0/0.0 times a chunk <= 255)
+    is exact, the row sum touches exactly one nonzero, and the chunks
+    recombine losslessly regardless of matmul precision mode.
+    """
+    import jax
+
+    def to_u32(arr):
+        if arr.dtype == jnp.float32:
+            return jax.lax.bitcast_convert_type(arr, jnp.uint32)
+        if arr.dtype == jnp.bool_:
+            return arr.astype(jnp.uint32)
+        return arr.astype(jnp.uint32)
+
+    # flatten every field (and every column of 2-D fields) into f32 chunks
+    layout = []  # (key, n_cols_in_field)
+    chunk_cols = []
+    for key, arr in fields.items():
+        bits = to_u32(arr)
+        if bits.ndim == 1:
+            bits = bits[:, None]
+        layout.append((key, bits.shape[1]))
+        for shift in (0, 8, 16, 24):
+            chunk_cols.append(
+                ((bits >> shift) & jnp.uint32(0xFF)).astype(jnp.float32)
+            )
+    big = jnp.concatenate(chunk_cols, axis=1)  # [C, 4*F]
+    onehot = (
+        src[:, None] == jnp.arange(n_candidates, dtype=src.dtype)[None, :]
+    ).astype(jnp.float32)  # [B, C]
+    picked = jax.lax.dot_general(
+        onehot,
+        big,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, 4*F]
+    out = {}
+    col = 0
+    for key, width in layout:
+        val = jnp.zeros((picked.shape[0], width), dtype=jnp.uint32)
+        for i, shift in enumerate((0, 8, 16, 24)):
+            chunk = picked[:, col + i * width : col + (i + 1) * width]
+            val = val | (chunk.astype(jnp.uint32) << shift)
+        col += 4 * width
+        dtype = fields[key].dtype
+        if dtype == jnp.float32:
+            val = jax.lax.bitcast_convert_type(val, jnp.float32)
+        elif dtype == jnp.bool_:
+            val = val != 0
+        elif dtype != jnp.uint32:
+            val = jax.lax.bitcast_convert_type(val, jnp.int32)
+        out[key] = val[:, 0] if fields[key].ndim == 1 else val
     return out
 
 
@@ -670,7 +734,8 @@ def _make_step(
                 jnp.arange(k, dtype=jnp.int32)[:, None] * b + donor
             ).reshape(c)
             rep = (to_kb(valid) & ~dup).reshape(c)
-            merged_flat = jnp.where(rep, merged.reshape(c), DEAD)
+            merged_c = merged.reshape(c)  # group logsumexp at EVERY member
+            merged_flat = jnp.where(rep, merged_c, DEAD)
             live = merged_flat > DEAD_THRESH
 
         # every member of a merge group shares (text, partial), hence the
@@ -704,16 +769,30 @@ def _make_step(
                 cfg.beam_width,
                 interpret=jax.default_backend() != "tpu",
             )
+            sel_alive = top_scores > DEAD_THRESH
+            parent = (src % b).astype(jnp.int32)
+            token_sel = toks[src // b].astype(jnp.int32)
+            new_state = _gather_fields(jnp, fields, src)
         else:
+            # window prune + top-k on scores only; everything positional
+            # (donor index, merged logit, token id, state fields) rides the
+            # one-hot MXU selection instead of row gathers
             lm_score_flat = jnp.where(live, merged_flat + extra, DEAD)
-            top_scores, top_logit, src = _rank(
-                jnp, cfg, lm_score_flat, merged_flat, src_flat, prm["beam_prune_logp"]
+            mx = jnp.max(lm_score_flat)
+            sc = jnp.where(
+                lm_score_flat >= mx + prm["beam_prune_logp"], lm_score_flat, DEAD
             )
-        sel_alive = top_scores > DEAD_THRESH
-        parent = (src % b).astype(jnp.int32)
-        token_sel = toks[src // b].astype(jnp.int32)
-
-        new_state = _gather_fields(jnp, fields, src)
+            top_scores, top_idx = jax.lax.top_k(sc, cfg.beam_width)
+            src = _select_fields_mxu(
+                jnp, {"_src": src_flat}, top_idx, c
+            )["_src"]
+            fields["_logit"] = merged_c  # donor shares its group's logsumexp
+            new_state = _select_fields_mxu(jnp, fields, src, c)
+            del fields["_logit"]
+            top_logit = new_state.pop("_logit")
+            sel_alive = top_scores > DEAD_THRESH
+            parent = (src % b).astype(jnp.int32)
+            token_sel = new_state["last_tok"]  # == toks[src // b] by construction
         new_state["logit"] = jnp.where(sel_alive, top_logit, DEAD)
         new_state["last_tok"] = jnp.where(
             sel_alive, new_state["last_tok"], -2 - jnp.arange(b, dtype=jnp.int32)

@@ -64,7 +64,7 @@ _FP_SEED_HI = 0x811C9DC5 ^ 0xC2B2AE35
 
 @dataclasses.dataclass
 class FPTable:
-    """One order's probe table in the window-row device layout."""
+    """One order's probe table in the prefilter + confirm device layout."""
 
     n: int  # key width (the order)
     size: int  # base slot count, power of two
@@ -73,17 +73,19 @@ class FPTable:
     seed_hi: int
     count: int
     # padded flat slot planes [size + P] (host probing + window construction)
-    fp_lo: np.ndarray  # u32
-    fp_hi: np.ndarray  # u32, _FP_EMPTY = vacant
+    fp_lo: np.ndarray  # u32, _FP_EMPTY = vacant
+    fp_hi: np.ndarray  # u32
     prob: np.ndarray  # f32
     backoff: np.ndarray  # f32
-    windows: np.ndarray  # i32 [size, P * 4] — row s = slots s..s+P-1 packed
+    windows: np.ndarray  # i32 [size, P] — row s = fp_lo of slots s..s+P-1
+    slots: np.ndarray  # i32 [size + P, 4] — (fp_lo, fp_hi, prob, backoff)
 
 
 def _fp_lanes(keys: np.ndarray, seed_lo: int, seed_hi: int):
-    """64-bit fingerprint as two u32 lanes (hi reserves the empty sentinel)."""
+    """64-bit fingerprint as two u32 lanes (both reserve the empty sentinel)."""
     lo = fnv1a_seeded(np, keys, np.uint32(seed_lo))
     hi = fnv1a_seeded(np, keys, np.uint32(seed_hi))
+    lo = np.minimum(lo, _FP_EMPTY - np.uint32(1))
     hi = np.minimum(hi, _FP_EMPTY - np.uint32(1))
     return lo, hi
 
@@ -128,12 +130,15 @@ def build_fp_table(
     seed_lo, seed_hi = _FP_SEED_LO, _FP_SEED_HI
     while True:
         lo, hi = _fp_lanes(keys_sorted, seed_lo, seed_hi)
+        # residents of any shared window must differ on fp_lo ALONE: the
+        # device probe selects the slot by the fp_lo prefilter and confirms
+        # fp_hi only on the selected slot
         collision = False
         for d in range(1, p):
             if count <= d:
                 break
             near = (slots[d:] - slots[:-d]) < p
-            same = (lo[d:] == lo[:-d]) & (hi[d:] == hi[:-d])
+            same = lo[d:] == lo[:-d]
             if bool(np.any(near & same)):
                 collision = True
                 break
@@ -142,7 +147,7 @@ def build_fp_table(
         seed_lo = (seed_lo + 0x9E3779B9) & 0xFFFFFFFF
         seed_hi = (seed_hi + 0x85EBCA6B) & 0xFFFFFFFF
     padded = size + p
-    fp_lo = np.zeros(padded, dtype=np.uint32)
+    fp_lo = np.full(padded, _FP_EMPTY, dtype=np.uint32)
     fp_hi = np.full(padded, _FP_EMPTY, dtype=np.uint32)
     prob = np.zeros(padded, dtype=np.float32)
     backoff = np.zeros(padded, dtype=np.float32)
@@ -151,12 +156,18 @@ def build_fp_table(
         fp_hi[slots] = hi
         prob[slots] = probs[order_idx]
         backoff[slots] = backoffs[order_idx]
-    win = np.empty((size, p, 4), dtype=np.int32)
+    win = np.empty((size, p), dtype=np.int32)
     for d in range(p):
-        win[:, d, 0] = fp_lo[d : d + size].view(np.int32)
-        win[:, d, 1] = fp_hi[d : d + size].view(np.int32)
-        win[:, d, 2] = prob[d : d + size].view(np.int32)
-        win[:, d, 3] = backoff[d : d + size].view(np.int32)
+        win[:, d] = fp_lo[d : d + size].view(np.int32)
+    slot_rows = np.stack(
+        [
+            fp_lo.view(np.int32),
+            fp_hi.view(np.int32),
+            prob.view(np.int32),
+            backoff.view(np.int32),
+        ],
+        axis=1,
+    )
     return FPTable(
         n=n,
         size=size,
@@ -168,25 +179,32 @@ def build_fp_table(
         fp_hi=fp_hi,
         prob=prob,
         backoff=backoff,
-        windows=win.reshape(size, p * 4),
+        windows=win,
+        slots=slot_rows,
     )
 
 
 def probe_fp_host(table: FPTable, keys: np.ndarray):
-    """Vectorized numpy mirror of the device probe (build/host-state path)."""
+    """Vectorized numpy mirror of the device probe (build/host-state path).
+
+    Same two-step scheme as the device: the first fp_lo match in the window
+    selects the slot (residents of a window have distinct fp_lo by
+    construction), then fp_hi confirms on that slot only.
+    """
     keys = np.asarray(keys, dtype=np.int32).reshape(-1, table.n)
     nq = keys.shape[0]
     base = (fnv1a(np, keys) & np.uint32(table.size - 1)).astype(np.int64)
     lo, hi = _fp_lanes(keys, table.seed_lo, table.seed_hi)
-    found = np.zeros(nq, dtype=bool)
-    prob = np.zeros(nq, dtype=np.float32)
-    backoff = np.zeros(nq, dtype=np.float32)
+    sel = np.zeros(nq, dtype=np.int64)
+    seen = np.zeros(nq, dtype=bool)
     for d in range(table.max_probes):
-        s = base + d
-        hit = (~found) & (table.fp_lo[s] == lo) & (table.fp_hi[s] == hi)
-        found |= hit
-        prob = np.where(hit, table.prob[s], prob)
-        backoff = np.where(hit, table.backoff[s], backoff)
+        hit = (~seen) & (table.fp_lo[base + d] == lo)
+        sel = np.where(hit, d, sel)
+        seen |= hit
+    slot = base + sel
+    found = (table.fp_lo[slot] == lo) & (table.fp_hi[slot] == hi)
+    prob = np.where(found, table.prob[slot], 0.0).astype(np.float32)
+    backoff = np.where(found, table.backoff[slot], 0.0).astype(np.float32)
     return found, prob, backoff
 
 
@@ -235,37 +253,41 @@ def _probe_uni_jnp(uni_dev, wid):
 
 
 def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object"):
-    """Probe one order's window-row table on device.
+    """Probe one order's table on device: fp_lo window prefilter + confirm.
 
-    ``tab_dev``: {"win": i32 [size, P*4], "seed_lo"/"seed_hi": u32 scalars,
-    "max_probes": static int, "size": static int}. ``query``: int32
-    ``[Q, n]``; ``valid``: bool ``[Q]``. One gathered row per query.
+    ``tab_dev``: {"win": i32 [size, P] (fp_lo windows), "slots": i32
+    [size+P, 4], "seed_lo"/"seed_hi": u32 scalars, "max_probes"/"size":
+    static ints}. ``query``: int32 ``[Q, n]``; ``valid``: bool ``[Q]``.
+    Two gathered rows per query: the fp_lo window picks the slot (window
+    residents have distinct fp_lo by construction), one slot row confirms
+    the full 64-bit fingerprint and carries (prob, backoff).
     """
     import jax
     import jax.numpy as jnp
 
-    p = tab_dev["max_probes"]
     size = tab_dev["size"]
     h = fnv1a(jnp, query)
     base = (h & jnp.uint32(size - 1)).astype(jnp.int32)
-    lo = fnv1a_seeded(jnp, query, tab_dev["seed_lo"])
+    lo = jnp.minimum(
+        fnv1a_seeded(jnp, query, tab_dev["seed_lo"]), jnp.uint32(0xFFFFFFFE)
+    )
     hi = jnp.minimum(
-        fnv1a_seeded(jnp, query, tab_dev["seed_hi"]),
-        jnp.uint32(0xFFFFFFFE),
+        fnv1a_seeded(jnp, query, tab_dev["seed_hi"]), jnp.uint32(0xFFFFFFFE)
     )
-    rows = tab_dev["win"][base]  # [Q, P*4] — the only gather
-    r = rows.reshape(rows.shape[0], p, 4)
-    hit = (
-        (r[..., 0].astype(jnp.uint32) == lo[:, None])
-        & (r[..., 1].astype(jnp.uint32) == hi[:, None])
-        & valid[:, None]
+    win = tab_dev["win"][base].astype(jnp.uint32)  # [Q, P]
+    sel = jnp.argmax(win == lo[:, None], axis=-1).astype(jnp.int32)
+    row = tab_dev["slots"][base + sel]  # [Q, 4]
+    found = (
+        (row[:, 0].astype(jnp.uint32) == lo)
+        & (row[:, 1].astype(jnp.uint32) == hi)
+        & valid
     )
-    found = jnp.any(hit, axis=-1)
-    sel = jnp.argmax(hit, axis=-1)[:, None]
-    pb = jnp.take_along_axis(r[..., 2], sel, axis=1)[:, 0]
-    bb = jnp.take_along_axis(r[..., 3], sel, axis=1)[:, 0]
-    prob = jnp.where(found, jax.lax.bitcast_convert_type(pb, jnp.float32), 0.0)
-    backoff = jnp.where(found, jax.lax.bitcast_convert_type(bb, jnp.float32), 0.0)
+    prob = jnp.where(
+        found, jax.lax.bitcast_convert_type(row[:, 2], jnp.float32), 0.0
+    )
+    backoff = jnp.where(
+        found, jax.lax.bitcast_convert_type(row[:, 3], jnp.float32), 0.0
+    )
     return found, prob, backoff
 
 
@@ -440,6 +462,7 @@ class DeviceLM:
             "fp": [
                 {
                     "win": jnp.asarray(t.windows),
+                    "slots": jnp.asarray(t.slots),
                     "seed_lo": jnp.uint32(t.seed_lo),
                     "seed_hi": jnp.uint32(t.seed_hi),
                     "max_probes": t.max_probes,

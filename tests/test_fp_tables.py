@@ -45,14 +45,16 @@ class TestFPTable(unittest.TestCase):
             keys, rng.randn(len(keys)).astype(np.float32),
             rng.randn(len(keys)).astype(np.float32),
         )
-        win = tab.windows.reshape(tab.size, tab.max_probes, 4)
         for d in range(tab.max_probes):
             np.testing.assert_array_equal(
-                win[:, d, 0].view(np.uint32), tab.fp_lo[d : d + tab.size]
+                tab.windows[:, d].view(np.uint32), tab.fp_lo[d : d + tab.size]
             )
-            np.testing.assert_array_equal(
-                win[:, d, 2].view(np.float32), tab.prob[d : d + tab.size]
-            )
+        np.testing.assert_array_equal(
+            tab.slots[:, 2].view(np.float32), tab.prob
+        )
+        np.testing.assert_array_equal(
+            tab.slots[:, 1].view(np.uint32), tab.fp_hi
+        )
 
     def test_device_probe_matches_host(self):
         import jax.numpy as jnp
@@ -73,6 +75,7 @@ class TestFPTable(unittest.TestCase):
         hf, hp, hb = probe_fp_host(tab, queries)
         dev = {
             "win": jnp.asarray(tab.windows),
+            "slots": jnp.asarray(tab.slots),
             "seed_lo": jnp.uint32(tab.seed_lo),
             "seed_hi": jnp.uint32(tab.seed_hi),
             "max_probes": tab.max_probes,
