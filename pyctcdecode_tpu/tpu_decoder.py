@@ -779,8 +779,41 @@ class TPUBeamSearchDecoderCTC:
         calls reuse compiled executables.
         """
         logits_list = self._without_pool_arg(logits_list, _pool_compat)
+        handle = self._dispatch_batch(
+            logits_list,
+            beam_width=beam_width,
+            beam_prune_logp=beam_prune_logp,
+            token_min_logp=token_min_logp,
+            prune_history=prune_history,
+            hotwords=hotwords,
+            hotword_weight=hotword_weight,
+            max_tokens_per_frame=max_tokens_per_frame,
+            batch_pad=batch_pad,
+            top_n=top_n,
+        )
+        return self._collect_batch(handle)
+
+    def _dispatch_batch(
+        self,
+        logits_list: Sequence[np.ndarray],
+        beam_width: int,
+        beam_prune_logp: float,
+        token_min_logp: float,
+        prune_history: bool,
+        hotwords,
+        hotword_weight: float,
+        max_tokens_per_frame: Optional[int],
+        batch_pad: int,
+        top_n: Optional[int],
+    ) -> Optional[Dict[str, Any]]:
+        """Normalize, upload and launch one batch; returns a result handle.
+
+        The launch is asynchronous (JAX dispatch), so callers can overlap
+        the next batch's host work with this batch's device run — see
+        :meth:`decode_beams_batches`.
+        """
         if not logits_list:
-            return []
+            return None
         hot, weight, _ = self._hot_tables(hotwords, hotword_weight)
         v = len(self._labels)
         k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
@@ -812,24 +845,71 @@ class TPUBeamSearchDecoderCTC:
             self._tabs,
             hot,
         )
+        return {"out": out, "lens": lens, "n": n, "top_n": top_n}
+
+    def _collect_batch(
+        self, handle: Optional[Dict[str, Any]]
+    ) -> List[List[OutputBeam]]:
+        """Block on a dispatched batch and build its OutputBeam lists."""
+        if handle is None:
+            return []
         host = {
             key: (
                 tuple(np.asarray(v) for v in val)
                 if isinstance(val, tuple)
                 else np.asarray(val)
             )
-            for key, val in out.items()
+            for key, val in handle["out"].items()
         }
         results = []
-        for i in range(n):
+        for i in range(handle["n"]):
             one = {
                 key: (
                     tuple(v[i] for v in val) if isinstance(val, tuple) else val[i]
                 )
                 for key, val in host.items()
             }
-            results.append(self._build_outputs(one, n_frames=lens[i], top_n=top_n))
+            results.append(
+                self._build_outputs(
+                    one, n_frames=handle["lens"][i], top_n=handle["top_n"]
+                )
+            )
         return results
+
+    def decode_beams_batches(
+        self, batches: Iterable[Sequence[np.ndarray]], **kwargs: Any
+    ) -> Iterable[List[List[OutputBeam]]]:
+        """Pipelined decoding of a stream of batches (the serving path).
+
+        Keeps one batch in flight: while the device runs batch ``i``, the
+        host normalizes and uploads batch ``i+1`` and post-processes batch
+        ``i-1``, hiding the host<->device transfer time that a synchronous
+        per-batch loop pays serially (measured ~0.7 s of a 2.5 s batch at
+        the parity config). Accepts the same keyword arguments as
+        :meth:`decode_beams_batch`; yields one result list per batch, in
+        order.
+        """
+        pending: List[Optional[Dict[str, Any]]] = []
+        defaults = dict(
+            beam_width=kwargs.pop("beam_width", DEFAULT_BEAM_WIDTH),
+            beam_prune_logp=kwargs.pop("beam_prune_logp", DEFAULT_PRUNE_LOGP),
+            token_min_logp=kwargs.pop("token_min_logp", DEFAULT_MIN_TOKEN_LOGP),
+            prune_history=kwargs.pop("prune_history", DEFAULT_PRUNE_BEAMS),
+            hotwords=kwargs.pop("hotwords", None),
+            hotword_weight=kwargs.pop("hotword_weight", DEFAULT_HOTWORD_WEIGHT),
+            max_tokens_per_frame=kwargs.pop("max_tokens_per_frame", None),
+            batch_pad=kwargs.pop("batch_pad", 8),
+            top_n=kwargs.pop("top_n", None),
+        )
+        if kwargs:
+            raise TypeError(f"unknown decode arguments: {sorted(kwargs)}")
+        for logits_list in batches:
+            handle = self._dispatch_batch(logits_list, **defaults)
+            if pending:
+                yield self._collect_batch(pending.pop())
+            pending.append(handle)
+        if pending:
+            yield self._collect_batch(pending.pop())
 
     def decode_batch(
         self,

@@ -492,6 +492,30 @@ class TestDeviceBatch(unittest.TestCase):
             for x, y in zip(s, b):
                 self.assertAlmostEqual(x.lm_score, y.lm_score, delta=1e-4)
 
+    def test_pipelined_batches_equal_batch(self):
+        """decode_beams_batches yields per-batch results identical to
+        decode_beams_batch, in order, including an empty batch."""
+        lm = _sample_lm(alpha=0.7, beta=0.5, unk_score_offset=-3.0)
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet(), lm)
+        rng = np.random.RandomState(11)
+        batches = [
+            [rng.randn(rng.randint(3, 20), len(SAMPLE_LABELS)) for _ in range(n)]
+            for n in (3, 0, 2)
+        ]
+        piped = list(dev.decode_beams_batches(iter(batches), beam_width=5))
+        self.assertEqual(len(piped), len(batches))
+        for batch, got in zip(batches, piped):
+            want = dev.decode_beams_batch(batch, beam_width=5)
+            self.assertEqual(len(got), len(want))
+            for s, b in zip(want, got):
+                self.assertEqual([x.text for x in s], [x.text for x in b])
+
+    def test_pipelined_batches_rejects_unknown_kwarg(self):
+        dev = TPUBeamSearchDecoderCTC(_sample_alphabet())
+        with self.assertRaises(TypeError):
+            list(dev.decode_beams_batches([[np.zeros((4, len(SAMPLE_LABELS)))]],
+                                          bogus=1))
+
     def test_batch_top1(self):
         dev = TPUBeamSearchDecoderCTC(_sample_alphabet())
         rng = np.random.RandomState(9)
