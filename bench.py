@@ -200,12 +200,18 @@ def main() -> None:
     sanity = texts[0] == host.decode(logits, beam_width=BEAM_WIDTH)
 
     # --- pipelined steady-state throughput (the serving pattern): keep one
-    # batch in flight so host upload/post-process overlaps the device run
-    n_stream = 4
-    t0 = time.perf_counter()
-    for out in dev.decode_beams_batches([batch] * n_stream, top_n=1, **kwargs):
+    # batch in flight so host prep/post-process and the relay transfers
+    # overlap the device run. Warm with a short stream first, then time a
+    # longer one discounting its first (un-overlapped) batch.
+    for out in dev.decode_beams_batches([batch] * 2, top_n=1, **kwargs):
         pass
-    stream_dt = (time.perf_counter() - t0) / n_stream
+    n_stream = 5
+    stream = dev.decode_beams_batches([batch] * n_stream, top_n=1, **kwargs)
+    next(stream)  # spin-up: first batch has nothing to overlap with
+    t0 = time.perf_counter()
+    for out in stream:
+        pass
+    stream_dt = (time.perf_counter() - t0) / (n_stream - 1)
     stream_tput = len(batch) * audio_sec / stream_dt
 
     detail = {
@@ -215,9 +221,10 @@ def main() -> None:
         "frames": int(logits.shape[0]),
         "lm": f"3-gram, {LM_VOCAB} vocab, ~{LM_BIGRAMS} bigrams + {LM_TRIGRAMS} trigrams",
         "host_audio_sec_per_s": round(host_tput, 2),
-        "device_batch_latency_s": round(dev_dt, 4),
+        "oneshot_batch_latency_s": round(dev_dt, 4),
         "oneshot_audio_sec_per_s": round(dev_tput, 2),
         "pipelined_batch_latency_s": round(stream_dt, 4),
+        "pipelined_audio_sec_per_s": round(stream_tput, 2),
         "top1_matches_host": bool(sanity),
         "backend": jax.devices()[0].platform,
     }
@@ -239,9 +246,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "decode_throughput",
-                "value": round(dev_tput, 2),
+                "value": round(stream_tput, 2),
                 "unit": "audio_sec/s/chip",
-                "vs_baseline": round(dev_tput / host_tput, 2),
+                "vs_baseline": round(stream_tput / host_tput, 2),
                 "detail": detail,
             }
         )
