@@ -136,6 +136,7 @@ def build_table_args(
     jnp,
     tokens: TokenArrays,
     device_lms: Union[None, DeviceLM, Sequence[DeviceLM]],
+    shard: Optional[Tuple[str, int]] = None,
 ):
     """Device arrays passed as *runtime inputs* to the compiled decode.
 
@@ -143,6 +144,13 @@ def build_table_args(
     executable (and breaks remote-compile payload limits), so every large
     array rides as an argument; only shape-relevant scalars stay static
     (see :func:`build_table_meta`). Build once per decoder and reuse.
+
+    ``shard=(axis_name, n_shards)`` row-shards each n-gram table's slot
+    planes for a mesh whose HBM cannot hold the whole LM: ``win`` becomes
+    ``[n_shards, size/n, P]`` and ``slots`` ``[n_shards, size/n + P, 4]``
+    (P-row halo so windows never cross shards), to be fed through
+    ``shard_map`` with the leading axis partitioned. Sharded planes stay
+    as numpy so jit places each block directly on its shard's device.
     """
     tok = {
         "kind": jnp.asarray(tokens.kind),
@@ -155,22 +163,54 @@ def build_table_args(
     }
     lms = []
     for dlm in _normalize_members(device_lms):
-        dev = dlm.as_device()
+        dev = dlm.as_device(include_fp=shard is None)
+        if shard is None:
+            fp = [
+                {
+                    "win": t["win"],
+                    "slots": t["slots"],
+                    "seed_lo": t["seed_lo"],
+                    "seed_hi": t["seed_hi"],
+                }
+                for t in dev["fp"]
+            ]
+        else:
+            _, n_shards = shard
+            fp = []
+            for t in dlm.fp_tables:
+                if t.size % n_shards:
+                    raise ValueError(
+                        f"table size {t.size} does not divide into "
+                        f"{n_shards} shards; shard counts must be powers "
+                        "of two no larger than the smallest table"
+                    )
+                rows = t.size // n_shards
+                p = t.max_probes
+                fp.append(
+                    {
+                        "win": np.stack(
+                            [
+                                t.windows[d * rows : (d + 1) * rows]
+                                for d in range(n_shards)
+                            ]
+                        ),
+                        "slots": np.stack(
+                            [
+                                t.slots[d * rows : (d + 1) * rows + p]
+                                for d in range(n_shards)
+                            ]
+                        ),
+                        "seed_lo": jnp.uint32(t.seed_lo),
+                        "seed_hi": jnp.uint32(t.seed_hi),
+                    }
+                )
         lms.append(
             {
                 "trie_next": dev["trie_next"],
                 "trie_word_id": dev["trie_word_id"],
                 "seed_node_arr": dev["seed_node"],
                 "uni": dev["uni"],
-                "fp": [
-                    {
-                        "win": t["win"],
-                        "slots": t["slots"],
-                        "seed_lo": t["seed_lo"],
-                        "seed_hi": t["seed_hi"],
-                    }
-                    for t in dev["fp"]
-                ],
+                "fp": fp,
             }
         )
     return {"tok": tok, "lms": lms}
@@ -178,20 +218,35 @@ def build_table_args(
 
 def build_table_meta(
     device_lms: Union[None, DeviceLM, Sequence[DeviceLM]],
+    shard: Optional[Tuple[str, int]] = None,
 ) -> List[Dict]:
-    """Static per-member scalars (closed over by the compiled program)."""
+    """Static per-member scalars (closed over by the compiled program).
+
+    With ``shard=(axis_name, n_shards)`` each table's meta additionally
+    records the mesh axis and its local row count, switching the device
+    probe to the collective sharded path (see
+    :func:`~pyctcdecode_tpu.models.device_tables._probe_fp_sharded`).
+    """
     meta = []
     for dlm in _normalize_members(device_lms):
+        fp_meta = []
+        for t in dlm.fp_tables:
+            one = {"size": t.size, "max_probes": t.max_probes}
+            if shard is not None:
+                axis_name, n_shards = shard
+                one.update(
+                    shard_axis=axis_name,
+                    n_shards=n_shards,
+                    shard_rows=t.size // n_shards,
+                )
+            fp_meta.append(one)
         meta.append(
             {
                 "unk_id": dlm.unk_id,
                 "eos_id": dlm.eos_id,
                 "unk_prob10": np.float32(dlm.unk_prob10),
                 "has_unigrams": dlm.has_unigrams,
-                "fp_meta": [
-                    {"size": t.size, "max_probes": t.max_probes}
-                    for t in dlm.fp_tables
-                ],
+                "fp_meta": fp_meta,
             }
         )
     return meta
@@ -994,6 +1049,7 @@ def make_decode_fn(
     cfg: EngineConfig,
     tokens: TokenArrays,
     device_lms: Union[None, DeviceLM, Sequence[DeviceLM]],
+    shard: Optional[Tuple[str, int]] = None,
 ):
     """Build the jittable one-utterance decode function.
 
@@ -1001,11 +1057,16 @@ def make_decode_fn(
     tuple of {"ctx","len","bo"} dicts), tabs (build_table_args pytree),
     hot)`` returns final ranked beams plus per-frame backpointers for
     host-side reconstruction.
+
+    ``shard=(axis_name, n_shards)`` builds the variant whose LM probes run
+    collectively against mesh-sharded tables; it is only valid inside a
+    ``shard_map`` over that axis, with ``tabs`` built by
+    :func:`build_table_args` with the same ``shard``.
     """
     import jax
     import jax.numpy as jnp
 
-    meta = build_table_meta(device_lms)
+    meta = build_table_meta(device_lms, shard)
 
     def decode(logp, n_frames, params, start, tabs, hot=None):
         """Full-utterance decode: scan all frames, then finalize."""

@@ -261,10 +261,16 @@ def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object"):
     Two gathered rows per query: the fp_lo window picks the slot (window
     residents have distinct fp_lo by construction), one slot row confirms
     the full 64-bit fingerprint and carries (prob, backoff).
+
+    When ``tab_dev`` carries ``shard_axis`` metadata the planes are
+    row-sharded over a mesh axis and the probe runs collectively — see
+    :func:`_probe_fp_sharded`.
     """
     import jax
     import jax.numpy as jnp
 
+    if tab_dev.get("shard_axis") is not None:
+        return _probe_fp_sharded(tab_dev, query, valid)
     size = tab_dev["size"]
     h = fnv1a(jnp, query)
     base = (h & jnp.uint32(size - 1)).astype(jnp.int32)
@@ -289,6 +295,71 @@ def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object"):
         found, jax.lax.bitcast_convert_type(row[:, 3], jnp.float32), 0.0
     )
     return found, prob, backoff
+
+
+def _probe_fp_sharded(tab_dev: Dict, query: "object", valid: "object"):
+    """Collective probe of a row-sharded table (LM larger than one HBM).
+
+    The reference shares an arbitrarily large mmap'd KenLM between worker
+    processes by fork copy-on-write (ref ``decoder.py:261-269``); the TPU
+    analog when the unified table exceeds a chip's HBM is to row-shard the
+    slot planes over the mesh and exchange probes over ICI. ``tab_dev``
+    carries a local ``[1, rows(+P), ...]`` block of each plane (leading
+    axis sharded by ``shard_map``; the slots block includes a P-row halo so
+    probe windows never cross a shard boundary) plus static ``shard_axis``,
+    ``n_shards`` and ``shard_rows``.
+
+    One probe round-trip: ``all_gather`` every shard's queries over the
+    axis, answer the ones whose base slot falls in the local row range
+    (ownership is unique — the halo covers window overhang), ``psum`` the
+    (found, prob, backoff) planes, and slice back this shard's block. Costs
+    two small ICI collectives per probe; worth it only when the table
+    genuinely cannot be replicated.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    axis = tab_dev["shard_axis"]
+    rows = tab_dev["shard_rows"]
+    q = query.shape[0]
+    qa = jax.lax.all_gather(query, axis, tiled=True)  # [n_shards*q, w]
+    va = jax.lax.all_gather(valid, axis, tiled=True)  # [n_shards*q]
+    h = fnv1a(jnp, qa)
+    base = (h & jnp.uint32(tab_dev["size"] - 1)).astype(jnp.int32)
+    lo = jnp.minimum(
+        fnv1a_seeded(jnp, qa, tab_dev["seed_lo"]), jnp.uint32(0xFFFFFFFE)
+    )
+    hi = jnp.minimum(
+        fnv1a_seeded(jnp, qa, tab_dev["seed_hi"]), jnp.uint32(0xFFFFFFFE)
+    )
+    my_first = jax.lax.axis_index(axis).astype(jnp.int32) * rows
+    local = base - my_first
+    mine = (local >= 0) & (local < rows)
+    local = jnp.clip(local, 0, rows - 1)
+    win = tab_dev["win"][0][local].astype(jnp.uint32)  # [n_shards*q, P]
+    sel = jnp.argmax(win == lo[:, None], axis=-1).astype(jnp.int32)
+    row = tab_dev["slots"][0][local + sel]  # [n_shards*q, 4]
+    found = (
+        mine
+        & va
+        & (row[:, 0].astype(jnp.uint32) == lo)
+        & (row[:, 1].astype(jnp.uint32) == hi)
+    )
+    prob = jnp.where(
+        found, jax.lax.bitcast_convert_type(row[:, 2], jnp.float32), 0.0
+    )
+    backoff = jnp.where(
+        found, jax.lax.bitcast_convert_type(row[:, 3], jnp.float32), 0.0
+    )
+    found_all = jax.lax.psum(found.astype(jnp.int32), axis)
+    prob_all = jax.lax.psum(prob, axis)
+    backoff_all = jax.lax.psum(backoff, axis)
+    first = jax.lax.axis_index(axis) * q
+
+    def _mine(x):
+        return jax.lax.dynamic_slice_in_dim(x, first, q)
+
+    return _mine(found_all) > 0, _mine(prob_all), _mine(backoff_all)
 
 
 # --------------------------------------------------------------------------
@@ -445,8 +516,13 @@ class DeviceLM:
         bits |= np.where(self.trie.is_uni_prefix[nodes], self.BIT_UNI_PREFIX, 0)
         return bits
 
-    def as_device(self) -> Dict:
-        """jnp pytree of all arrays (call once, reuse across decodes)."""
+    def as_device(self, include_fp: bool = True) -> Dict:
+        """jnp pytree of all arrays (call once, reuse across decodes).
+
+        ``include_fp=False`` skips device-putting the (large) n-gram slot
+        planes — used when those planes are about to be mesh-sharded
+        instead of replicated.
+        """
         import jax.numpy as jnp
 
         if self.trie.n_nodes >= (1 << 28):
@@ -469,7 +545,9 @@ class DeviceLM:
                     "size": t.size,
                 }
                 for t in self.fp_tables
-            ],
+            ]
+            if include_fp
+            else [],
             "trie_next": jnp.asarray(packed),
             "trie_word_id": jnp.asarray(self.trie.word_id),
             "seed_node": jnp.asarray(seed_packed),

@@ -91,6 +91,13 @@ class ShardedCTCDecoder:
     Wraps a :class:`TPUBeamSearchDecoderCTC`; the global batch is padded to
     ``n_devices * per_device_batch`` and scanned in one ``shard_map``-mapped
     program. Host post-processing (backtrace + replay) is unchanged.
+
+    ``shard_lm=True`` additionally row-shards the n-gram slot planes over
+    the same mesh axis, so each chip holds ``1/n_devices`` of the LM hash
+    table and probes run as ICI collectives (all_gather keys, psum values).
+    Decodes are element-wise identical to the replicated layout; use it
+    when the LM exceeds a single chip's HBM, since every probe then pays
+    two small collectives.
     """
 
     def __init__(
@@ -98,11 +105,26 @@ class ShardedCTCDecoder:
         decoder: TPUBeamSearchDecoderCTC,
         mesh=None,
         axis: str = "data",
+        shard_lm: bool = False,
     ) -> None:
         self._decoder = decoder
         self._mesh = mesh if mesh is not None else make_data_mesh()
         self._axis = axis
+        self._shard_lm = bool(shard_lm) and bool(decoder._device_lm)
         self._fn_cache: Dict[Any, Any] = {}
+        if self._shard_lm:
+            import jax.numpy as jnp
+
+            from ..engine import build_table_args
+
+            self._tabs = build_table_args(
+                jnp,
+                decoder._tokens,
+                decoder._device_lm,
+                shard=(axis, self.n_devices),
+            )
+        else:
+            self._tabs = decoder._tabs
 
     @property
     def mesh(self):
@@ -132,20 +154,52 @@ class ShardedCTCDecoder:
             cfg = d._engine_cfg(
                 beam_width, k, prune_history, use_hotwords, emit_paths
             )
-            raw = make_decode_fn(cfg, d._tokens, d._device_lm)
-            vfn = jax.vmap(raw, in_axes=(0, 0, None, None, None, None))
             axis = self._axis
+            shard = (axis, self.n_devices) if self._shard_lm else None
+            raw = make_decode_fn(cfg, d._tokens, d._device_lm, shard=shard)
+            vfn = jax.vmap(raw, in_axes=(0, 0, None, None, None, None))
             fn = jax.jit(
                 shard_map(
                     vfn,
                     mesh=self._mesh,
-                    in_specs=(P(axis), P(axis), P(), P(), P(), P()),
+                    in_specs=(
+                        P(axis),
+                        P(axis),
+                        P(),
+                        P(),
+                        self._tabs_specs(),
+                        P(),
+                    ),
                     out_specs=P(axis),
                     check_vma=False,
                 )
             )
             self._fn_cache[key] = fn
         return fn
+
+    def _tabs_specs(self):
+        """Partition specs for the table pytree.
+
+        Everything is replicated except, under ``shard_lm``, each n-gram
+        table's ``win``/``slots`` planes, whose leading (shard) axis is
+        partitioned over the mesh.
+        """
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        if not self._shard_lm:
+            return P()
+        axis = self._axis
+
+        def spec(path, leaf):
+            names = [
+                p.key for p in path if isinstance(p, jax.tree_util.DictKey)
+            ]
+            if names and names[-1] in ("win", "slots") and "fp" in names:
+                return P(axis)
+            return P()
+
+        return jax.tree_util.tree_map_with_path(spec, self._tabs)
 
     def decode_beams_batch(
         self,
@@ -193,7 +247,7 @@ class ShardedCTCDecoder:
             jnp.asarray(n_frames),
             jnp.asarray(params),
             start,
-            d._tabs,
+            self._tabs,
             hot,
         )
         host = {

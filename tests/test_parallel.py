@@ -65,6 +65,42 @@ class TestShardedDecode(unittest.TestCase):
         texts = sharded.decode_batch(batch, beam_width=16)
         self.assertEqual(texts, ["bugs bunny"] * 8)
 
+    @pytest.mark.skipif(not os.path.exists(ARPA), reason="reference fixtures absent")
+    def test_sharded_lm_table_equals_replicated(self):
+        """8-way row-sharded LM tables decode identically to replicated.
+
+        The collective probe path (all_gather keys -> local-range probe ->
+        psum values) must be invisible in results: texts, scores and frame
+        spans all match the replicated-table layout on the same mesh.
+        """
+        lm = LanguageModel(
+            NGramModel.from_file(ARPA), TEST_UNIGRAMS, alpha=1.0, unk_score_offset=0.0
+        )
+        dev = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(SAMPLE_LABELS), lm)
+        mesh = make_data_mesh(8)
+        repl = ShardedCTCDecoder(dev, mesh=mesh)
+        shrd = ShardedCTCDecoder(dev, mesh=mesh, shard_lm=True)
+        rng = np.random.RandomState(5)
+        noisy = [
+            np.clip(TEST_PROBS + rng.randn(*TEST_PROBS.shape) * s, 1e-6, 1.0)
+            for s in (0.0, 0.02, 0.05, 0.1, 0.0, 0.02, 0.05, 0.1, 0.02)
+        ]
+        want = repl.decode_beams_batch(noisy, beam_width=12)
+        got = shrd.decode_beams_batch(noisy, beam_width=12)
+        for w_beams, g_beams in zip(want, got):
+            self.assertEqual(len(w_beams), len(g_beams))
+            for w, g in zip(w_beams, g_beams):
+                self.assertEqual(w.text, g.text)
+                self.assertEqual(w.text_frames, g.text_frames)
+                self.assertAlmostEqual(w.logit_score, g.logit_score, places=4)
+                self.assertAlmostEqual(w.lm_score, g.lm_score, places=4)
+
+    def test_sharded_lm_without_lm_is_noop(self):
+        dev = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(SAMPLE_LABELS))
+        sharded = ShardedCTCDecoder(dev, mesh=make_data_mesh(4), shard_lm=True)
+        texts = sharded.decode_batch([TEST_PROBS] * 4, beam_width=8)
+        self.assertEqual(texts, ["bunny bunny"] * 4)
+
     def test_sharded_with_hotwords(self):
         dev = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(SAMPLE_LABELS))
         sharded = ShardedCTCDecoder(dev, mesh=make_data_mesh(4))
