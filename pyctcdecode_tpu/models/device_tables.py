@@ -57,7 +57,9 @@ HOT_WORD_BIT = 1 << 30
 # n-gram fingerprint tables (orders >= 2) + dense unigram array
 # --------------------------------------------------------------------------
 _FP_EMPTY = np.uint32(0xFFFFFFFF)  # fp_hi sentinel marking an empty slot
-_MAX_WINDOW = 8  # grow the table instead of letting windows get wider
+_MAX_WINDOW = 7  # grow the table instead of letting windows get wider;
+# 7 lanes + the window's salt byte pack into exactly two i32 words
+_SALT_MIX = 0x9E3779B1  # odd multiplier family for per-window byte salts
 _FP_SEED_LO = 0x811C9DC5 ^ 0x5BD1E995
 _FP_SEED_HI = 0x811C9DC5 ^ 0xC2B2AE35
 
@@ -77,7 +79,10 @@ class FPTable:
     fp_hi: np.ndarray  # u32
     prob: np.ndarray  # f32
     backoff: np.ndarray  # f32
-    windows: np.ndarray  # i32 [size, P] — row s = fp_lo of slots s..s+P-1
+    # i32 [size, 2] — row s packs a per-window salt byte plus the salted
+    # fingerprint byte of slots s..s+6 (see _pack_windows); the device
+    # prefilter gathers 2 elements per probe instead of P u32 lanes
+    windows: np.ndarray
     slots: np.ndarray  # i32 [size + P, 4] — (fp_lo, fp_hi, prob, backoff)
 
 
@@ -88,6 +93,65 @@ def _fp_lanes(keys: np.ndarray, seed_lo: int, seed_hi: int):
     lo = np.minimum(lo, _FP_EMPTY - np.uint32(1))
     hi = np.minimum(hi, _FP_EMPTY - np.uint32(1))
     return lo, hi
+
+
+def _pack_windows(fp_lo: np.ndarray, size: int, p: int):
+    """Pack window rows as one salt byte + 7 salted fingerprint bytes.
+
+    For each window (base slot) ``s``, find a salt such that the occupied
+    slots of ``s..s+6`` map to pairwise-distinct bytes under
+    ``byte(x) = ((x * C(salt)) >> 24) & 0xFF`` with
+    ``C(salt) = (2*salt+1) * _SALT_MIX`` (odd multiplier, bijective on
+    u32). Selection by first byte match is then *exact* for present keys:
+    ordered linear probing guarantees every slot before a resident's
+    displacement is occupied, occupied bytes are distinct, and empty slots
+    only trail residents — so the first matching lane is the resident's.
+    Absent keys may select any lane; the full 64-bit confirm on the slot
+    row rejects them.
+
+    Returns ``None`` when some window has no working salt (only possible
+    if two occupied slots of a window share full ``fp_lo``; the caller
+    reseeds the fingerprint lanes and retries).
+    """
+    occ = fp_lo != _FP_EMPTY  # [size + p]
+    salts = np.zeros(size, dtype=np.uint32)
+    pending = None  # None = every window (first pass runs on slices)
+    for s in range(256):
+        c = np.uint32(((2 * s + 1) * _SALT_MIX) & 0xFFFFFFFF)
+        b = ((fp_lo * c) >> np.uint32(24)).astype(np.uint8)
+        if pending is None:
+            bad = np.zeros(size, dtype=bool)
+            for d1 in range(p):
+                o1 = occ[d1 : d1 + size]
+                b1 = b[d1 : d1 + size]
+                for d2 in range(d1 + 1, p):
+                    bad |= o1 & occ[d2 : d2 + size] & (b1 == b[d2 : d2 + size])
+            pending = np.flatnonzero(bad)
+        else:
+            bad = np.zeros(len(pending), dtype=bool)
+            for d1 in range(p):
+                o1 = occ[pending + d1]
+                b1 = b[pending + d1]
+                for d2 in range(d1 + 1, p):
+                    bad |= o1 & occ[pending + d2] & (b1 == b[pending + d2])
+            salts[pending[~bad]] = s
+            pending = pending[bad]
+        if len(pending) == 0:
+            break
+    else:
+        return None
+    cs = ((salts << np.uint32(1)) | np.uint32(1)) * np.uint32(_SALT_MIX)
+    lanes = []
+    for d in range(7):
+        if d < p:
+            lanes.append(
+                ((fp_lo[d : d + size] * cs) >> np.uint32(24)) & np.uint32(0xFF)
+            )
+        else:
+            lanes.append(np.zeros(size, dtype=np.uint32))
+    w0 = salts | (lanes[0] << 8) | (lanes[1] << 16) | (lanes[2] << 24)
+    w1 = lanes[3] | (lanes[4] << 8) | (lanes[5] << 16) | (lanes[6] << 24)
+    return np.stack([w0, w1], axis=1).view(np.int32)
 
 
 def build_fp_table(
@@ -101,7 +165,9 @@ def build_fp_table(
     the slot planes carry a P-slot tail pad — so windows are plain
     contiguous ranges. The table grows until every displacement fits the
     window cap; fingerprint lanes reseed until no two residents of any
-    window share a fingerprint (lookups of present keys are then exact).
+    window share a fingerprint and every window admits a salt with
+    distinct resident bytes (lookups of present keys are then exact, see
+    :func:`_pack_windows`).
     """
     keys = np.asarray(keys, dtype=np.int32)
     count, n = keys.shape if keys.ndim == 2 else (0, 1)
@@ -128,11 +194,12 @@ def build_fp_table(
     p = disp_max + 1
     keys_sorted = keys[order_idx] if count else keys.reshape(0, n)
     seed_lo, seed_hi = _FP_SEED_LO, _FP_SEED_HI
+    padded = size + p
     while True:
         lo, hi = _fp_lanes(keys_sorted, seed_lo, seed_hi)
-        # residents of any shared window must differ on fp_lo ALONE: the
-        # device probe selects the slot by the fp_lo prefilter and confirms
-        # fp_hi only on the selected slot
+        # occupied slots of a shared window must differ on full fp_lo
+        # (a duplicate makes salted-byte distinctness unachievable), and
+        # _pack_windows must find a distinct-byte salt for every window
         collision = False
         for d in range(1, p):
             if count <= d:
@@ -142,23 +209,23 @@ def build_fp_table(
             if bool(np.any(near & same)):
                 collision = True
                 break
+        win = None
         if not collision:
+            fp_lo = np.full(padded, _FP_EMPTY, dtype=np.uint32)
+            if count:
+                fp_lo[slots] = lo
+            win = _pack_windows(fp_lo, size, p)
+        if win is not None:
             break
         seed_lo = (seed_lo + 0x9E3779B9) & 0xFFFFFFFF
         seed_hi = (seed_hi + 0x85EBCA6B) & 0xFFFFFFFF
-    padded = size + p
-    fp_lo = np.full(padded, _FP_EMPTY, dtype=np.uint32)
     fp_hi = np.full(padded, _FP_EMPTY, dtype=np.uint32)
     prob = np.zeros(padded, dtype=np.float32)
     backoff = np.zeros(padded, dtype=np.float32)
     if count:
-        fp_lo[slots] = lo
         fp_hi[slots] = hi
         prob[slots] = probs[order_idx]
         backoff[slots] = backoffs[order_idx]
-    win = np.empty((size, p), dtype=np.int32)
-    for d in range(p):
-        win[:, d] = fp_lo[d : d + size].view(np.int32)
     slot_rows = np.stack(
         [
             fp_lo.view(np.int32),
@@ -252,15 +319,45 @@ def _probe_uni_jnp(uni_dev, wid):
     return exists, prob, backoff
 
 
-def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object"):
-    """Probe one order's table on device: fp_lo window prefilter + confirm.
+def _window_select(jnp, win_row, lo, p):
+    """Lane selection from a packed (salt + 7 salted bytes) window row.
 
-    ``tab_dev``: {"win": i32 [size, P] (fp_lo windows), "slots": i32
-    [size+P, 4], "seed_lo"/"seed_hi": u32 scalars, "max_probes"/"size":
-    static ints}. ``query``: int32 ``[Q, n]``; ``valid``: bool ``[Q]``.
-    Two gathered rows per query: the fp_lo window picks the slot (window
-    residents have distinct fp_lo by construction), one slot row confirms
-    the full 64-bit fingerprint and carries (prob, backoff).
+    ``win_row``: i32 ``[Q, 2]`` (see :func:`_pack_windows`); ``lo``: the
+    query's full fp_lo lane. Returns the first lane whose salted byte
+    matches the query's (exact for present keys; absent keys are rejected
+    by the caller's full-fingerprint confirm on the selected slot).
+    """
+    w0 = win_row[:, 0].astype(jnp.uint32)
+    w1 = win_row[:, 1].astype(jnp.uint32)
+    c = (((w0 & 0xFF) << 1) | 1) * jnp.uint32(_SALT_MIX)
+    qb = (lo * c) >> 24  # query's salted byte (top byte, no mask needed)
+    lanes = jnp.stack(
+        [
+            (w0 >> 8) & 0xFF,
+            (w0 >> 16) & 0xFF,
+            w0 >> 24,
+            w1 & 0xFF,
+            (w1 >> 8) & 0xFF,
+            (w1 >> 16) & 0xFF,
+            w1 >> 24,
+        ],
+        axis=-1,
+    )  # [Q, 7]
+    cmp = (lanes == qb[:, None]) & (jnp.arange(7) < p)
+    return jnp.argmax(cmp, axis=-1).astype(jnp.int32)
+
+
+def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object"):
+    """Probe one order's table on device: salted-byte prefilter + confirm.
+
+    ``tab_dev``: {"win": i32 [size, 2] (packed salt + salted fingerprint
+    bytes, :func:`_pack_windows`), "slots": i32 [size+P, 4],
+    "seed_lo"/"seed_hi": u32 scalars, "max_probes"/"size": static ints}.
+    ``query``: int32 ``[Q, n]``; ``valid``: bool ``[Q]``. Six gathered
+    elements per query: the 2-word window row picks the slot, one 4-word
+    slot row confirms the full 64-bit fingerprint and carries
+    (prob, backoff). Gathers from the multi-GB planes are the dominant
+    decode cost, so the prefilter is packed to the byte.
 
     When ``tab_dev`` carries ``shard_axis`` metadata the planes are
     row-sharded over a mesh axis and the probe runs collectively — see
@@ -280,8 +377,7 @@ def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object"):
     hi = jnp.minimum(
         fnv1a_seeded(jnp, query, tab_dev["seed_hi"]), jnp.uint32(0xFFFFFFFE)
     )
-    win = tab_dev["win"][base].astype(jnp.uint32)  # [Q, P]
-    sel = jnp.argmax(win == lo[:, None], axis=-1).astype(jnp.int32)
+    sel = _window_select(jnp, tab_dev["win"][base], lo, tab_dev["max_probes"])
     row = tab_dev["slots"][base + sel]  # [Q, 4]
     found = (
         (row[:, 0].astype(jnp.uint32) == lo)
@@ -336,8 +432,9 @@ def _probe_fp_sharded(tab_dev: Dict, query: "object", valid: "object"):
     local = base - my_first
     mine = (local >= 0) & (local < rows)
     local = jnp.clip(local, 0, rows - 1)
-    win = tab_dev["win"][0][local].astype(jnp.uint32)  # [n_shards*q, P]
-    sel = jnp.argmax(win == lo[:, None], axis=-1).astype(jnp.int32)
+    sel = _window_select(
+        jnp, tab_dev["win"][0][local], lo, tab_dev["max_probes"]
+    )
     row = tab_dev["slots"][0][local + sel]  # [n_shards*q, 4]
     found = (
         mine

@@ -38,17 +38,43 @@ class TestFPTable(unittest.TestCase):
         found, _, _ = probe_fp_host(tab, absent)
         self.assertFalse(bool(found.any()))
 
-    def test_windows_mirror_slot_planes(self):
+    def test_windows_pack_salted_bytes(self):
+        """Packed window rows: salt byte + per-lane salted fp_lo bytes,
+        with occupied lanes of every window pairwise byte-distinct."""
+        from pyctcdecode_tpu.models.device_tables import _FP_EMPTY, _SALT_MIX
+
         rng = np.random.RandomState(7)
         keys = np.unique(rng.randint(0, 9999, size=(300, 2)), axis=0).astype(np.int32)
         tab = build_fp_table(
             keys, rng.randn(len(keys)).astype(np.float32),
             rng.randn(len(keys)).astype(np.float32),
         )
+        self.assertEqual(tab.windows.shape, (tab.size, 2))
+        w = tab.windows.view(np.uint32)
+        salts = w[:, 0] & 0xFF
+        cs = ((salts << np.uint32(1)) | np.uint32(1)) * np.uint32(_SALT_MIX)
+        lane_bytes = np.stack(
+            [
+                (w[:, 0] >> 8) & 0xFF,
+                (w[:, 0] >> 16) & 0xFF,
+                w[:, 0] >> 24,
+                w[:, 1] & 0xFF,
+                (w[:, 1] >> 8) & 0xFF,
+                (w[:, 1] >> 16) & 0xFF,
+                w[:, 1] >> 24,
+            ],
+            axis=1,
+        )
         for d in range(tab.max_probes):
-            np.testing.assert_array_equal(
-                tab.windows[:, d].view(np.uint32), tab.fp_lo[d : d + tab.size]
-            )
+            want = (tab.fp_lo[d : d + tab.size] * cs) >> np.uint32(24)
+            np.testing.assert_array_equal(lane_bytes[:, d], want)
+        for s in range(tab.size):
+            occ = [
+                int(lane_bytes[s, d])
+                for d in range(tab.max_probes)
+                if tab.fp_lo[s + d] != _FP_EMPTY
+            ]
+            self.assertEqual(len(occ), len(set(occ)), f"window {s}")
         np.testing.assert_array_equal(
             tab.slots[:, 2].view(np.float32), tab.prob
         )
