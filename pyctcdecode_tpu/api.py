@@ -82,6 +82,15 @@ def build_ctcdecoder(
     if unigrams is None and kenlm_model_path is not None:
         if kenlm_model_path.endswith(".arpa"):
             unigrams = load_unigram_set_from_arpa(kenlm_model_path)
+        elif hasattr(ngram_model, "vocab_words"):
+            # KenLM binaries carry their vocabulary strings; unlike the
+            # reference (whose kenlm binding cannot enumerate them, ref
+            # decoder.py:1080-1084) we can recover the word set directly
+            unigrams = [
+                w
+                for w in ngram_model.vocab_words()
+                if not (w.startswith("<") and w.endswith(">"))
+            ]
         else:
             logger.warning(
                 "no unigram vocabulary given and none can be read from a "

@@ -231,7 +231,11 @@ def build_table_meta(
     for dlm in _normalize_members(device_lms):
         fp_meta = []
         for t in dlm.fp_tables:
-            one = {"size": t.size, "max_probes": t.max_probes}
+            one = {
+                "size": t.size,
+                "max_probes": t.max_probes,
+                "hash_mode": t.hash_mode,
+            }
             if shard is not None:
                 axis_name, n_shards = shard
                 one.update(

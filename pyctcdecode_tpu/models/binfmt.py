@@ -5,8 +5,9 @@ its own compiled format: a single ``numpy``-backed container holding the
 vocabulary and flat per-order id/score arrays, loading with O(file) mmap-able
 reads instead of text parsing. This plays the role KenLM's ``.bin`` files play
 for the reference (ref ``language_model.py:422-427`` accepts
-``.arpa/.bin/.binary``); foreign KenLM binaries are detected and rejected
-with a clear message since their format is KenLM-internal.
+``.arpa/.bin/.binary``); actual KenLM PROBING binaries are handled by
+``models/kenlm_bin.py`` (``open_ngram_file`` dispatches on the file magic),
+this format is for models parsed or built by this framework.
 """
 from __future__ import annotations
 
@@ -55,8 +56,9 @@ def read_binary(path: str) -> NGramTables:
         if magic != MAGIC:
             raise ValueError(
                 f"{path!r} is not a pyctcdecode_tpu compiled LM (found magic "
-                f"{magic!r}). KenLM .bin files are not supported directly -- "
-                "convert the original ARPA with "
+                f"{magic!r}). KenLM PROBING binaries load via "
+                "models.kenlm_bin (open_ngram_file dispatches on the file "
+                "magic); other formats convert from the ARPA with "
                 "`pyctcdecode_tpu.models.binfmt.compile_arpa`."
             )
         data = np.load(fh, allow_pickle=False)

@@ -37,7 +37,13 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..ops.hashing import fnv1a, fnv1a_seeded
+from ..ops.hashing import (
+    fnv1a,
+    fnv1a_seeded,
+    kenlm_chain,
+    kenlm_chain_host,
+    mix32_pair,
+)
 from ..ops.tokens import TokenArrays
 from .language_model import LanguageModel
 from .ngram import BOS_WORD, EOS_WORD, NGramTables
@@ -84,6 +90,12 @@ class FPTable:
     # prefilter gathers 2 elements per probe instead of P u32 lanes
     windows: np.ndarray
     slots: np.ndarray  # i32 [size + P, 4] — (fp_lo, fp_hi, prob, backoff)
+    # "fnv": keys are id tuples hashed with seeded FNV lanes (ARPA/.ctclm
+    # models). "kenlm": entries came from a KenLM PROBING binary, which
+    # stores only each n-gram's 64-bit chain hash — base slot and both
+    # fingerprint lanes are seeded mixes of that hash pair, and the probe
+    # recomputes the chain from the query ids (models/kenlm_bin.py).
+    hash_mode: str = "fnv"
 
 
 def _fp_lanes(keys: np.ndarray, seed_lo: int, seed_hi: int):
@@ -154,23 +166,27 @@ def _pack_windows(fp_lo: np.ndarray, size: int, p: int):
     return np.stack([w0, w1], axis=1).view(np.int32)
 
 
-def build_fp_table(
-    keys: np.ndarray, probs: np.ndarray, backoffs: np.ndarray
+def _assemble_fp(
+    base_full: np.ndarray,
+    lane_fn,
+    probs: np.ndarray,
+    backoffs: np.ndarray,
+    n: int,
+    hash_mode: str,
 ) -> FPTable:
-    """Build one order's table with vectorized ordered linear probing.
+    """Place entries with vectorized ordered linear probing and pack planes.
 
     Ordered (base-sorted) placement gives the same worst-case displacement
     as robin-hood insertion and vectorizes: after sorting entries by base
     slot, ``slot_i = i + cummax(base_i - i)``. Probing is non-circular —
     the slot planes carry a P-slot tail pad — so windows are plain
     contiguous ranges. The table grows until every displacement fits the
-    window cap; fingerprint lanes reseed until no two residents of any
-    window share a fingerprint and every window admits a salt with
-    distinct resident bytes (lookups of present keys are then exact, see
-    :func:`_pack_windows`).
+    window cap; fingerprint lanes (``lane_fn(seed_lo, seed_hi)`` in entry
+    order) reseed until no two residents of any window share a fingerprint
+    and every window admits a salt with distinct resident bytes (lookups
+    of present keys are then exact, see :func:`_pack_windows`).
     """
-    keys = np.asarray(keys, dtype=np.int32)
-    count, n = keys.shape if keys.ndim == 2 else (0, 1)
+    count = len(base_full)
     probs = np.asarray(probs, dtype=np.float32)
     backoffs = np.asarray(backoffs, dtype=np.float32)
     size = _MIN_TABLE
@@ -178,7 +194,7 @@ def build_fp_table(
         size *= 2
     while True:
         if count:
-            base = (fnv1a(np, keys) & np.uint32(size - 1)).astype(np.int64)
+            base = (base_full & np.uint32(size - 1)).astype(np.int64)
             order_idx = np.argsort(base, kind="stable")
             sb = base[order_idx]
             arange = np.arange(count, dtype=np.int64)
@@ -192,11 +208,11 @@ def build_fp_table(
             break
         size *= 2
     p = disp_max + 1
-    keys_sorted = keys[order_idx] if count else keys.reshape(0, n)
     seed_lo, seed_hi = _FP_SEED_LO, _FP_SEED_HI
     padded = size + p
     while True:
-        lo, hi = _fp_lanes(keys_sorted, seed_lo, seed_hi)
+        lo, hi = lane_fn(seed_lo, seed_hi)
+        lo, hi = lo[order_idx], hi[order_idx]
         # occupied slots of a shared window must differ on full fp_lo
         # (a duplicate makes salted-byte distinctness unachievable), and
         # _pack_windows must find a distinct-byte salt for every window
@@ -248,7 +264,57 @@ def build_fp_table(
         backoff=backoff,
         windows=win,
         slots=slot_rows,
+        hash_mode=hash_mode,
     )
+
+
+def build_fp_table(
+    keys: np.ndarray, probs: np.ndarray, backoffs: np.ndarray
+) -> FPTable:
+    """Build one order's table from id-tuple keys (FNV base + lanes)."""
+    keys = np.asarray(keys, dtype=np.int32)
+    count, n = keys.shape if keys.ndim == 2 else (0, 1)
+    keys = keys.reshape(count, n)
+    base_full = fnv1a(np, keys) if count else np.empty(0, dtype=np.uint32)
+    return _assemble_fp(
+        base_full,
+        lambda sl, sh: _fp_lanes(keys, sl, sh),
+        probs,
+        backoffs,
+        n,
+        "fnv",
+    )
+
+
+_KENLM_BASE_SEED = 0x243F6A88  # base-slot mix seed for kenlm-keyed tables
+
+
+def build_fp_table_from_hashes(
+    keys64: np.ndarray, probs: np.ndarray, backoffs: np.ndarray, n: int
+) -> FPTable:
+    """Build one order's table straight from KenLM 64-bit chain hashes.
+
+    A KenLM PROBING binary never stores the n-gram tuples, so the usual
+    id-tuple build is impossible — but its chain hash is itself a 64-bit
+    fingerprint the device can recompute from query ids
+    (:func:`~pyctcdecode_tpu.ops.hashing.kenlm_chain`). Base slot and both
+    fingerprint lanes are independent seeded mixes of the hash pair, so
+    collision reseeds work exactly as in the FNV build.
+    """
+    keys64 = np.asarray(keys64, dtype=np.uint64)
+    lo32 = (keys64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi32 = (keys64 >> np.uint64(32)).astype(np.uint32)
+    base_full = mix32_pair(np, lo32, hi32, np.uint32(_KENLM_BASE_SEED))
+
+    def lanes(seed_lo, seed_hi):
+        lo = mix32_pair(np, lo32, hi32, np.uint32(seed_lo))
+        hi = mix32_pair(np, lo32, hi32, np.uint32(seed_hi))
+        return (
+            np.minimum(lo, _FP_EMPTY - np.uint32(1)),
+            np.minimum(hi, _FP_EMPTY - np.uint32(1)),
+        )
+
+    return _assemble_fp(base_full, lanes, probs, backoffs, n, "kenlm")
 
 
 def probe_fp_host(table: FPTable, keys: np.ndarray):
@@ -260,8 +326,16 @@ def probe_fp_host(table: FPTable, keys: np.ndarray):
     """
     keys = np.asarray(keys, dtype=np.int32).reshape(-1, table.n)
     nq = keys.shape[0]
-    base = (fnv1a(np, keys) & np.uint32(table.size - 1)).astype(np.int64)
-    lo, hi = _fp_lanes(keys, table.seed_lo, table.seed_hi)
+    h, lo, hi = _query_hashes(
+        np,
+        {
+            "hash_mode": table.hash_mode,
+            "seed_lo": np.uint32(table.seed_lo),
+            "seed_hi": np.uint32(table.seed_hi),
+        },
+        keys,
+    )
+    base = (h & np.uint32(table.size - 1)).astype(np.int64)
     sel = np.zeros(nq, dtype=np.int64)
     seen = np.zeros(nq, dtype=bool)
     for d in range(table.max_probes):
@@ -347,6 +421,27 @@ def _window_select(jnp, win_row, lo, p):
     return jnp.argmax(cmp, axis=-1).astype(jnp.int32)
 
 
+def _query_hashes(xp, tab: Dict, query):
+    """Base hash + clamped fingerprint lanes for a query batch ``[Q, n]``.
+
+    Mode "fnv" hashes the id tuple directly; mode "kenlm" first folds the
+    ids through KenLM's 64-bit chain (the only key a PROBING binary
+    stores) and derives all three values as seeded mixes of that pair.
+    """
+    if tab.get("hash_mode", "fnv") == "kenlm":
+        klo, khi = kenlm_chain(xp, query)
+        h = mix32_pair(xp, klo, khi, xp.uint32(_KENLM_BASE_SEED))
+        lo = mix32_pair(xp, klo, khi, tab["seed_lo"])
+        hi = mix32_pair(xp, klo, khi, tab["seed_hi"])
+    else:
+        h = fnv1a(xp, query)
+        lo = fnv1a_seeded(xp, query, tab["seed_lo"])
+        hi = fnv1a_seeded(xp, query, tab["seed_hi"])
+    lo = xp.minimum(lo, xp.uint32(0xFFFFFFFE))
+    hi = xp.minimum(hi, xp.uint32(0xFFFFFFFE))
+    return h, lo, hi
+
+
 def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object"):
     """Probe one order's table on device: salted-byte prefilter + confirm.
 
@@ -369,14 +464,8 @@ def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object"):
     if tab_dev.get("shard_axis") is not None:
         return _probe_fp_sharded(tab_dev, query, valid)
     size = tab_dev["size"]
-    h = fnv1a(jnp, query)
+    h, lo, hi = _query_hashes(jnp, tab_dev, query)
     base = (h & jnp.uint32(size - 1)).astype(jnp.int32)
-    lo = jnp.minimum(
-        fnv1a_seeded(jnp, query, tab_dev["seed_lo"]), jnp.uint32(0xFFFFFFFE)
-    )
-    hi = jnp.minimum(
-        fnv1a_seeded(jnp, query, tab_dev["seed_hi"]), jnp.uint32(0xFFFFFFFE)
-    )
     sel = _window_select(jnp, tab_dev["win"][base], lo, tab_dev["max_probes"])
     row = tab_dev["slots"][base + sel]  # [Q, 4]
     found = (
@@ -420,14 +509,8 @@ def _probe_fp_sharded(tab_dev: Dict, query: "object", valid: "object"):
     q = query.shape[0]
     qa = jax.lax.all_gather(query, axis, tiled=True)  # [n_shards*q, w]
     va = jax.lax.all_gather(valid, axis, tiled=True)  # [n_shards*q]
-    h = fnv1a(jnp, qa)
+    h, lo, hi = _query_hashes(jnp, tab_dev, qa)
     base = (h & jnp.uint32(tab_dev["size"] - 1)).astype(jnp.int32)
-    lo = jnp.minimum(
-        fnv1a_seeded(jnp, qa, tab_dev["seed_lo"]), jnp.uint32(0xFFFFFFFE)
-    )
-    hi = jnp.minimum(
-        fnv1a_seeded(jnp, qa, tab_dev["seed_hi"]), jnp.uint32(0xFFFFFFFE)
-    )
     my_first = jax.lax.axis_index(axis).astype(jnp.int32) * rows
     local = base - my_first
     mine = (local >= 0) & (local < rows)
@@ -659,10 +742,31 @@ def build_device_lm(language_model: LanguageModel, tokens: TokenArrays) -> Devic
     :class:`NGramTables` (hash tables built here) or the native C++ engine
     (tables exported directly — identical slot layout by construction).
     """
+    from .kenlm_bin import KenLMBinaryModel
     from .native import NativeNGramModel
 
     ngram = language_model.ngram_model
-    if isinstance(ngram, NativeNGramModel):
+    if isinstance(ngram, KenLMBinaryModel):
+        kt = ngram.tables
+        order = kt.order
+        unk_id = kt.unk_id
+        eos_id = kt.vocab.get(EOS_WORD, unk_id)
+        unk_prob10 = float(kt.uni[unk_id]["prob"])
+        vocab = kt.vocab
+        bos_state = kt.begin_sentence_state()
+        # kenlm's unigram array is dense by id: every id exists at order 1
+        n_vocab = max(len(vocab), 1)
+        uni = np.zeros((n_vocab, 4), dtype=np.float32)
+        uni[: len(kt.uni), 0] = kt.uni["prob"]
+        uni[: len(kt.uni), 1] = kt.uni["backoff"]
+        uni[: len(kt.uni), 2] = 1.0
+        fp_tables = [
+            build_fp_table_from_hashes(keys64, probs, backoffs, n_order)
+            for n_order, (keys64, probs, backoffs) in enumerate(
+                kt.raw, start=2
+            )
+        ]
+    elif isinstance(ngram, NativeNGramModel):
         nat = ngram.native
         order = nat.order
         unk_id = nat.unk_id

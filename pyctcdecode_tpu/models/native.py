@@ -88,6 +88,13 @@ def open_ngram_file(path: str, backend: str = "auto"):
 
     ext = os.path.splitext(path)[1].lower()
     is_arpa = ext not in (".bin", ".binary", ".ctclm")
+    if ext in (".bin", ".binary"):
+        with open(path, "rb") as fh:
+            head = fh.read(16)
+        if head.startswith(b"mmap lm "):  # KenLM binary magic prefix
+            from .kenlm_bin import KenLMBinaryModel
+
+            return KenLMBinaryModel.from_file(path)
     if backend == "python" or not is_arpa:
         return NGramModel.from_file(path)
     if backend == "native":

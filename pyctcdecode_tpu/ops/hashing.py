@@ -110,3 +110,126 @@ def hash_text_commit(xp, t_lo, t_hi, w_lo, w_hi):
     lo = t_lo * _u32(xp, TXT_A) + (w_lo ^ salt)
     hi = t_hi * _u32(xp, TXT_B) + (w_hi ^ salt)
     return lo, hi
+
+
+# --------------------------------------------------------------------------
+# KenLM-compatible hashing (binary .bin ingestion, models/kenlm_bin.py)
+#
+# KenLM's PROBING format keys its n-gram hash tables by a 64-bit rolling
+# hash over word ids (kenlm lm/search_hashed.hh ``detail::CombineWordHash``)
+# and its vocabulary by MurmurHash64A of the word string (kenlm
+# lm/vocab.cc ``detail::HashForVocab``). Reading those tables means
+# reproducing both hashes exactly: host-side in numpy uint64, device-side
+# as u32 lane pairs (the TPU has no 64-bit integer units, so the 64-bit
+# multiply is spelled out in 32x32->64 pieces below).
+# --------------------------------------------------------------------------
+KENLM_MUL_A = 8978948897894561157  # CombineWordHash multipliers
+KENLM_MUL_B = 17894857484156487943
+_MASK64 = (1 << 64) - 1
+
+
+def murmur64(data: bytes, seed: int = 0) -> int:
+    """MurmurHash64A (Appleby) over ``data`` — kenlm's vocab string hash."""
+    m = 0xC6A4A7935BD1E995
+    r = 47
+    h = (seed ^ ((len(data) * m) & _MASK64)) & _MASK64
+    n8 = len(data) & ~7
+    for i in range(0, n8, 8):
+        k = int.from_bytes(data[i : i + 8], "little")
+        k = (k * m) & _MASK64
+        k ^= k >> r
+        k = (k * m) & _MASK64
+        h = ((h ^ k) * m) & _MASK64
+    tail = data[n8:]
+    if tail:
+        h ^= int.from_bytes(tail, "little")
+        h = (h * m) & _MASK64
+    h ^= h >> r
+    h = (h * m) & _MASK64
+    h ^= h >> r
+    return h
+
+
+def kenlm_chain_host(keys: "np.ndarray") -> "np.ndarray":
+    """KenLM n-gram hash over id rows ``[..., n]`` as numpy uint64.
+
+    ``chain(w1..wn) = fold(combine, start=w1)`` with
+    ``combine(c, w) = c * A  ^  (w + 1) * B`` (mod 2^64), matching
+    kenlm's ``LookupUnigram`` (node = first word id) followed by
+    ``CombineWordHash`` per further word.
+    """
+    keys = np.asarray(keys)
+    with np.errstate(over="ignore"):
+        h = keys[..., 0].astype(np.uint64)
+        a = np.uint64(KENLM_MUL_A)
+        b = np.uint64(KENLM_MUL_B)
+        one = np.uint64(1)
+        for j in range(1, keys.shape[-1]):
+            w = keys[..., j].astype(np.uint64)
+            h = (h * a) ^ ((w + one) * b)
+    return h
+
+
+def umul32_wide(xp, a, b):
+    """Full 32x32 -> 64 unsigned multiply as a (lo, hi) u32 pair."""
+    mask = _u32(xp, 0xFFFF)
+    a0 = a & mask
+    a1 = a >> _u32(xp, 16)
+    b0 = b & mask
+    b1 = b >> _u32(xp, 16)
+    m00 = a0 * b0
+    m01 = a0 * b1
+    m10 = a1 * b0
+    m11 = a1 * b1
+    mid = (m00 >> _u32(xp, 16)) + (m01 & mask) + (m10 & mask)
+    lo = (m00 & mask) | ((mid & mask) << _u32(xp, 16))
+    hi = m11 + (m01 >> _u32(xp, 16)) + (m10 >> _u32(xp, 16)) + (mid >> _u32(xp, 16))
+    return lo, hi
+
+
+def _mul64_by_const(xp, lo, hi, c_lo: int, c_hi: int):
+    """Low 64 bits of a (lo, hi) u32-pair value times a 64-bit constant."""
+    p_lo, p_hi = umul32_wide(xp, lo, _u32(xp, c_lo))
+    p_hi = p_hi + lo * _u32(xp, c_hi) + hi * _u32(xp, c_lo)
+    return p_lo, p_hi
+
+
+def kenlm_chain(xp, keys):
+    """KenLM n-gram hash over id rows ``[..., n]`` as a (lo, hi) u32 pair.
+
+    Bit-identical to :func:`kenlm_chain_host`; written in u32 lanes so it
+    runs on TPU (no 64-bit integers) and in numpy alike.
+    """
+    keys = xp.asarray(keys)
+    a_lo = KENLM_MUL_A & 0xFFFFFFFF
+    a_hi = KENLM_MUL_A >> 32
+    b_lo = KENLM_MUL_B & 0xFFFFFFFF
+    b_hi = KENLM_MUL_B >> 32
+    h_lo = keys[..., 0].astype(xp.uint32)
+    h_hi = xp.zeros_like(h_lo)
+    for j in range(1, keys.shape[-1]):
+        w1 = keys[..., j].astype(xp.uint32) + _u32(xp, 1)
+        t_lo, t_hi = _mul64_by_const(xp, h_lo, h_hi, a_lo, a_hi)
+        u_lo, u_hi = umul32_wide(xp, w1, _u32(xp, b_lo))
+        u_hi = u_hi + w1 * _u32(xp, b_hi)
+        h_lo = t_lo ^ u_lo
+        h_hi = t_hi ^ u_hi
+    return h_lo, h_hi
+
+
+def mix32_pair(xp, lo, hi, seed):
+    """Seeded 32-bit mix of a u32 hash pair (murmur3 finalizer core).
+
+    KenLM-keyed probe tables derive their base slot and both fingerprint
+    lanes from the one 64-bit kenlm key; independent seeds keep the three
+    derived values uncorrelated, and a build-time fingerprint collision can
+    bump the seeds without touching the key (same contract as
+    :func:`fnv1a_seeded` for id-keyed tables).
+    """
+    h = lo ^ (hi * _u32(xp, 0x85EBCA6B)) ^ xp.asarray(seed, dtype=xp.uint32)
+    h ^= h >> _u32(xp, 16)
+    h = h * _u32(xp, 0x85EBCA6B)
+    h ^= h >> _u32(xp, 13)
+    h = h * _u32(xp, 0xC2B2AE35)
+    h ^= h >> _u32(xp, 16)
+    return h
