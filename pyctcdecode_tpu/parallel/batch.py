@@ -269,6 +269,110 @@ class ShardedCTCDecoder:
             results.append(d._build_outputs(one, n_frames=lens[i], top_n=top_n))
         return results
 
+    def decode_beams_batch_multiprocess(
+        self,
+        global_logits_list: Sequence[np.ndarray],
+        beam_width: int = DEFAULT_BEAM_WIDTH,
+        beam_prune_logp: float = DEFAULT_PRUNE_LOGP,
+        token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP,
+        prune_history: bool = DEFAULT_PRUNE_BEAMS,
+        max_tokens_per_frame: Optional[int] = None,
+        top_n: Optional[int] = None,
+    ):
+        """SPMD decode across a multi-process (multi-host) global mesh.
+
+        Every process passes the same ``global_logits_list`` (the usual JAX
+        SPMD input contract: identical global view, each host materializes
+        only its shard on device). Returns ``(results, (start, stop))``
+        where ``results`` are the beam lists for this process's slice
+        ``global_logits_list[start:stop]`` — cross-host output exchange is
+        the caller's (launcher's) job, matching standard SPMD data loading.
+
+        Requires ``jax.distributed`` to be up (see
+        :mod:`pyctcdecode_tpu.parallel.launch`); on a single process it
+        degrades to :meth:`decode_beams_batch` over the whole batch.
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        if jax.process_count() == 1:
+            res = self.decode_beams_batch(
+                global_logits_list,
+                beam_width=beam_width,
+                beam_prune_logp=beam_prune_logp,
+                token_min_logp=token_min_logp,
+                prune_history=prune_history,
+                max_tokens_per_frame=max_tokens_per_frame,
+                top_n=top_n,
+            )
+            return res, (0, len(global_logits_list))
+
+        d = self._decoder
+        v = len(d._labels)
+        k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
+        lens = [m.shape[0] for m in global_logits_list]
+        t_pad = _bucket(max(lens))
+        n = len(global_logits_list)
+        n_dev = self.n_devices
+        per_dev = (n + n_dev - 1) // n_dev
+        n_pad = per_dev * n_dev
+        # this process's contiguous row block (global device order is
+        # process-grouped, so the mesh's data axis lays rows out this way)
+        n_local_dev = len([dv for dv in self._mesh.devices.flat if dv.process_index == jax.process_index()])
+        rows_per_proc = per_dev * n_local_dev
+        row0 = rows_per_proc * jax.process_index()
+        local_rows = min(rows_per_proc, max(0, n_pad - row0))
+        logp_local = np.zeros((rows_per_proc, t_pad, v), dtype=np.float32)
+        nf_local = np.zeros(rows_per_proc, dtype=np.int32)
+        for i in range(local_rows):
+            g = row0 + i
+            if g < n:
+                logp_local[i] = normalize_host_batch(
+                    [global_logits_list[g]], t_pad, v
+                )[0]
+                nf_local[i] = lens[g]
+        data_sh = NamedSharding(self._mesh, P(self._axis))
+        logp_g = jax.make_array_from_process_local_data(data_sh, logp_local)
+        nf_g = jax.make_array_from_process_local_data(data_sh, nf_local)
+        fn = self._get_fn(
+            t_pad, beam_width, k, prune_history,
+            use_hotwords=False,
+            emit_paths=(min(top_n, beam_width) if top_n is not None else None),
+        )
+        params = d._params_vector(token_min_logp, beam_prune_logp)
+        start = d._start_ctx(None)
+        out = fn(logp_g, nf_g, jnp.asarray(params), start, self._tabs, None)
+        # outputs are data-sharded global arrays; keep only addressable rows
+        local = {}
+        for key, val in out.items():
+            if isinstance(val, tuple):
+                local[key] = tuple(self._local_rows(x) for x in val)
+            else:
+                local[key] = self._local_rows(val)
+        g_start = min(row0, n)
+        g_stop = min(row0 + rows_per_proc, n)
+        results = []
+        for g in range(g_start, g_stop):
+            i = g - row0
+            one = {
+                key: (
+                    tuple(x[i] for x in val) if isinstance(val, tuple) else val[i]
+                )
+                for key, val in local.items()
+            }
+            results.append(d._build_outputs(one, n_frames=lens[g], top_n=top_n))
+        return results, (g_start, g_stop)
+
+    @staticmethod
+    def _local_rows(garr) -> np.ndarray:
+        """Assemble this process's contiguous row block of a sharded array."""
+        shards = sorted(
+            garr.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
     def decode_batch(
         self,
         logits_list: Sequence[np.ndarray],

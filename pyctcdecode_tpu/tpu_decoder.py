@@ -37,6 +37,7 @@ from .engine import (
     EngineConfig,
     build_table_args,
     make_decode_fn,
+    make_segment_decode_fns,
     make_stream_fns,
 )
 from .models.base import AbstractLMState, NGramLMState
@@ -184,12 +185,18 @@ class TPUBeamSearchDecoderCTC:
         alphabet: Alphabet,
         language_model: Optional[LanguageModel] = None,
         use_pallas_merge: bool = False,
+        segment_frames: Optional[int] = None,
     ) -> None:
         import jax.numpy as jnp
 
         from .models.language_model import MultiLanguageModel
 
         self._use_pallas_merge = use_pallas_merge
+        # batch decoding runs as host-dispatched segments of unrolled frames
+        # on accelerators (in-loop gathers take XLA's scalar path, ~40x
+        # slower than top-level gathers; see make_segment_decode_fns). 0
+        # forces the single-program lax.scan path; None = pick per backend.
+        self._segment_frames = segment_frames
         self._alphabet = alphabet
         self._labels = alphabet.labels
         self._lm = language_model
@@ -274,6 +281,61 @@ class TPUBeamSearchDecoderCTC:
             fn = jax.jit(raw)
             self._fn_cache[key] = fn
         return fn
+
+    def _segment_frames_effective(self) -> int:
+        """Frames per segment program for batch decode (0 = lax.scan path).
+
+        Default: 16-frame segments on accelerators, the one-program scan on
+        CPU (where the while-loop gather penalty does not exist and per-call
+        unrolled programs would only slow compiles — e.g. the test suite).
+        """
+        if self._segment_frames is not None:
+            return self._segment_frames
+        import jax
+
+        return 16 if jax.devices()[0].platform != "cpu" else 0
+
+    def _get_segment_fns(
+        self,
+        seg_frames: int,
+        beam_width: int,
+        k: int,
+        prune_history: bool,
+        batch: int,
+        use_hotwords: bool,
+        emit_paths: Optional[int],
+    ):
+        import jax
+
+        key = (
+            "seg", seg_frames, beam_width, k, prune_history, batch,
+            use_hotwords, emit_paths,
+        )
+        fns = self._fn_cache.get(key)
+        if fns is None:
+            cfg = self._engine_cfg(
+                beam_width, k, prune_history, use_hotwords, emit_paths
+            )
+            init_fn, seg_fn, fin_fn = make_segment_decode_fns(
+                cfg, self._tokens, self._device_lm, seg_frames
+            )
+            jnp = self._jnp
+
+            def init_batched(start):
+                state = init_fn(start)
+                return jax.tree_util.tree_map(
+                    lambda x: jnp.broadcast_to(x, (batch,) + x.shape), state
+                )
+
+            fns = (
+                jax.jit(init_batched),
+                jax.jit(
+                    jax.vmap(seg_fn, in_axes=(0, 0, None, 0, None, None, None))
+                ),
+                jax.jit(jax.vmap(fin_fn, in_axes=(0, None, None, 0, 0, None))),
+            )
+            self._fn_cache[key] = fns
+        return fns
 
     def _hot_tables(self, hotwords, weight: float):
         """Per-call hotword trie arrays: (device pytree, weight, host arrays).
@@ -826,26 +888,90 @@ class TPUBeamSearchDecoderCTC:
                 raise ValueError(
                     f"Input logits of shape {mat.shape}, but vocabulary is size {v}"
                 )
+        seg = self._segment_frames_effective()
+        if seg:
+            t_pad = ((t_pad + seg - 1) // seg) * seg
         logp = np.zeros((n_pad, t_pad, v), dtype=np.float32)
         logp[:n] = normalize_host_batch(logits_list, t_pad, v)
         n_frames = np.zeros(n_pad, dtype=np.int32)
         n_frames[:n] = lens
-        fn = self._get_fn(
-            t_pad, beam_width, k, prune_history, batch=n_pad,
-            use_hotwords=hot is not None,
-            emit_paths=(min(top_n, beam_width) if top_n is not None else None),
-        )
+        emit_paths = min(top_n, beam_width) if top_n is not None else None
         params = self._params_vector(token_min_logp, beam_prune_logp, weight)
         start = self._start_ctx(None)
-        out = fn(
-            self._jnp.asarray(logp),
-            self._jnp.asarray(n_frames),
-            self._jnp.asarray(params),
-            start,
+        if seg:
+            out = self._run_segmented(
+                seg, logp, n_frames, params, start, hot,
+                beam_width=beam_width, k=k, prune_history=prune_history,
+                emit_paths=emit_paths,
+            )
+        else:
+            fn = self._get_fn(
+                t_pad, beam_width, k, prune_history, batch=n_pad,
+                use_hotwords=hot is not None,
+                emit_paths=emit_paths,
+            )
+            out = fn(
+                self._jnp.asarray(logp),
+                self._jnp.asarray(n_frames),
+                self._jnp.asarray(params),
+                start,
+                self._tabs,
+                hot,
+            )
+        return {"out": out, "lens": lens, "n": n, "top_n": top_n}
+
+    def _run_segmented(
+        self,
+        seg: int,
+        logp: np.ndarray,
+        n_frames: np.ndarray,
+        params: np.ndarray,
+        start,
+        hot,
+        beam_width: int,
+        k: int,
+        prune_history: bool,
+        emit_paths: Optional[int],
+    ):
+        """Drive one batch through host-dispatched unrolled segments.
+
+        The frame loop lives here instead of in a device ``lax.scan`` so
+        every LM-probe/trie gather compiles at program top level (the
+        in-loop scalar-gather penalty is ~40x; see
+        :func:`~pyctcdecode_tpu.engine.make_segment_decode_fns`). All
+        dispatches are asynchronous: the device chews through segments
+        back-to-back while the host races ahead issuing them.
+        """
+        jnp = self._jnp
+        n_pad, t_pad, _ = logp.shape
+        init_fn, seg_fn, fin_fn = self._get_segment_fns(
+            seg, beam_width, k, prune_history, n_pad,
+            use_hotwords=hot is not None, emit_paths=emit_paths,
+        )
+        state = init_fn(start)
+        nf = jnp.asarray(n_frames)
+        prm = jnp.asarray(params)
+        parents, trace = [], []
+        for s in range(t_pad // seg):
+            state, par, tok = seg_fn(
+                state,
+                jnp.asarray(np.ascontiguousarray(logp[:, s * seg:(s + 1) * seg])),
+                np.int32(s * seg),
+                nf,
+                prm,
+                self._tabs,
+                hot,
+            )
+            parents.append(par)
+            trace.append(tok)
+        return fin_fn(
+            state,
+            prm,
             self._tabs,
+            jnp.concatenate(parents, axis=1),
+            jnp.concatenate(trace, axis=1),
             hot,
         )
-        return {"out": out, "lens": lens, "n": n, "top_n": top_n}
 
     def _collect_batch(
         self, handle: Optional[Dict[str, Any]]

@@ -121,6 +121,94 @@ class TestShardedDecode(unittest.TestCase):
         self.assertEqual(totals.tolist(), [8, 24])
 
 
+class TestMultiProcessMesh(unittest.TestCase):
+    """Real 2-process ``jax.distributed`` bring-up over Gloo CPU collectives.
+
+    Two subprocess workers (tests/multiprocess_worker.py) form a global
+    2x4-virtual-device mesh via ``parallel.launch.initialize_from_env``,
+    decode the same global batch SPMD-style (each feeding its local rows),
+    and must reproduce the single-process sharded decode element-wise.
+    """
+
+    @pytest.mark.skipif(not os.path.exists(ARPA), reason="no reference data")
+    def test_two_process_decode_matches_single(self):
+        import json
+        import socket
+        import subprocess
+        import sys as _sys
+        import tempfile
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        worker = os.path.join(os.path.dirname(__file__), "multiprocess_worker.py")
+        with tempfile.TemporaryDirectory() as tmp:
+            procs = []
+            for pid in range(2):
+                env = dict(os.environ)
+                env.update(
+                    PYCTC_COORDINATOR=f"localhost:{port}",
+                    PYCTC_NUM_PROCESSES="2",
+                    PYCTC_PROCESS_ID=str(pid),
+                )
+                env.pop("JAX_PLATFORMS", None)
+                procs.append(
+                    subprocess.Popen(
+                        [_sys.executable, worker, os.path.join(tmp, f"{pid}.json")],
+                        env=env,
+                        stdout=subprocess.PIPE,
+                        stderr=subprocess.STDOUT,
+                    )
+                )
+            outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+            for p, out in zip(procs, outs):
+                self.assertEqual(p.returncode, 0, out[-3000:])
+            shards = []
+            for pid in range(2):
+                with open(os.path.join(tmp, f"{pid}.json")) as fh:
+                    shards.append(json.load(fh))
+
+        # same global batch the workers built
+        rng = np.random.RandomState(11)
+        labels = [" ", "b", "g", "n", "s", "u", "y", ""]
+        batch = [
+            np.log(
+                rng.dirichlet(np.ones(len(labels)) * 0.35, size=t).astype(
+                    np.float32
+                )
+            )
+            for t in (17, 9, 23, 12, 20, 7)
+        ]
+        from pyctcdecode_tpu.models.language_model import (
+            LanguageModel as _LM,
+        )
+
+        dec = TPUBeamSearchDecoderCTC(
+            Alphabet.build_alphabet(labels),
+            _LM(NGramModel.from_file(ARPA), ["bugs", "bunny"]),
+        )
+        want = dec.decode_beams_batch(batch, beam_width=12, top_n=3)
+
+        covered = []
+        for shard in shards:
+            self.assertEqual(
+                shard["stop"] - shard["start"], len(shard["beams"])
+            )
+            for g, got in zip(
+                range(shard["start"], shard["stop"]), shard["beams"]
+            ):
+                covered.append(g)
+                ref = want[g]
+                self.assertEqual(
+                    [b["text"] for b in got], [b.text for b in ref]
+                )
+                for bg, br in zip(got, ref):
+                    self.assertAlmostEqual(
+                        bg["lm_score"], br.lm_score, places=4
+                    )
+        self.assertEqual(sorted(covered), list(range(len(batch))))
+
+
 class TestGraftEntry(unittest.TestCase):
     def test_entry_compiles(self):
         import jax
