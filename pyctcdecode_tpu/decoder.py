@@ -38,8 +38,9 @@ import functools
 import logging
 import math
 import multiprocessing as mp
-import os
 from multiprocessing.pool import Pool
+
+import os
 from pathlib import Path
 from typing import (
     Any,

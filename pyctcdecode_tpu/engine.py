@@ -133,11 +133,11 @@ def _normalize_members(
 
 
 def build_table_args(
-    jnp,
+    jnp: "object",
     tokens: TokenArrays,
     device_lms: Union[None, DeviceLM, Sequence[DeviceLM]],
     shard: Optional[Tuple[str, int]] = None,
-):
+) -> Dict:
     """Device arrays passed as *runtime inputs* to the compiled decode.
 
     Embedding multi-hundred-MB LM tables as HLO constants bloats the
@@ -1054,7 +1054,7 @@ def make_decode_fn(
     tokens: TokenArrays,
     device_lms: Union[None, DeviceLM, Sequence[DeviceLM]],
     shard: Optional[Tuple[str, int]] = None,
-):
+) -> "object":
     """Build the jittable one-utterance decode function.
 
     ``fn(logp [T,V] f32, n_frames i32, params f32 vector, start (per-member
@@ -1128,7 +1128,7 @@ def make_segment_decode_fns(
     tokens: TokenArrays,
     device_lms: Union[None, DeviceLM, Sequence[DeviceLM]],
     seg_frames: int,
-):
+) -> Tuple:
     """Build the segmented (host-dispatched, loop-free) decode programs.
 
     XLA lowers gathers that sit inside a ``while`` body to a scalar path
@@ -1217,7 +1217,7 @@ def make_stream_fns(
     cfg: EngineConfig,
     tokens: TokenArrays,
     device_lms: Union[None, DeviceLM, Sequence[DeviceLM]],
-):
+) -> Tuple:
     """Build streaming primitives with a device-resident carried state.
 
     Returns ``(init_fn, chunk_fn, finalize_fn)``:

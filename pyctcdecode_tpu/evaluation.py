@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -107,11 +107,11 @@ def _decode_all(decoder, corpus: Corpus, beam_width: int, **kwargs) -> List[str]
 
 
 def evaluate_corpus(
-    decoder,
+    decoder: "object",
     corpus: Corpus,
     beam_width: int = 100,
     warmup: bool = True,
-    **decode_kwargs,
+    **decode_kwargs: "object",
 ) -> Dict:
     """Decode a corpus and report WER + decoded audio-seconds per second.
 
@@ -137,11 +137,11 @@ def evaluate_corpus(
 
 
 def compare_engines(
-    host_decoder,
-    device_decoder,
+    host_decoder: "object",
+    device_decoder: "object",
     corpus: Corpus,
     beam_width: int = 100,
-    **decode_kwargs,
+    **decode_kwargs: "object",
 ) -> Dict:
     """Decode the same corpus on both engines at matched parameters.
 

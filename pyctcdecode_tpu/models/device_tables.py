@@ -33,7 +33,7 @@ shape-static, safe under ``jit``/``scan``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -41,7 +41,6 @@ from ..ops.hashing import (
     fnv1a,
     fnv1a_seeded,
     kenlm_chain,
-    kenlm_chain_host,
     mix32_pair,
 )
 from ..ops.tokens import TokenArrays
@@ -317,7 +316,7 @@ def build_fp_table_from_hashes(
     return _assemble_fp(base_full, lanes, probs, backoffs, n, "kenlm")
 
 
-def probe_fp_host(table: FPTable, keys: np.ndarray):
+def probe_fp_host(table: FPTable, keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized numpy mirror of the device probe (build/host-state path).
 
     Same two-step scheme as the device: the first fp_lo match in the window
@@ -362,7 +361,7 @@ def build_unigram_array(
     return uni
 
 
-def context_suffix_backoffs(dlm: "DeviceLM", ctx) -> np.ndarray:
+def context_suffix_backoffs(dlm: "DeviceLM", ctx: "object") -> np.ndarray:
     """Backoff weights of every suffix of ``ctx`` (right-aligned, 0 absent)."""
     width = max(dlm.order - 1, 1)
     out = np.zeros(width, dtype=np.float32)
@@ -442,7 +441,7 @@ def _query_hashes(xp, tab: Dict, query):
     return h, lo, hi
 
 
-def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object"):
+def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object") -> Tuple:
     """Probe one order's table on device: salted-byte prefilter + confirm.
 
     ``tab_dev``: {"win": i32 [size, 2] (packed salt + salted fingerprint
@@ -609,7 +608,7 @@ class _TrieBuilder:
 
 def build_vocab_trie(
     vocab: Dict[str, int],
-    unigram_set,
+    unigram_set: "object",
     char2id: Dict[str, int],
     unk_id: int,
 ) -> PackedTrie:
@@ -846,7 +845,7 @@ def build_device_lm(language_model: LanguageModel, tokens: TokenArrays) -> Devic
 
 
 def build_hotword_tables(
-    hotword_unigrams,
+    hotword_unigrams: "object",
     char2id: Dict[str, int],
     tokens: TokenArrays,
     min_nodes: int = 8,
@@ -915,7 +914,7 @@ def lm_score_words_jnp(
     ctx_len: "object",
     wid: "object",
     ctx_backoffs: "object" = None,
-):
+) -> Tuple:
     """Batched KenLM-``BaseScore``-equivalent on device.
 
     ``ctx``: int32 ``[Q, order-1]`` right-aligned (-1 pad), ``ctx_len [Q]``,

@@ -48,7 +48,6 @@ Layout (little-endian; offsets follow kenlm ``lm/binary_format.cc``,
 from __future__ import annotations
 
 import logging
-import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -178,7 +177,7 @@ def _insert_probing(table: np.ndarray, keys: np.ndarray, payload) -> None:
 
 
 def write_kenlm_binary(
-    tables, path: str, probing_multiplier: float = 1.5
+    tables: "object", path: str, probing_multiplier: float = 1.5
 ) -> None:
     """Serialize :class:`~.ngram.NGramTables` as a KenLM PROBING binary.
 
@@ -318,6 +317,7 @@ class KenLMTables:
         return float(score), out_state
 
     def begin_sentence_state(self) -> Tuple[int, ...]:
+        """KenLM BeginSentenceState analog: <s> context."""
         bos = self.vocab.get(BOS_WORD)
         return (bos,) if bos is not None else ()
 

@@ -12,7 +12,7 @@ import logging
 import os
 from typing import List, Optional, Tuple
 
-from .ngram import BOS_WORD, EOS_WORD, UNK_WORD
+from .ngram import EOS_WORD, UNK_WORD
 
 logger = logging.getLogger(__name__)
 
@@ -30,7 +30,7 @@ class NativeNGramModel:
         return cls(NativeNGram(path))
 
     @property
-    def native(self):
+    def native(self) -> "object":
         return self._native
 
     @property
@@ -78,7 +78,7 @@ class NativeNGramModel:
         return [vocab[i] if 0 <= i < len(vocab) else UNK_WORD for i in state]
 
 
-def open_ngram_file(path: str, backend: str = "auto"):
+def open_ngram_file(path: str, backend: str = "auto") -> "object":
     """Factory: open an n-gram model with the best available backend.
 
     ``backend``: ``"auto"`` (native for ARPA when the toolchain is present),

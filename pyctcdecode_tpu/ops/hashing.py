@@ -21,6 +21,8 @@ slots can never merge with live hypotheses.
 """
 from __future__ import annotations
 
+from typing import Any, Optional, Tuple
+
 import numpy as np
 
 # FNV-1a (32 bit)
@@ -43,7 +45,7 @@ def _u32(xp, v):
     return xp.asarray(v, dtype=xp.uint32)
 
 
-def fnv1a(xp, ids, valid_len=None):
+def fnv1a(xp: Any, ids: Any, valid_len: Optional[Any] = None) -> Any:
     """FNV-1a over the trailing dimension of an int array.
 
     ``ids``: integer array ``[..., n]``. When ``valid_len`` (broadcastable
@@ -65,7 +67,7 @@ def fnv1a(xp, ids, valid_len=None):
     return h
 
 
-def fnv1a_seeded(xp, ids, seed):
+def fnv1a_seeded(xp: Any, ids: Any, seed: Any) -> Any:
     """FNV-1a over the trailing dimension with a caller-supplied offset basis.
 
     Used for the n-gram tables' fingerprint lanes: the probe-slot hash and
@@ -85,7 +87,7 @@ def fnv1a_seeded(xp, ids, seed):
     return h
 
 
-def hash_extend_char(xp, h_lo, h_hi, char_id):
+def hash_extend_char(xp: Any, h_lo: Any, h_hi: Any, char_id: Any) -> Tuple[Any, Any]:
     """Fold one character id into a partial-word hash pair."""
     c = char_id.astype(xp.uint32) if hasattr(char_id, "astype") else _u32(xp, char_id)
     one = _u32(xp, 1)
@@ -94,7 +96,7 @@ def hash_extend_char(xp, h_lo, h_hi, char_id):
     return lo, hi
 
 
-def hash_string(prefix: str, char2id) -> tuple:
+def hash_string(prefix: str, char2id: Any) -> tuple:
     """Host helper: hash a full string through the char lanes (numpy)."""
     lo = np.uint32(0)
     hi = np.uint32(0)
@@ -104,7 +106,7 @@ def hash_string(prefix: str, char2id) -> tuple:
     return lo, hi
 
 
-def hash_text_commit(xp, t_lo, t_hi, w_lo, w_hi):
+def hash_text_commit(xp: Any, t_lo: Any, t_hi: Any, w_lo: Any, w_hi: Any) -> Tuple[Any, Any]:
     """Fold a committed word's hash pair into the text hash pair."""
     salt = _u32(xp, TXT_SALT)
     lo = t_lo * _u32(xp, TXT_A) + (w_lo ^ salt)
@@ -170,7 +172,7 @@ def kenlm_chain_host(keys: "np.ndarray") -> "np.ndarray":
     return h
 
 
-def umul32_wide(xp, a, b):
+def umul32_wide(xp: Any, a: Any, b: Any) -> Tuple[Any, Any]:
     """Full 32x32 -> 64 unsigned multiply as a (lo, hi) u32 pair."""
     mask = _u32(xp, 0xFFFF)
     a0 = a & mask
@@ -194,7 +196,7 @@ def _mul64_by_const(xp, lo, hi, c_lo: int, c_hi: int):
     return p_lo, p_hi
 
 
-def kenlm_chain(xp, keys):
+def kenlm_chain(xp: Any, keys: Any) -> Tuple[Any, Any]:
     """KenLM n-gram hash over id rows ``[..., n]`` as a (lo, hi) u32 pair.
 
     Bit-identical to :func:`kenlm_chain_host`; written in u32 lanes so it
@@ -217,7 +219,7 @@ def kenlm_chain(xp, keys):
     return h_lo, h_hi
 
 
-def mix32_pair(xp, lo, hi, seed):
+def mix32_pair(xp: Any, lo: Any, hi: Any, seed: Any) -> Any:
     """Seeded 32-bit mix of a u32 hash pair (murmur3 finalizer core).
 
     KenLM-keyed probe tables derive their base slot and both fingerprint

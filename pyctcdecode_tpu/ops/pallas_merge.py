@@ -32,6 +32,8 @@ phase in so candidate fields never round-trip HBM.
 """
 from __future__ import annotations
 
+from typing import Tuple
+
 import numpy as np
 
 DEAD = -1.0e30
@@ -116,8 +118,16 @@ def _kernel(kl_ref, kh_ref, valid_ref, logit_ref, extra_ref, prune_ref,
     src_ref[:] = sr
 
 
-def merge_rank_pallas(kl, kh, valid, logit, extra, beam_prune_logp, n_out,
-                      interpret=False):
+def merge_rank_pallas(
+    kl: "object",
+    kh: "object",
+    valid: "object",
+    logit: "object",
+    extra: "object",
+    beam_prune_logp: "object",
+    n_out: int,
+    interpret: bool = False,
+) -> Tuple:
     """Fused merge+rank for one utterance.
 
     ``kl/kh`` uint32 ``[K, B]`` (pre-mixed beam keys), ``valid``/``logit``/

@@ -40,7 +40,7 @@ from ..tpu_decoder import (
 logger = logging.getLogger(__name__)
 
 
-def make_data_mesh(n_devices: Optional[int] = None, axis: str = "data"):
+def make_data_mesh(n_devices: Optional[int] = None, axis: str = "data") -> "object":
     """1-D device mesh over the first ``n_devices`` (default: all) devices."""
     import jax
     from jax.sharding import Mesh
@@ -51,7 +51,7 @@ def make_data_mesh(n_devices: Optional[int] = None, axis: str = "data"):
     return Mesh(np.array(devices), (axis,))
 
 
-def all_reduce_counts(mesh, per_shard_counts: np.ndarray, axis: str = "data") -> np.ndarray:
+def all_reduce_counts(mesh: "object", per_shard_counts: np.ndarray, axis: str = "data") -> np.ndarray:
     """``psum`` per-shard integer counters (e.g. WER edits/words) over a mesh.
 
     ``per_shard_counts``: ``[n_devices, m]`` — row *i* holds shard *i*'s local
@@ -127,7 +127,7 @@ class ShardedCTCDecoder:
             self._tabs = decoder._tabs
 
     @property
-    def mesh(self):
+    def mesh(self) -> "object":
         return self._mesh
 
     @property
@@ -208,7 +208,7 @@ class ShardedCTCDecoder:
         beam_prune_logp: float = DEFAULT_PRUNE_LOGP,
         token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP,
         prune_history: bool = DEFAULT_PRUNE_BEAMS,
-        hotwords=None,
+        hotwords: "object" = None,
         hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
         max_tokens_per_frame: Optional[int] = None,
         top_n: Optional[int] = None,
@@ -278,7 +278,7 @@ class ShardedCTCDecoder:
         prune_history: bool = DEFAULT_PRUNE_BEAMS,
         max_tokens_per_frame: Optional[int] = None,
         top_n: Optional[int] = None,
-    ):
+    ) -> "object":
         """SPMD decode across a multi-process (multi-host) global mesh.
 
         Every process passes the same ``global_logits_list`` (the usual JAX
@@ -379,7 +379,7 @@ class ShardedCTCDecoder:
         beam_width: int = DEFAULT_BEAM_WIDTH,
         beam_prune_logp: float = DEFAULT_PRUNE_LOGP,
         token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP,
-        hotwords=None,
+        hotwords: "object" = None,
         hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
         max_tokens_per_frame: Optional[int] = None,
     ) -> List[str]:

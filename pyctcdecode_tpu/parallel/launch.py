@@ -99,7 +99,7 @@ def process_shard(n_items: int) -> Tuple[int, int]:
     return start, min(start + per, n_items)
 
 
-def local_batch(global_batch: Sequence, pad_to_multiple: bool = True):
+def local_batch(global_batch: Sequence, pad_to_multiple: bool = True) -> "object":
     """Slice a host-resident global batch down to this process's shard.
 
     Every process must pass the same ``global_batch`` ordering. With

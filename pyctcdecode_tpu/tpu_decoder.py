@@ -16,12 +16,11 @@ utterance lengths reuse a small set of executables. All float knobs
 """
 from __future__ import annotations
 
+import dataclasses
 import logging
 from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
-
-import dataclasses
 
 from .alphabet import BPE_TOKEN, Alphabet
 from .constants import (
@@ -1084,7 +1083,7 @@ class TPUBeamSearchDecoderCTC:
             self._lm.save_to_dir(lm_path)
 
     @staticmethod
-    def parse_directory_contents(filepath: str):
+    def parse_directory_contents(filepath: str) -> "object":
         """Validate a serialized-decoder directory layout (host-compatible)."""
         from .decoder import BeamSearchDecoderCTC as _Host
 

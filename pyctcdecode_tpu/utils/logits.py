@@ -39,7 +39,7 @@ def normalize_to_logp(logits: np.ndarray) -> np.ndarray:
     return np.clip(log_softmax_np(logits, axis=1), math.log(MIN_TOKEN_CLIP_P), 0)
 
 
-def normalize_to_logp_jnp(logits, assume: str = "auto"):
+def normalize_to_logp_jnp(logits: "object", assume: str = "auto") -> "object":
     """jnp twin of :func:`normalize_to_logp`.
 
     ``assume`` may be ``"auto"`` (traced sniff via ``jnp.where``), ``"probs"``,

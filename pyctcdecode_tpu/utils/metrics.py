@@ -12,7 +12,7 @@ For multi-host evaluation, :func:`wer_numerator_denominator` returns the raw
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 
 def edit_distance(ref: Sequence, hyp: Sequence) -> int:

@@ -88,7 +88,7 @@ class CharTrie:
             return 0
         return node.min_depth
 
-    def iter_prefixes_of_keys(self):
+    def iter_prefixes_of_keys(self) -> "object":
         """Yield every proper-or-full prefix string of every key once.
 
         Used to build the flat device-side prefix hash set. Yields

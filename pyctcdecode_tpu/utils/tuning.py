@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import Iterable, List, Sequence, Tuple
 
 import numpy as np
 
@@ -30,13 +30,13 @@ class GridPoint:
 
 
 def grid_search_alpha_beta(
-    decoder,
+    decoder: "object",
     logits_list: Sequence[np.ndarray],
     references: Sequence[str],
     alphas: Iterable[float] = (0.5, 0.6, 0.7, 0.8),
     betas: Iterable[float] = (1.0, 2.0, 3.0, 4.0),
     beam_width: int = 50,
-    **decode_kwargs,
+    **decode_kwargs: "object",
 ) -> Tuple[GridPoint, List[GridPoint]]:
     """Sweep (alpha, beta), returning the best point and the full grid.
 

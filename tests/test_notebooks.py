@@ -28,6 +28,14 @@ class TestNotebooks(unittest.TestCase):
         """tutorials/01_tpu_batch_and_sharding.ipynb runs end-to-end."""
         self._run("01_tpu_batch_and_sharding.ipynb")
 
+    def test_pipeline_huggingface_executes(self):
+        """tutorials/02_pipeline_huggingface.ipynb runs end-to-end."""
+        self._run("02_pipeline_huggingface.ipynb")
+
+    def test_eval_performance_executes(self):
+        """tutorials/03_eval_performance.ipynb runs end-to-end."""
+        self._run("03_eval_performance.ipynb")
+
 
 if __name__ == "__main__":
     unittest.main()
