@@ -145,12 +145,12 @@ def build_table_args(
     array rides as an argument; only shape-relevant scalars stay static
     (see :func:`build_table_meta`). Build once per decoder and reuse.
 
-    ``shard=(axis_name, n_shards)`` row-shards each n-gram table's slot
-    planes for a mesh whose HBM cannot hold the whole LM: ``win`` becomes
-    ``[n_shards, size/n, P]`` and ``slots`` ``[n_shards, size/n + P, 4]``
-    (P-row halo so windows never cross shards), to be fed through
-    ``shard_map`` with the leading axis partitioned. Sharded planes stay
-    as numpy so jit places each block directly on its shard's device.
+    ``shard=(axis_name, n_shards)`` row-shards each n-gram table's bucket
+    plane for a mesh whose HBM cannot hold the whole LM: ``bucket``
+    becomes ``[n_shards, size/n_shards, 128]`` (bucketized placement means
+    no halo is needed), to be fed through ``shard_map`` with the leading
+    axis partitioned. Sharded planes stay as numpy so jit places each
+    block directly on its shard's device.
     """
     tok = {
         "kind": jnp.asarray(tokens.kind),
@@ -167,8 +167,7 @@ def build_table_args(
         if shard is None:
             fp = [
                 {
-                    "win": t["win"],
-                    "slots": t["slots"],
+                    "bucket": t["bucket"],
                     "seed_lo": t["seed_lo"],
                     "seed_hi": t["seed_hi"],
                 }
@@ -185,20 +184,10 @@ def build_table_args(
                         "of two no larger than the smallest table"
                     )
                 rows = t.size // n_shards
-                p = t.max_probes
                 fp.append(
                     {
-                        "win": np.stack(
-                            [
-                                t.windows[d * rows : (d + 1) * rows]
-                                for d in range(n_shards)
-                            ]
-                        ),
-                        "slots": np.stack(
-                            [
-                                t.slots[d * rows : (d + 1) * rows + p]
-                                for d in range(n_shards)
-                            ]
+                        "bucket": t.bucket.reshape(
+                            n_shards, rows, t.bucket.shape[1]
                         ),
                         "seed_lo": jnp.uint32(t.seed_lo),
                         "seed_hi": jnp.uint32(t.seed_hi),
@@ -206,7 +195,7 @@ def build_table_args(
                 )
         lms.append(
             {
-                "trie_next": dev["trie_next"],
+                "trie_rows": dev["trie_rows"],
                 "trie_word_id": dev["trie_word_id"],
                 "seed_node_arr": dev["seed_node"],
                 "uni": dev["uni"],
@@ -233,7 +222,6 @@ def build_table_meta(
         for t in dlm.fp_tables:
             one = {
                 "size": t.size,
-                "max_probes": t.max_probes,
                 "hash_mode": t.hash_mode,
             }
             if shard is not None:
@@ -339,16 +327,18 @@ def _init_state(jnp, cfg: EngineConfig, start):
     return state
 
 
-def _member_word_score(jnp, dev, lm_prm, order, node, flags, ctx, ctx_len, ctx_bo):
+def _member_word_score(jnp, dev, lm_prm, order, trie_row, flags, ctx, ctx_len, ctx_bo):
     """One member's fused word score + new context for a committed partial.
 
     ``flags`` are the node's packed entry bits carried on the beam, so OOV
-    and vocab-membership checks cost no gathers; only the word id itself is
-    fetched (one [B] gather). ``ctx_bo`` carries the context's suffix
-    backoffs, halving probe volume (see lm_score_words_jnp).
+    and vocab-membership checks cost no gathers; the word id rides in the
+    last column of ``trie_row`` (the per-beam trie row the step already
+    gathers for the child walk), so commit scoring adds no gather at all.
+    ``ctx_bo`` carries the context's suffix backoffs, halving probe volume
+    (see lm_score_words_jnp).
     """
     in_model = (flags & _BIT_IN_VOCAB) != 0
-    wid = jnp.where(in_model, dev["trie_word_id"][node], dev["unk_id"])
+    wid = jnp.where(in_model, trie_row[:, -1], dev["unk_id"])
     in_uni = (flags & _BIT_UNI_WORD) != 0
     is_oov = (dev["has_unigrams"] & ~in_uni) | ~in_model
     raw10, new_ctx, new_ctx_len, new_bo = lm_score_words_jnp(
@@ -360,9 +350,15 @@ def _member_word_score(jnp, dev, lm_prm, order, node, flags, ctx, ctx_len, ctx_b
 
 
 def _commit_quantities(
-    jnp, cfg: EngineConfig, devs: List[Dict], hot: Dict, prm: Dict, state: Dict
+    jnp, cfg: EngineConfig, devs: List[Dict], hot: Dict, prm: Dict, state: Dict,
+    trie_rows: Optional[List] = None,
 ):
-    """Per-beam word-commit effects (LM scores, contexts, text hash, hotwords)."""
+    """Per-beam word-commit effects (LM scores, contexts, text hash, hotwords).
+
+    ``trie_rows`` passes each member's pre-gathered ``[B, W]`` trie rows
+    (the step shares one gather between the child walk and the word-id
+    read); when absent they are gathered here.
+    """
     commit = state["p_len"] > 0
     if cfg.use_hotwords:
         # full-word hotword boost at commit (ref language_model.py:137-139:
@@ -392,12 +388,17 @@ def _commit_quantities(
     }
     fused_sum = jnp.zeros_like(state["fused"])
     for i, (dev, order) in enumerate(zip(devs, cfg.lm_orders)):
+        row_i = (
+            trie_rows[i]
+            if trie_rows is not None
+            else dev["trie_rows"][state[f"p_node{i}"]]
+        )
         fused_i, new_ctx, new_ctx_len, new_bo = _member_word_score(
             jnp,
             dev,
             prm["lm"][i],
             order,
-            state[f"p_node{i}"],
+            row_i,
             state[f"p_flags{i}"],
             state[f"ctx{i}"],
             state[f"ctx_len{i}"],
@@ -617,7 +618,12 @@ def _make_step(
         tok_rlen = tok_dev["raw_len"][toks]  # raw label length
 
         alive = state["logit"] > DEAD_THRESH
-        cm = _commit_quantities(jnp, cfg, devs, hot, prm, state)
+        trie_rows_b = [
+            devs[i]["trie_rows"][state[f"p_node{i}"]] for i in range(n_lms)
+        ]
+        cm = _commit_quantities(
+            jnp, cfg, devs, hot, prm, state, trie_rows=trie_rows_b
+        )
 
         # ---- transition classes [B, K]
         stay = blank[None, :] | (state["last_tok"][:, None] == toks[None, :])
@@ -653,7 +659,7 @@ def _make_step(
             ext_lo = jnp.where(has, nlo, ext_lo)
             ext_hi = jnp.where(has, nhi, ext_hi)
             for i in range(n_lms):
-                rows = devs[i]["trie_next"][state[f"p_node{i}"]]  # [B, C]
+                rows = trie_rows_b[i]  # [B, W] (shared with commit scoring)
                 ext_entries[i] = jnp.where(has, rows[:, cid_safe], ext_entries[i])
             if cfg.use_hotwords:
                 hrows = hot["next"][state["h_node"]]  # [B, C]
@@ -669,7 +675,7 @@ def _make_step(
                 for i in range(n_lms):
                     ext_entries[i] = jnp.where(
                         has,
-                        devs[i]["trie_next"][ext_entries[i] & _NODE_MASK, cid_b],
+                        devs[i]["trie_rows"][ext_entries[i] & _NODE_MASK, cid_b],
                         ext_entries[i],
                     )
                 if cfg.use_hotwords:

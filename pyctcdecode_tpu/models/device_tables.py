@@ -5,16 +5,16 @@ The reference scores beams through per-word C++ callbacks into KenLM
 word, so this module compiles the same model into flat arrays probed
 on-device with gathers:
 
-* **n-gram tables** — one ordered-linear-probing table per order n >= 2,
-  stored in a *window-row* layout: row ``s`` holds slots ``s..s+P-1``
-  packed as ``(fp_lo, fp_hi, prob, backoff)`` int32 quadruples, so one
-  row-gather per query fetches the entire probe window. TPU gather cost is
-  dominated by gathered *row count* (measured ~14-40 ns/row almost
-  independent of width), so this layout beats per-slot fetches by the
-  window width. Keys are matched by 64-bit fingerprint (KenLM's probing
-  format accepts the same hashed-key risk); build-time detection of
-  in-window fingerprint collisions reseeds the lanes, so every key that IS
-  in the table always resolves to its own value.
+* **n-gram tables** — one bucketized hash table per order n >= 2: 32
+  slots per bucket, a bucket row packed as 128 i32 words (struct-of-arrays:
+  32x fp_lo, 32x fp_hi, 32x prob, 32x backoff). A probe is ONE 512-byte
+  row-gather — TPU gather cost is per-row and the emitter's vectorized
+  row-copy path makes a 128-word row CHEAPER (~8.5 ns) than a 2-word row
+  (~10 ns; measured, scripts/gather_cost_model.py) — followed by in-register
+  fingerprint compares. Keys are matched by 64-bit fingerprint (KenLM's
+  probing format accepts the same hashed-key risk); build-time reseeding
+  keeps residents of every bucket fingerprint-distinct, so every key that
+  IS in the table always resolves to its own value.
 * **unigrams** — a dense ``[vocab, 4]`` array indexed by word id directly
   (no hashing at all for order-1 probes).
 * **vocab trie** — a packed character trie over the LM vocabulary plus the
@@ -25,8 +25,8 @@ on-device with gathers:
   word's LM id", "is it in the unigram set / the LM vocab"
   (OOV rule, ref ``language_model.py:349-353``).
 
-Everything is built host-side as numpy (fully vectorized — ordered linear
-probing placement is a ``maximum.accumulate`` over base-sorted entries) and
+Everything is built host-side as numpy (fully vectorized — bucket slot
+assignment is a ``searchsorted`` rank over base-sorted entries) and
 moved to device once per model; lookup functions are pure jnp and
 shape-static, safe under ``jit``/``scan``.
 """
@@ -48,7 +48,6 @@ from .language_model import LanguageModel
 from .ngram import BOS_WORD, EOS_WORD, NGramTables
 
 _MIN_TABLE = 8
-_LOAD_FACTOR = 0.5
 
 # packed hotword-trie entry layout: child node (20 bits), shortest-completion
 # length (10 bits, saturating), is-hotword-terminal (bit 30)
@@ -61,37 +60,45 @@ HOT_WORD_BIT = 1 << 30
 # --------------------------------------------------------------------------
 # n-gram fingerprint tables (orders >= 2) + dense unigram array
 # --------------------------------------------------------------------------
-_FP_EMPTY = np.uint32(0xFFFFFFFF)  # fp_hi sentinel marking an empty slot
-_MAX_WINDOW = 7  # grow the table instead of letting windows get wider;
-# 7 lanes + the window's salt byte pack into exactly two i32 words
-_SALT_MIX = 0x9E3779B1  # odd multiplier family for per-window byte salts
+_FP_EMPTY = np.uint32(0xFFFFFFFF)  # fp_lo sentinel marking an empty slot
 _FP_SEED_LO = 0x811C9DC5 ^ 0x5BD1E995
 _FP_SEED_HI = 0x811C9DC5 ^ 0xC2B2AE35
 
 
+# slots per bucket. One bucket row is 4 * _BUCKET_SLOTS i32 words; at >=64
+# words (256 B) the TPU gather emitter switches to a vectorized row copy and
+# whole-row fetches get CHEAPER than narrow ones (measured 8.5 ns/row at 128
+# words vs ~36 ns/row at 32, scripts/gather_cost_model.py) — so a single
+# 512-byte gather answers a probe with no prefilter and no dependent second
+# fetch, and the deeper bucket lets the table run at load factor ~1/3.
+_BUCKET_SLOTS = 32
+_BUCKET_WIDTH = 4 * _BUCKET_SLOTS
+
+
 @dataclasses.dataclass
 class FPTable:
-    """One order's probe table in the prefilter + confirm device layout."""
+    """One order's probe table in the single-gather bucket layout.
+
+    Entries live in the bucket their base hash selects — never elsewhere —
+    so a probe is: gather ``bucket[h & (size-1)]`` (one [128]-word row),
+    compare the query's 64-bit fingerprint against all 32 resident
+    fingerprints in-register, and read the matching slot's (prob, backoff).
+    The build grows ``size`` until no bucket holds more than 32 entries and
+    reseeds the fingerprint lanes until residents of every bucket are
+    pairwise distinct, so present keys always resolve exactly.
+    """
 
     n: int  # key width (the order)
-    size: int  # base slot count, power of two
-    max_probes: int  # window width P (max displacement + 1)
+    size: int  # bucket count, power of two
     seed_lo: int  # fingerprint lane seeds (reseeded on build-time collision)
     seed_hi: int
     count: int
-    # padded flat slot planes [size + P] (host probing + window construction)
-    fp_lo: np.ndarray  # u32, _FP_EMPTY = vacant
-    fp_hi: np.ndarray  # u32
-    prob: np.ndarray  # f32
-    backoff: np.ndarray  # f32
-    # i32 [size, 2] — row s packs a per-window salt byte plus the salted
-    # fingerprint byte of slots s..s+6 (see _pack_windows); the device
-    # prefilter gathers 2 elements per probe instead of P u32 lanes
-    windows: np.ndarray
-    slots: np.ndarray  # i32 [size + P, 4] — (fp_lo, fp_hi, prob, backoff)
+    # i32 [size, 128]: columns [0:32) fp_lo (u32 bits, _FP_EMPTY = vacant),
+    # [32:64) fp_hi, [64:96) prob (f32 bits), [96:128) backoff (f32 bits)
+    bucket: np.ndarray
     # "fnv": keys are id tuples hashed with seeded FNV lanes (ARPA/.ctclm
     # models). "kenlm": entries came from a KenLM PROBING binary, which
-    # stores only each n-gram's 64-bit chain hash — base slot and both
+    # stores only each n-gram's 64-bit chain hash — bucket index and both
     # fingerprint lanes are seeded mixes of that hash pair, and the probe
     # recomputes the chain from the query ids (models/kenlm_bin.py).
     hash_mode: str = "fnv"
@@ -106,163 +113,83 @@ def _fp_lanes(keys: np.ndarray, seed_lo: int, seed_hi: int):
     return lo, hi
 
 
-def _pack_windows(fp_lo: np.ndarray, size: int, p: int):
-    """Pack window rows as one salt byte + 7 salted fingerprint bytes.
-
-    For each window (base slot) ``s``, find a salt such that the occupied
-    slots of ``s..s+6`` map to pairwise-distinct bytes under
-    ``byte(x) = ((x * C(salt)) >> 24) & 0xFF`` with
-    ``C(salt) = (2*salt+1) * _SALT_MIX`` (odd multiplier, bijective on
-    u32). Selection by first byte match is then *exact* for present keys:
-    ordered linear probing guarantees every slot before a resident's
-    displacement is occupied, occupied bytes are distinct, and empty slots
-    only trail residents — so the first matching lane is the resident's.
-    Absent keys may select any lane; the full 64-bit confirm on the slot
-    row rejects them.
-
-    Returns ``None`` when some window has no working salt (only possible
-    if two occupied slots of a window share full ``fp_lo``; the caller
-    reseeds the fingerprint lanes and retries).
-    """
-    occ = fp_lo != _FP_EMPTY  # [size + p]
-    salts = np.zeros(size, dtype=np.uint32)
-    pending = None  # None = every window (first pass runs on slices)
-    for s in range(256):
-        c = np.uint32(((2 * s + 1) * _SALT_MIX) & 0xFFFFFFFF)
-        b = ((fp_lo * c) >> np.uint32(24)).astype(np.uint8)
-        if pending is None:
-            bad = np.zeros(size, dtype=bool)
-            for d1 in range(p):
-                o1 = occ[d1 : d1 + size]
-                b1 = b[d1 : d1 + size]
-                for d2 in range(d1 + 1, p):
-                    bad |= o1 & occ[d2 : d2 + size] & (b1 == b[d2 : d2 + size])
-            pending = np.flatnonzero(bad)
-        else:
-            bad = np.zeros(len(pending), dtype=bool)
-            for d1 in range(p):
-                o1 = occ[pending + d1]
-                b1 = b[pending + d1]
-                for d2 in range(d1 + 1, p):
-                    bad |= o1 & occ[pending + d2] & (b1 == b[pending + d2])
-            salts[pending[~bad]] = s
-            pending = pending[bad]
-        if len(pending) == 0:
-            break
-    else:
-        return None
-    cs = ((salts << np.uint32(1)) | np.uint32(1)) * np.uint32(_SALT_MIX)
-    lanes = []
-    for d in range(7):
-        if d < p:
-            lanes.append(
-                ((fp_lo[d : d + size] * cs) >> np.uint32(24)) & np.uint32(0xFF)
-            )
-        else:
-            lanes.append(np.zeros(size, dtype=np.uint32))
-    w0 = salts | (lanes[0] << 8) | (lanes[1] << 16) | (lanes[2] << 24)
-    w1 = lanes[3] | (lanes[4] << 8) | (lanes[5] << 16) | (lanes[6] << 24)
-    return np.stack([w0, w1], axis=1).view(np.int32)
-
-
 def _assemble_fp(
     base_full: np.ndarray,
-    lane_fn,
+    lane_fn: "object",
     probs: np.ndarray,
     backoffs: np.ndarray,
     n: int,
     hash_mode: str,
 ) -> FPTable:
-    """Place entries with vectorized ordered linear probing and pack planes.
+    """Place entries into 32-slot buckets and pack the device plane.
 
-    Ordered (base-sorted) placement gives the same worst-case displacement
-    as robin-hood insertion and vectorizes: after sorting entries by base
-    slot, ``slot_i = i + cummax(base_i - i)``. Probing is non-circular —
-    the slot planes carry a P-slot tail pad — so windows are plain
-    contiguous ranges. The table grows until every displacement fits the
-    window cap; fingerprint lanes (``lane_fn(seed_lo, seed_hi)`` in entry
-    order) reseed until no two residents of any window share a fingerprint
-    and every window admits a salt with distinct resident bytes (lookups
-    of present keys are then exact, see :func:`_pack_windows`).
+    Bucketized placement (no probing across buckets): entry *e* lives in
+    bucket ``base_full[e] & (size - 1)``, at any free slot. The bucket
+    count doubles until the fullest bucket fits (Poisson tails make this
+    terminate near load factor ~1/3 with 32-slot buckets), then the
+    fingerprint lanes (``lane_fn(seed_lo, seed_hi)``) reseed until no two
+    residents of a bucket share a full 64-bit fingerprint — lookups of
+    present keys are then exact, and the masked-sum readout touches at
+    most one slot.
     """
     count = len(base_full)
     probs = np.asarray(probs, dtype=np.float32)
     backoffs = np.asarray(backoffs, dtype=np.float32)
     size = _MIN_TABLE
-    while size * _LOAD_FACTOR < max(count, 1):
+    while size * 12 < count:
         size *= 2
     while True:
+        base = (base_full & np.uint32(size - 1)).astype(np.int64)
         if count:
-            base = (base_full & np.uint32(size - 1)).astype(np.int64)
-            order_idx = np.argsort(base, kind="stable")
-            sb = base[order_idx]
-            arange = np.arange(count, dtype=np.int64)
-            slots = arange + np.maximum.accumulate(sb - arange)
-            disp_max = int((slots - sb).max())
-        else:
-            order_idx = np.empty(0, dtype=np.int64)
-            slots = np.empty(0, dtype=np.int64)
-            disp_max = 0
-        if disp_max < _MAX_WINDOW:
-            break
-        size *= 2
-    p = disp_max + 1
+            counts = np.bincount(base, minlength=size)
+            if int(counts.max()) > _BUCKET_SLOTS:
+                size *= 2
+                continue
+        break
+    order_idx = np.argsort(base, kind="stable")
+    sb = base[order_idx]
+    # slot within bucket = rank among same-bucket entries (sb is sorted)
+    pos = np.arange(count, dtype=np.int64) - np.searchsorted(sb, sb, side="left")
     seed_lo, seed_hi = _FP_SEED_LO, _FP_SEED_HI
-    padded = size + p
     while True:
         lo, hi = lane_fn(seed_lo, seed_hi)
         lo, hi = lo[order_idx], hi[order_idx]
-        # occupied slots of a shared window must differ on full fp_lo
-        # (a duplicate makes salted-byte distinctness unachievable), and
-        # _pack_windows must find a distinct-byte salt for every window
-        collision = False
-        for d in range(1, p):
-            if count <= d:
-                break
-            near = (slots[d:] - slots[:-d]) < p
-            same = lo[d:] == lo[:-d]
-            if bool(np.any(near & same)):
-                collision = True
-                break
-        win = None
+        same_bucket = sb[1:] == sb[:-1]
+        dup = same_bucket & (lo[1:] == lo[:-1]) & (hi[1:] == hi[:-1])
+        # sorted-by-bucket order is not sorted by fp, so compare all pairs
+        # within each bucket the cheap way: sort (bucket, lo, hi) rows
+        if count and bool(np.any(dup)):
+            collision = True
+        elif count:
+            key_order = np.lexsort((hi, lo, sb))
+            sb2, lo2, hi2 = sb[key_order], lo[key_order], hi[key_order]
+            collision = bool(
+                np.any(
+                    (sb2[1:] == sb2[:-1])
+                    & (lo2[1:] == lo2[:-1])
+                    & (hi2[1:] == hi2[:-1])
+                )
+            )
+        else:
+            collision = False
         if not collision:
-            fp_lo = np.full(padded, _FP_EMPTY, dtype=np.uint32)
-            if count:
-                fp_lo[slots] = lo
-            win = _pack_windows(fp_lo, size, p)
-        if win is not None:
             break
         seed_lo = (seed_lo + 0x9E3779B9) & 0xFFFFFFFF
         seed_hi = (seed_hi + 0x85EBCA6B) & 0xFFFFFFFF
-    fp_hi = np.full(padded, _FP_EMPTY, dtype=np.uint32)
-    prob = np.zeros(padded, dtype=np.float32)
-    backoff = np.zeros(padded, dtype=np.float32)
+    bucket = np.zeros((size, _BUCKET_WIDTH), dtype=np.uint32)
+    bucket[:, 0:_BUCKET_SLOTS] = _FP_EMPTY
     if count:
-        fp_hi[slots] = hi
-        prob[slots] = probs[order_idx]
-        backoff[slots] = backoffs[order_idx]
-    slot_rows = np.stack(
-        [
-            fp_lo.view(np.int32),
-            fp_hi.view(np.int32),
-            prob.view(np.int32),
-            backoff.view(np.int32),
-        ],
-        axis=1,
-    )
+        bucket[sb, pos] = lo
+        bucket[sb, _BUCKET_SLOTS + pos] = hi
+        bucket[sb, 2 * _BUCKET_SLOTS + pos] = probs[order_idx].view(np.uint32)
+        bucket[sb, 3 * _BUCKET_SLOTS + pos] = backoffs[order_idx].view(np.uint32)
     return FPTable(
         n=n,
         size=size,
-        max_probes=p,
         seed_lo=seed_lo,
         seed_hi=seed_hi,
         count=count,
-        fp_lo=fp_lo,
-        fp_hi=fp_hi,
-        prob=prob,
-        backoff=backoff,
-        windows=win,
-        slots=slot_rows,
+        bucket=bucket.view(np.int32),
         hash_mode=hash_mode,
     )
 
@@ -317,12 +244,7 @@ def build_fp_table_from_hashes(
 
 
 def probe_fp_host(table: FPTable, keys: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized numpy mirror of the device probe (build/host-state path).
-
-    Same two-step scheme as the device: the first fp_lo match in the window
-    selects the slot (residents of a window have distinct fp_lo by
-    construction), then fp_hi confirms on that slot only.
-    """
+    """Vectorized numpy mirror of the device probe (build/host-state path)."""
     keys = np.asarray(keys, dtype=np.int32).reshape(-1, table.n)
     nq = keys.shape[0]
     h, lo, hi = _query_hashes(
@@ -335,17 +257,19 @@ def probe_fp_host(table: FPTable, keys: np.ndarray) -> Tuple[np.ndarray, np.ndar
         keys,
     )
     base = (h & np.uint32(table.size - 1)).astype(np.int64)
-    sel = np.zeros(nq, dtype=np.int64)
-    seen = np.zeros(nq, dtype=bool)
-    for d in range(table.max_probes):
-        hit = (~seen) & (table.fp_lo[base + d] == lo)
-        sel = np.where(hit, d, sel)
-        seen |= hit
-    slot = base + sel
-    found = (table.fp_lo[slot] == lo) & (table.fp_hi[slot] == hi)
-    prob = np.where(found, table.prob[slot], 0.0).astype(np.float32)
-    backoff = np.where(found, table.backoff[slot], 0.0).astype(np.float32)
-    return found, prob, backoff
+    rows = table.bucket.view(np.uint32)[base]  # [Q, 64]
+    s_ = _BUCKET_SLOTS
+    eq = (rows[:, :s_] == lo[:, None]) & (rows[:, s_ : 2 * s_] == hi[:, None])
+    found = eq.any(axis=1)
+    prob = np.where(eq, rows[:, 2 * s_ : 3 * s_], 0).sum(
+        axis=1, dtype=np.uint64
+    ).astype(np.uint32)
+    backoff = np.where(eq, rows[:, 3 * s_ :], 0).sum(
+        axis=1, dtype=np.uint64
+    ).astype(np.uint32)
+    prob = np.where(found, prob, np.uint32(0)).view(np.float32)
+    backoff = np.where(found, backoff, np.uint32(0)).view(np.float32)
+    return found, prob.astype(np.float32), backoff.astype(np.float32)
 
 
 def build_unigram_array(
@@ -392,34 +316,6 @@ def _probe_uni_jnp(uni_dev, wid):
     return exists, prob, backoff
 
 
-def _window_select(jnp, win_row, lo, p):
-    """Lane selection from a packed (salt + 7 salted bytes) window row.
-
-    ``win_row``: i32 ``[Q, 2]`` (see :func:`_pack_windows`); ``lo``: the
-    query's full fp_lo lane. Returns the first lane whose salted byte
-    matches the query's (exact for present keys; absent keys are rejected
-    by the caller's full-fingerprint confirm on the selected slot).
-    """
-    w0 = win_row[:, 0].astype(jnp.uint32)
-    w1 = win_row[:, 1].astype(jnp.uint32)
-    c = (((w0 & 0xFF) << 1) | 1) * jnp.uint32(_SALT_MIX)
-    qb = (lo * c) >> 24  # query's salted byte (top byte, no mask needed)
-    lanes = jnp.stack(
-        [
-            (w0 >> 8) & 0xFF,
-            (w0 >> 16) & 0xFF,
-            w0 >> 24,
-            w1 & 0xFF,
-            (w1 >> 8) & 0xFF,
-            (w1 >> 16) & 0xFF,
-            w1 >> 24,
-        ],
-        axis=-1,
-    )  # [Q, 7]
-    cmp = (lanes == qb[:, None]) & (jnp.arange(7) < p)
-    return jnp.argmax(cmp, axis=-1).astype(jnp.int32)
-
-
 def _query_hashes(xp, tab: Dict, query):
     """Base hash + clamped fingerprint lanes for a query batch ``[Q, n]``.
 
@@ -442,18 +338,17 @@ def _query_hashes(xp, tab: Dict, query):
 
 
 def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object") -> Tuple:
-    """Probe one order's table on device: salted-byte prefilter + confirm.
+    """Probe one order's table on device: a single bucket-row gather.
 
-    ``tab_dev``: {"win": i32 [size, 2] (packed salt + salted fingerprint
-    bytes, :func:`_pack_windows`), "slots": i32 [size+P, 4],
-    "seed_lo"/"seed_hi": u32 scalars, "max_probes"/"size": static ints}.
-    ``query``: int32 ``[Q, n]``; ``valid``: bool ``[Q]``. Six gathered
-    elements per query: the 2-word window row picks the slot, one 4-word
-    slot row confirms the full 64-bit fingerprint and carries
-    (prob, backoff). Gathers from the multi-GB planes are the dominant
-    decode cost, so the prefilter is packed to the byte.
+    ``tab_dev``: {"bucket": i32 [size, 128] (32-slot buckets, see
+    :class:`FPTable`), "seed_lo"/"seed_hi": u32 scalars, "size": static
+    int}. ``query``: int32 ``[Q, n]``; ``valid``: bool ``[Q]``. One
+    512-byte row-gather per query — the gather emitter's vectorized
+    row-copy path makes this as cheap as a 2-word fetch (measured in
+    scripts/gather_cost_model.py) — then the 64-bit fingerprint confirm
+    and (prob, backoff) readout are in-register lane math.
 
-    When ``tab_dev`` carries ``shard_axis`` metadata the planes are
+    When ``tab_dev`` carries ``shard_axis`` metadata the bucket plane is
     row-sharded over a mesh axis and the probe runs collectively — see
     :func:`_probe_fp_sharded`.
     """
@@ -465,71 +360,61 @@ def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object") -> Tuple:
     size = tab_dev["size"]
     h, lo, hi = _query_hashes(jnp, tab_dev, query)
     base = (h & jnp.uint32(size - 1)).astype(jnp.int32)
-    sel = _window_select(jnp, tab_dev["win"][base], lo, tab_dev["max_probes"])
-    row = tab_dev["slots"][base + sel]  # [Q, 4]
-    found = (
-        (row[:, 0].astype(jnp.uint32) == lo)
-        & (row[:, 1].astype(jnp.uint32) == hi)
-        & valid
-    )
-    prob = jnp.where(
-        found, jax.lax.bitcast_convert_type(row[:, 2], jnp.float32), 0.0
-    )
-    backoff = jnp.where(
-        found, jax.lax.bitcast_convert_type(row[:, 3], jnp.float32), 0.0
-    )
+    rows = tab_dev["bucket"][base]  # [Q, 128]
+    return _bucket_readout(jnp, jax, rows, lo, hi, valid)
+
+
+def _bucket_readout(jnp, jax, rows, lo, hi, valid):
+    """(found, prob, backoff) from gathered bucket rows ``[Q, 128]``.
+
+    Residents of a bucket have pairwise-distinct 64-bit fingerprints by
+    construction, so the masked sums touch at most one slot each.
+    """
+    s = _BUCKET_SLOTS
+    rl = rows[:, :s].astype(jnp.uint32)
+    rh = rows[:, s : 2 * s].astype(jnp.uint32)
+    eq = (rl == lo[:, None]) & (rh == hi[:, None]) & valid[:, None]
+    found = jnp.any(eq, axis=1)
+    pb = jax.lax.bitcast_convert_type(rows[:, 2 * s : 3 * s], jnp.float32)
+    bb = jax.lax.bitcast_convert_type(rows[:, 3 * s :], jnp.float32)
+    prob = jnp.sum(jnp.where(eq, pb, 0.0), axis=1)
+    backoff = jnp.sum(jnp.where(eq, bb, 0.0), axis=1)
     return found, prob, backoff
 
 
-def _probe_fp_sharded(tab_dev: Dict, query: "object", valid: "object"):
-    """Collective probe of a row-sharded table (LM larger than one HBM).
+def _probe_fp_sharded(tab_dev: Dict, query: "object", valid: "object") -> Tuple:
+    """Collective probe of a row-sharded bucket table (LM larger than HBM).
 
     The reference shares an arbitrarily large mmap'd KenLM between worker
     processes by fork copy-on-write (ref ``decoder.py:261-269``); the TPU
-    analog when the unified table exceeds a chip's HBM is to row-shard the
-    slot planes over the mesh and exchange probes over ICI. ``tab_dev``
-    carries a local ``[1, rows(+P), ...]`` block of each plane (leading
-    axis sharded by ``shard_map``; the slots block includes a P-row halo so
-    probe windows never cross a shard boundary) plus static ``shard_axis``,
-    ``n_shards`` and ``shard_rows``.
+    analog when the tables exceed a chip's HBM is to row-shard the bucket
+    plane over the mesh and exchange probes over ICI. ``tab_dev`` carries
+    a local ``[1, rows, 128]`` block (leading axis sharded by
+    ``shard_map``) plus static ``shard_axis``, ``n_shards``, ``shard_rows``.
 
     One probe round-trip: ``all_gather`` every shard's queries over the
-    axis, answer the ones whose base slot falls in the local row range
-    (ownership is unique — the halo covers window overhang), ``psum`` the
-    (found, prob, backoff) planes, and slice back this shard's block. Costs
-    two small ICI collectives per probe; worth it only when the table
-    genuinely cannot be replicated.
+    axis, answer the ones whose bucket falls in the local row range
+    (bucketized placement makes ownership trivially unique — no halo),
+    ``psum`` the (found, prob, backoff) planes, and slice back this
+    shard's block. Costs two small ICI collectives per probe; worth it
+    only when the table genuinely cannot be replicated.
     """
     import jax
     import jax.numpy as jnp
 
     axis = tab_dev["shard_axis"]
-    rows = tab_dev["shard_rows"]
+    rows_local = tab_dev["shard_rows"]
     q = query.shape[0]
     qa = jax.lax.all_gather(query, axis, tiled=True)  # [n_shards*q, w]
     va = jax.lax.all_gather(valid, axis, tiled=True)  # [n_shards*q]
     h, lo, hi = _query_hashes(jnp, tab_dev, qa)
     base = (h & jnp.uint32(tab_dev["size"] - 1)).astype(jnp.int32)
-    my_first = jax.lax.axis_index(axis).astype(jnp.int32) * rows
+    my_first = jax.lax.axis_index(axis).astype(jnp.int32) * rows_local
     local = base - my_first
-    mine = (local >= 0) & (local < rows)
-    local = jnp.clip(local, 0, rows - 1)
-    sel = _window_select(
-        jnp, tab_dev["win"][0][local], lo, tab_dev["max_probes"]
-    )
-    row = tab_dev["slots"][0][local + sel]  # [n_shards*q, 4]
-    found = (
-        mine
-        & va
-        & (row[:, 0].astype(jnp.uint32) == lo)
-        & (row[:, 1].astype(jnp.uint32) == hi)
-    )
-    prob = jnp.where(
-        found, jax.lax.bitcast_convert_type(row[:, 2], jnp.float32), 0.0
-    )
-    backoff = jnp.where(
-        found, jax.lax.bitcast_convert_type(row[:, 3], jnp.float32), 0.0
-    )
+    mine = (local >= 0) & (local < rows_local)
+    local = jnp.clip(local, 0, rows_local - 1)
+    rows = tab_dev["bucket"][0][local]  # [n_shards*q, 128]
+    found, prob, backoff = _bucket_readout(jnp, jax, rows, lo, hi, va & mine)
     found_all = jax.lax.psum(found.astype(jnp.int32), axis)
     prob_all = jax.lax.psum(prob, axis)
     backoff_all = jax.lax.psum(backoff, axis)
@@ -647,6 +532,24 @@ def build_vocab_trie(
     return builder.pack()
 
 
+def _pad_trie_rows(packed: np.ndarray, word_id: np.ndarray) -> np.ndarray:
+    """Pad packed trie rows to a fast-gather width and append word_id.
+
+    Rows narrower than 64 i32 words take the gather emitter's slow
+    per-element path (~36 ns/row at width 31 vs ~14 ns at 64, measured in
+    scripts/gather_cost_model.py); padding to the next multiple of 64 and
+    carrying the node's vocab word id in the last column turns the
+    per-frame child walk AND the commit-time word-id fetch into one cheap
+    row-gather.
+    """
+    n, c = packed.shape
+    w = 64 * ((c + 1 + 63) // 64)
+    rows = np.zeros((n, w), dtype=np.int32)
+    rows[:, :c] = packed
+    rows[:, w - 1] = word_id
+    return rows
+
+
 def trie_seed_nodes(trie: PackedTrie, tokens: TokenArrays) -> np.ndarray:
     """Node reached from the root by each token's piece (boundary seeding)."""
     v = tokens.vocab_size
@@ -716,18 +619,16 @@ class DeviceLM:
             "uni": jnp.asarray(self.uni),
             "fp": [
                 {
-                    "win": jnp.asarray(t.windows),
-                    "slots": jnp.asarray(t.slots),
+                    "bucket": jnp.asarray(t.bucket),
                     "seed_lo": jnp.uint32(t.seed_lo),
                     "seed_hi": jnp.uint32(t.seed_hi),
-                    "max_probes": t.max_probes,
                     "size": t.size,
                 }
                 for t in self.fp_tables
             ]
             if include_fp
             else [],
-            "trie_next": jnp.asarray(packed),
+            "trie_rows": jnp.asarray(_pad_trie_rows(packed, self.trie.word_id)),
             "trie_word_id": jnp.asarray(self.trie.word_id),
             "seed_node": jnp.asarray(seed_packed),
             "start_ctx": jnp.asarray(self.start_ctx),

@@ -195,7 +195,7 @@ class ShardedCTCDecoder:
             names = [
                 p.key for p in path if isinstance(p, jax.tree_util.DictKey)
             ]
-            if names and names[-1] in ("win", "slots") and "fp" in names:
+            if names and names[-1] == "bucket" and "fp" in names:
                 return P(axis)
             return P()
 

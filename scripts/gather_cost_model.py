@@ -22,12 +22,14 @@ def main() -> None:
 
     rng = np.random.RandomState(0)
     results = {}
-    for width in (1, 2, 4, 8, 16, 32, 64):
+    import ast as _ast, os as _os
+    widths = _ast.literal_eval(_os.environ.get("GCM_WIDTHS", "(1, 2, 4, 8, 16, 32, 64)"))
+    for width in widths:
         rows_tab = (TABLE_MB << 20) // (4 * width)
         tab = jnp.asarray(
             rng.randint(0, 1 << 30, size=(rows_tab, width), dtype=np.int32)
         )
-        for q in (25600, 102400):
+        for q in _ast.literal_eval(_os.environ.get("GCM_QS", "(25600, 102400)")):
             idx = jnp.asarray(rng.randint(0, rows_tab, size=q, dtype=np.int32))
 
             @jax.jit

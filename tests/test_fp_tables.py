@@ -4,7 +4,6 @@ import unittest
 import numpy as np
 
 from pyctcdecode_tpu.models.device_tables import (
-    _MAX_WINDOW,
     build_fp_table,
     probe_fp_host,
 )
@@ -19,7 +18,6 @@ class TestFPTable(unittest.TestCase):
         probs = rng.randn(len(keys)).astype(np.float32)
         backoffs = rng.randn(len(keys)).astype(np.float32)
         tab = build_fp_table(keys, probs, backoffs)
-        self.assertLessEqual(tab.max_probes, _MAX_WINDOW)
         found, p, b = probe_fp_host(tab, keys)
         self.assertTrue(bool(found.all()))
         np.testing.assert_array_equal(p, probs)
@@ -38,10 +36,14 @@ class TestFPTable(unittest.TestCase):
         found, _, _ = probe_fp_host(tab, absent)
         self.assertFalse(bool(found.any()))
 
-    def test_windows_pack_salted_bytes(self):
-        """Packed window rows: salt byte + per-lane salted fp_lo bytes,
-        with occupied lanes of every window pairwise byte-distinct."""
-        from pyctcdecode_tpu.models.device_tables import _FP_EMPTY, _SALT_MIX
+    def test_bucket_invariants(self):
+        """Bucket plane: every key in its hash bucket, residents'
+        fingerprints pairwise distinct, empty slots carry the sentinel."""
+        from pyctcdecode_tpu.models.device_tables import (
+            _BUCKET_SLOTS,
+            _FP_EMPTY,
+            _query_hashes,
+        )
 
         rng = np.random.RandomState(7)
         keys = np.unique(rng.randint(0, 9999, size=(300, 2)), axis=0).astype(np.int32)
@@ -49,38 +51,36 @@ class TestFPTable(unittest.TestCase):
             keys, rng.randn(len(keys)).astype(np.float32),
             rng.randn(len(keys)).astype(np.float32),
         )
-        self.assertEqual(tab.windows.shape, (tab.size, 2))
-        w = tab.windows.view(np.uint32)
-        salts = w[:, 0] & 0xFF
-        cs = ((salts << np.uint32(1)) | np.uint32(1)) * np.uint32(_SALT_MIX)
-        lane_bytes = np.stack(
-            [
-                (w[:, 0] >> 8) & 0xFF,
-                (w[:, 0] >> 16) & 0xFF,
-                w[:, 0] >> 24,
-                w[:, 1] & 0xFF,
-                (w[:, 1] >> 8) & 0xFF,
-                (w[:, 1] >> 16) & 0xFF,
-                w[:, 1] >> 24,
-            ],
-            axis=1,
-        )
-        for d in range(tab.max_probes):
-            want = (tab.fp_lo[d : d + tab.size] * cs) >> np.uint32(24)
-            np.testing.assert_array_equal(lane_bytes[:, d], want)
-        for s in range(tab.size):
-            occ = [
-                int(lane_bytes[s, d])
-                for d in range(tab.max_probes)
-                if tab.fp_lo[s + d] != _FP_EMPTY
+        self.assertEqual(tab.bucket.shape, (tab.size, 4 * _BUCKET_SLOTS))
+        b = tab.bucket.view(np.uint32)
+        occ = b[:, :_BUCKET_SLOTS] != _FP_EMPTY
+        self.assertEqual(int(occ.sum()), len(keys))
+        # residents of one bucket are fingerprint-distinct
+        for row in range(tab.size):
+            fps = [
+                (int(b[row, j]), int(b[row, _BUCKET_SLOTS + j]))
+                for j in range(_BUCKET_SLOTS)
+                if occ[row, j]
             ]
-            self.assertEqual(len(occ), len(set(occ)), f"window {s}")
-        np.testing.assert_array_equal(
-            tab.slots[:, 2].view(np.float32), tab.prob
+            self.assertEqual(len(fps), len(set(fps)))
+        # each key's fingerprint is present in its own bucket
+        h, lo, hi = _query_hashes(
+            np,
+            {
+                "hash_mode": tab.hash_mode,
+                "seed_lo": np.uint32(tab.seed_lo),
+                "seed_hi": np.uint32(tab.seed_hi),
+            },
+            keys,
         )
-        np.testing.assert_array_equal(
-            tab.slots[:, 1].view(np.uint32), tab.fp_hi
-        )
+        base = (h & np.uint32(tab.size - 1)).astype(np.int64)
+        for i in range(len(keys)):
+            row = b[base[i]]
+            fps = {
+                (int(row[j]), int(row[_BUCKET_SLOTS + j]))
+                for j in range(_BUCKET_SLOTS)
+            }
+            self.assertIn((int(lo[i]), int(hi[i])), fps)
 
     def test_device_probe_matches_host(self):
         import jax.numpy as jnp
@@ -100,11 +100,9 @@ class TestFPTable(unittest.TestCase):
         )
         hf, hp, hb = probe_fp_host(tab, queries)
         dev = {
-            "win": jnp.asarray(tab.windows),
-            "slots": jnp.asarray(tab.slots),
+            "bucket": jnp.asarray(tab.bucket),
             "seed_lo": jnp.uint32(tab.seed_lo),
             "seed_hi": jnp.uint32(tab.seed_hi),
-            "max_probes": tab.max_probes,
             "size": tab.size,
         }
         df, dp, db = probe_fp_jnp(

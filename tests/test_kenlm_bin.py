@@ -261,12 +261,10 @@ class TestDeviceTablesFromHashes(unittest.TestCase):
         backoffs = rng.randn(len(keys)).astype(np.float32)
         tab = build_fp_table_from_hashes(h64, probs, backoffs, 2)
         tab_dev = {
-            "win": jnp.asarray(tab.windows),
-            "slots": jnp.asarray(tab.slots),
+            "bucket": jnp.asarray(tab.bucket),
             "seed_lo": jnp.uint32(tab.seed_lo),
             "seed_hi": jnp.uint32(tab.seed_hi),
             "size": tab.size,
-            "max_probes": tab.max_probes,
             "hash_mode": "kenlm",
         }
         q = jnp.asarray(keys)
