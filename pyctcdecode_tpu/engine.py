@@ -93,6 +93,10 @@ class EngineConfig:
     # fuse the per-frame merge + prune + top-k into one Pallas kernel
     # (ops/pallas_merge.py); interpret mode is selected automatically off-TPU
     use_pallas_merge: bool = False
+    # accumulate per-utterance decode counters (beams alive, prune/merge
+    # kills, commits, LM probe hit rates) in the carried state; off by
+    # default so the hot program is unchanged. See stats_fields().
+    collect_stats: bool = False
 
     @property
     def lm_orders(self) -> Tuple[int, ...]:
@@ -113,6 +117,32 @@ class EngineConfig:
     @property
     def ring_width(self) -> int:
         return max(self.order - 1, 1)
+
+
+def stats_fields(cfg: EngineConfig) -> List[str]:
+    """Names of the decode counters, in state["stats"] vector order.
+
+    All counters are sums over decoded (active) frames of per-frame
+    counts; divide by the frame count for rates. ``probe_hits_o{n}`` /
+    ``probe_queries`` give the order-``n`` full-suffix LM probe hit rate
+    of per-frame commit scoring, aggregated over LM members (SURVEY §5.5
+    observability).
+    """
+    names = [
+        "frames",
+        "beams_alive",
+        "candidates_valid",
+        "merged_dups",
+        "window_pruned",
+        "selected_alive",
+        "history_pruned",
+        "words_committed",
+    ]
+    if cfg.n_lms:
+        names.append("probe_queries")
+        for n in range(1, max(cfg.lm_orders) + 1):
+            names.append(f"probe_hits_o{n}")
+    return names
 
 
 def _mix_key(jnp, a, b, c, d):
@@ -197,6 +227,7 @@ def build_table_args(
             {
                 "trie_rows": dev["trie_rows"],
                 "trie_word_id": dev["trie_word_id"],
+                "uni_unk_row": dev["uni_unk_row"],
                 "seed_node_arr": dev["seed_node"],
                 "uni": dev["uni"],
                 "fp": fp,
@@ -324,10 +355,14 @@ def _init_state(jnp, cfg: EngineConfig, start):
     if cfg.use_hotwords:
         state["h_node"] = i32()
         state["h_bits"] = i32()  # packed hot entry (min-completion + terminal)
+    if cfg.collect_stats:
+        state["stats"] = jnp.zeros(
+            (len(stats_fields(cfg)),), dtype=jnp.int32
+        )
     return state
 
 
-def _member_word_score(jnp, dev, lm_prm, order, trie_row, flags, ctx, ctx_len, ctx_bo):
+def _member_word_score(jnp, dev, lm_prm, order, trie_row, flags, ctx, ctx_len, ctx_bo, stats_out=None):
     """One member's fused word score + new context for a committed partial.
 
     ``flags`` are the node's packed entry bits carried on the beam, so OOV
@@ -337,12 +372,24 @@ def _member_word_score(jnp, dev, lm_prm, order, trie_row, flags, ctx, ctx_len, c
     ``ctx_bo`` carries the context's suffix backoffs, halving probe volume
     (see lm_score_words_jnp).
     """
+    import jax
+
     in_model = (flags & _BIT_IN_VOCAB) != 0
     wid = jnp.where(in_model, trie_row[:, -1], dev["unk_id"])
+    # the word's order-1 probe result rides the trie row (cols W-4..W-2);
+    # non-vocab partials resolve as <unk>, whose unigram row is a constant
+    unk = dev["uni_unk_row"]
+    unk_e = unk[2] > 0.5
+    f1 = jnp.where(in_model, trie_row[:, -2] != 0, unk_e)
+    t_p = jax.lax.bitcast_convert_type(trie_row[:, -4], jnp.float32)
+    t_b = jax.lax.bitcast_convert_type(trie_row[:, -3], jnp.float32)
+    p1 = jnp.where(f1, jnp.where(in_model, t_p, unk[0]), 0.0)
+    b1 = jnp.where(f1, jnp.where(in_model, t_b, unk[1]), 0.0)
     in_uni = (flags & _BIT_UNI_WORD) != 0
     is_oov = (dev["has_unigrams"] & ~in_uni) | ~in_model
     raw10, new_ctx, new_ctx_len, new_bo = lm_score_words_jnp(
-        dev, order, dev["unk_prob10"], ctx, ctx_len, wid, ctx_bo
+        dev, order, dev["unk_prob10"], ctx, ctx_len, wid, ctx_bo,
+        stats_out=stats_out, uni_probe=(f1, p1, b1),
     )
     raw10 = raw10 + lm_prm["unk_offset"] * is_oov.astype(jnp.float32)
     fused = lm_prm["alpha"] * raw10 * np.float32(LOG_BASE_CHANGE_FACTOR) + lm_prm["beta"]
@@ -387,12 +434,14 @@ def _commit_quantities(
         "n_words": state["n_words"] + commit.astype(jnp.int32),
     }
     fused_sum = jnp.zeros_like(state["fused"])
+    probe_hits: List[List] = []  # per member, per order: [B] bool hit masks
     for i, (dev, order) in enumerate(zip(devs, cfg.lm_orders)):
         row_i = (
             trie_rows[i]
             if trie_rows is not None
             else dev["trie_rows"][state[f"p_node{i}"]]
         )
+        member_stats: Optional[Dict] = {} if cfg.collect_stats else None
         fused_i, new_ctx, new_ctx_len, new_bo = _member_word_score(
             jnp,
             dev,
@@ -403,7 +452,10 @@ def _commit_quantities(
             state[f"ctx{i}"],
             state[f"ctx_len{i}"],
             state[f"ctx_bo{i}"],
+            stats_out=member_stats,
         )
+        if cfg.collect_stats:
+            probe_hits.append(member_stats.get("hits", []))
         fused_sum = fused_sum + fused_i
         out[f"ctx{i}"] = jnp.where(commit[:, None], new_ctx, state[f"ctx{i}"])
         out[f"ctx_len{i}"] = jnp.where(commit, new_ctx_len, state[f"ctx_len{i}"])
@@ -413,6 +465,8 @@ def _commit_quantities(
     else:
         word_fused = jnp.zeros_like(state["fused"])
     out["word_fused"] = word_fused + hot_gain
+    if cfg.collect_stats:
+        out["probe_hits"] = probe_hits
     return out
 
 
@@ -591,6 +645,11 @@ def _make_step(
     c = b * k
     lmax = int(tok_dev["raw_chars"].shape[1])
     n_lms = cfg.n_lms
+    if cfg.collect_stats and cfg.use_pallas_merge:
+        raise ValueError(
+            "decode statistics require the default merge path "
+            "(collect_stats=True with use_pallas_merge=True is unsupported)"
+        )
 
     def _flatten(x):
         """[B, K, ...] -> [K*B, ...] in token-major order (ref enumeration)."""
@@ -882,6 +941,37 @@ def _make_step(
                 dup_h, -2 - jnp.arange(b, dtype=jnp.int32), new_state["last_tok"]
             )
 
+        if cfg.collect_stats:
+            counts = [
+                jnp.int32(1),  # frames
+                jnp.sum(alive, dtype=jnp.int32),
+                jnp.sum(valid, dtype=jnp.int32),
+                jnp.sum(to_kb(valid) & dup, dtype=jnp.int32),
+                jnp.sum(
+                    live & (lm_score_flat < mx + prm["beam_prune_logp"]),
+                    dtype=jnp.int32,
+                ),
+                jnp.sum(sel_alive, dtype=jnp.int32),
+                (
+                    jnp.sum(dup_h, dtype=jnp.int32)
+                    if cfg.prune_history
+                    else jnp.int32(0)
+                ),
+                jnp.sum(cm["commit"] & alive, dtype=jnp.int32),
+            ]
+            if n_lms:
+                alive_ct = jnp.sum(alive, dtype=jnp.int32)
+                counts.append(jnp.int32(n_lms) * alive_ct)  # probe_queries
+                for order_n in range(1, max(cfg.lm_orders) + 1):
+                    h = jnp.int32(0)
+                    for hits in cm["probe_hits"]:
+                        if order_n <= len(hits):
+                            h = h + jnp.sum(
+                                hits[order_n - 1] & alive, dtype=jnp.int32
+                            )
+                    counts.append(h)
+            new_state["stats"] = state["stats"] + jnp.stack(counts)
+
         # inactive (padded) frames pass state through untouched
         out_state = jax.tree_util.tree_map(
             lambda new, old: jnp.where(active, new, old), new_state, state
@@ -1099,6 +1189,8 @@ def make_decode_fn(
                 "parents": parents,
                 "trace": trace,
             }
+            if cfg.collect_stats:
+                out["stats"] = final_state["stats"]
         else:
             # on-device backtrace of the top-N beams: tiny [N, T] output.
             # Everything else is sliced to those N rows too — the
@@ -1124,6 +1216,8 @@ def make_decode_fn(
                 "ctx_len": tuple(c[:r] for c in fin["ctx_len"]),
                 "paths": toks_rev[::-1].swapaxes(0, 1),  # [N, Tp]
             }
+            if cfg.collect_stats:
+                out["stats"] = final_state["stats"]
         return out
 
     return decode
@@ -1188,7 +1282,7 @@ def make_segment_decode_fns(
             jnp, cfg, devs, hot, prm, state, jnp.bool_(True), jnp.bool_(True)
         )
         if cfg.emit_paths is None:
-            return {
+            out = {
                 "beam_src": fin["src"],
                 "logit": fin["logit"],
                 "lm_score": fin["score"],
@@ -1197,6 +1291,9 @@ def make_segment_decode_fns(
                 "parents": parents,
                 "trace": trace,
             }
+            if cfg.collect_stats:
+                out["stats"] = state["stats"]
+            return out
         r = cfg.emit_paths
 
         def back(cur, xs):
@@ -1207,7 +1304,7 @@ def make_segment_decode_fns(
         _, toks_rev = jax.lax.scan(
             back, fin["src"][:r], (parents[::-1], trace[::-1])
         )
-        return {
+        out = {
             "beam_src": fin["src"][:r],
             "logit": fin["logit"][:r],
             "lm_score": fin["score"][:r],
@@ -1215,6 +1312,9 @@ def make_segment_decode_fns(
             "ctx_len": tuple(c[:r] for c in fin["ctx_len"]),
             "paths": toks_rev[::-1].swapaxes(0, 1),  # [N, Tp]
         }
+        if cfg.collect_stats:
+            out["stats"] = state["stats"]
+        return out
 
     return init_fn, seg_fn, fin_fn
 

@@ -532,20 +532,58 @@ def build_vocab_trie(
     return builder.pack()
 
 
-def _pad_trie_rows(packed: np.ndarray, word_id: np.ndarray) -> np.ndarray:
-    """Pad packed trie rows to a fast-gather width and append word_id.
+def _put_row_major(arr: np.ndarray) -> "object":
+    """Device-put a 2-D table with an explicit row-major layout.
+
+    The gather emitter wants tables row-major; when ``jnp.asarray`` picks
+    a different default layout, XLA inserts a whole-table relayout copy
+    into EVERY program that gathers from it (measured ~1 ms per segment
+    call on the 211 MB trie plane). Pinning the layout at upload time
+    removes those copies. Falls back to a plain transfer on backends
+    without layout support (CPU).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            return jnp.asarray(arr)
+        fmt = Format(Layout((0, 1)), SingleDeviceSharding(dev))
+        return jax.device_put(np.ascontiguousarray(arr), fmt)
+    except Exception:  # pragma: no cover - layout API drift
+        return jnp.asarray(arr)
+
+
+def _pad_trie_rows(
+    packed: np.ndarray, word_id: np.ndarray, uni: np.ndarray
+) -> np.ndarray:
+    """Pad packed trie rows to a fast-gather width; fold in word data.
 
     Rows narrower than 64 i32 words take the gather emitter's slow
     per-element path (~36 ns/row at width 31 vs ~14 ns at 64, measured in
-    scripts/gather_cost_model.py); padding to the next multiple of 64 and
-    carrying the node's vocab word id in the last column turns the
-    per-frame child walk AND the commit-time word-id fetch into one cheap
-    row-gather.
+    scripts/gather_cost_model.py). Padding to the next multiple of 64
+    leaves spare columns, which carry the node's per-word constants so the
+    per-frame child walk, the commit-time word-id fetch AND the word's
+    order-1 probe all ride ONE row-gather:
+
+    * col W-4: the word's unigram log10-prob (f32 bits),
+    * col W-3: its unigram backoff (f32 bits),
+    * col W-2: unigram-exists flag,
+    * col W-1: the vocab word id (-1 for non-terminal nodes).
     """
     n, c = packed.shape
-    w = 64 * ((c + 1 + 63) // 64)
+    w = 64 * ((c + 4 + 63) // 64)
     rows = np.zeros((n, w), dtype=np.int32)
     rows[:, :c] = packed
+    has = word_id >= 0
+    wid_safe = np.where(has, word_id, 0)
+    rows[:, w - 4] = np.where(has, uni[wid_safe, 0].view(np.int32), 0)
+    rows[:, w - 3] = np.where(has, uni[wid_safe, 1].view(np.int32), 0)
+    rows[:, w - 2] = np.where(has, uni[wid_safe, 2] > 0.5, False).astype(np.int32)
     rows[:, w - 1] = word_id
     return rows
 
@@ -616,10 +654,10 @@ class DeviceLM:
             self.seed_node.astype(np.int64) | self._node_flag_bits(self.seed_node)
         ).astype(np.int32)
         return {
-            "uni": jnp.asarray(self.uni),
+            "uni": _put_row_major(self.uni),
             "fp": [
                 {
-                    "bucket": jnp.asarray(t.bucket),
+                    "bucket": _put_row_major(t.bucket),
                     "seed_lo": jnp.uint32(t.seed_lo),
                     "seed_hi": jnp.uint32(t.seed_hi),
                     "size": t.size,
@@ -628,8 +666,11 @@ class DeviceLM:
             ]
             if include_fp
             else [],
-            "trie_rows": jnp.asarray(_pad_trie_rows(packed, self.trie.word_id)),
+            "trie_rows": _put_row_major(
+                _pad_trie_rows(packed, self.trie.word_id, self.uni)
+            ),
             "trie_word_id": jnp.asarray(self.trie.word_id),
+            "uni_unk_row": jnp.asarray(self.uni[self.unk_id]),
             "seed_node": jnp.asarray(seed_packed),
             "start_ctx": jnp.asarray(self.start_ctx),
         }
@@ -815,6 +856,8 @@ def lm_score_words_jnp(
     ctx_len: "object",
     wid: "object",
     ctx_backoffs: "object" = None,
+    stats_out: Optional[Dict] = None,
+    uni_probe: Optional[Tuple] = None,
 ) -> Tuple:
     """Batched KenLM-``BaseScore``-equivalent on device.
 
@@ -822,6 +865,15 @@ def lm_score_words_jnp(
     ``wid [Q]``. Returns ``(raw10 [Q] f32, out_ctx [Q, order-1], out_len [Q],
     out_backoffs [Q, order-1])`` matching :meth:`NGramTables.raw_score`
     bit-for-bit on float32.
+
+    ``uni_probe`` optionally supplies the word's order-1 probe result
+    ``(found [Q] bool, prob [Q] f32, backoff [Q] f32)`` — the engine reads
+    it off the beam's trie row (see ``_pad_trie_rows``), saving the dense
+    unigram gather here.
+
+    ``stats_out`` (optional dict) receives ``{"hits": [found_1..found_n]}``
+    — per-order boolean hit masks of the full-suffix probes — for the
+    engine's opt-in decode statistics.
 
     ``ctx_backoffs`` holds the backoff weights of every context suffix
     (right-aligned like ``ctx``; 0 where absent). Because the outgoing
@@ -835,8 +887,13 @@ def lm_score_words_jnp(
 
     ctx_width = max(order - 1, 1)
     q = wid.shape[0]
-    f1, p1, b1 = _probe_uni_jnp(dev["uni"], wid)
+    if uni_probe is not None:
+        f1, p1, b1 = uni_probe
+    else:
+        f1, p1, b1 = _probe_uni_jnp(dev["uni"], wid)
     if order == 1:
+        if stats_out is not None:
+            stats_out["hits"] = [f1]
         score = jnp.where(f1, p1, jnp.float32(unk_prob10))
         zeros = jnp.zeros((q,), dtype=jnp.int32)
         zbo = jnp.zeros((q, ctx_width), dtype=jnp.float32)
@@ -857,6 +914,8 @@ def lm_score_words_jnp(
         found.append(f)
         prob.append(p)
         backoff.append(b)
+    if stats_out is not None:
+        stats_out["hits"] = list(found)
     if ctx_backoffs is None:
         # stateless path: also probe the context-suffix keys for backoffs
         ctx_bo = []

@@ -240,6 +240,7 @@ class TPUBeamSearchDecoderCTC:
         prune_history: bool,
         use_hotwords: bool,
         emit_paths: Optional[int] = None,
+        collect_stats: bool = False,
     ) -> EngineConfig:
         orders = tuple(m.order for m in self._lm_members)
         return EngineConfig(
@@ -254,6 +255,7 @@ class TPUBeamSearchDecoderCTC:
             orders=orders,
             emit_paths=emit_paths,
             use_pallas_merge=self._use_pallas_merge,
+            collect_stats=collect_stats,
         )
 
     def _get_fn(
@@ -265,14 +267,19 @@ class TPUBeamSearchDecoderCTC:
         batch: int,
         use_hotwords: bool = False,
         emit_paths: Optional[int] = None,
+        collect_stats: bool = False,
     ):
         import jax
 
-        key = (t_pad, beam_width, k, prune_history, batch, use_hotwords, emit_paths)
+        key = (
+            t_pad, beam_width, k, prune_history, batch, use_hotwords,
+            emit_paths, collect_stats,
+        )
         fn = self._fn_cache.get(key)
         if fn is None:
             cfg = self._engine_cfg(
-                beam_width, k, prune_history, use_hotwords, emit_paths
+                beam_width, k, prune_history, use_hotwords, emit_paths,
+                collect_stats,
             )
             raw = make_decode_fn(cfg, self._tokens, self._device_lm)
             if batch > 1:
@@ -303,17 +310,19 @@ class TPUBeamSearchDecoderCTC:
         batch: int,
         use_hotwords: bool,
         emit_paths: Optional[int],
+        collect_stats: bool = False,
     ):
         import jax
 
         key = (
             "seg", seg_frames, beam_width, k, prune_history, batch,
-            use_hotwords, emit_paths,
+            use_hotwords, emit_paths, collect_stats,
         )
         fns = self._fn_cache.get(key)
         if fns is None:
             cfg = self._engine_cfg(
-                beam_width, k, prune_history, use_hotwords, emit_paths
+                beam_width, k, prune_history, use_hotwords, emit_paths,
+                collect_stats,
             )
             init_fn, seg_fn, fin_fn = make_segment_decode_fns(
                 cfg, self._tokens, self._device_lm, seg_frames
@@ -832,12 +841,19 @@ class TPUBeamSearchDecoderCTC:
         max_tokens_per_frame: Optional[int] = None,
         batch_pad: int = 8,
         top_n: Optional[int] = None,
-    ) -> List[List[OutputBeam]]:
+        collect_stats: bool = False,
+    ) -> "object":
         """Vectorized batch decode: one fused device program per batch.
 
         All utterances are padded to a shared frame bucket and vmapped; the
         batch dimension is padded to a multiple of ``batch_pad`` so repeated
         calls reuse compiled executables.
+
+        With ``collect_stats=True`` the engine additionally accumulates
+        per-utterance decode counters on device (beams alive, merge/prune
+        kills, word commits, per-order LM probe hit rates — SURVEY §5.5)
+        and the return value becomes ``(results, stats)`` where ``stats``
+        is one ``{counter_name: int}`` dict per utterance.
         """
         logits_list = self._without_pool_arg(logits_list, _pool_compat)
         handle = self._dispatch_batch(
@@ -851,8 +867,19 @@ class TPUBeamSearchDecoderCTC:
             max_tokens_per_frame=max_tokens_per_frame,
             batch_pad=batch_pad,
             top_n=top_n,
+            collect_stats=collect_stats,
         )
-        return self._collect_batch(handle)
+        results = self._collect_batch(handle)
+        if collect_stats:
+            if handle is None:
+                return results, []
+            per_utt = np.asarray(handle["stats_dev"])[: handle["n"]]
+            stats = [
+                dict(zip(handle["stats_names"], row.tolist()))
+                for row in per_utt
+            ]
+            return results, stats
+        return results
 
     def _dispatch_batch(
         self,
@@ -866,6 +893,7 @@ class TPUBeamSearchDecoderCTC:
         max_tokens_per_frame: Optional[int],
         batch_pad: int,
         top_n: Optional[int],
+        collect_stats: bool = False,
     ) -> Optional[Dict[str, Any]]:
         """Normalize, upload and launch one batch; returns a result handle.
 
@@ -901,13 +929,14 @@ class TPUBeamSearchDecoderCTC:
             out = self._run_segmented(
                 seg, logp, n_frames, params, start, hot,
                 beam_width=beam_width, k=k, prune_history=prune_history,
-                emit_paths=emit_paths,
+                emit_paths=emit_paths, collect_stats=collect_stats,
             )
         else:
             fn = self._get_fn(
                 t_pad, beam_width, k, prune_history, batch=n_pad,
                 use_hotwords=hot is not None,
                 emit_paths=emit_paths,
+                collect_stats=collect_stats,
             )
             out = fn(
                 self._jnp.asarray(logp),
@@ -917,7 +946,18 @@ class TPUBeamSearchDecoderCTC:
                 self._tabs,
                 hot,
             )
-        return {"out": out, "lens": lens, "n": n, "top_n": top_n}
+        handle = {"out": dict(out), "lens": lens, "n": n, "top_n": top_n}
+        if collect_stats:
+            from .engine import stats_fields
+
+            cfg = self._engine_cfg(
+                beam_width, k, prune_history, hot is not None, emit_paths,
+                collect_stats,
+            )
+            # keep the handle async: the device array converts at collect
+            handle["stats_dev"] = handle["out"].pop("stats")
+            handle["stats_names"] = stats_fields(cfg)
+        return handle
 
     def _run_segmented(
         self,
@@ -931,6 +971,7 @@ class TPUBeamSearchDecoderCTC:
         k: int,
         prune_history: bool,
         emit_paths: Optional[int],
+        collect_stats: bool = False,
     ):
         """Drive one batch through host-dispatched unrolled segments.
 
@@ -946,6 +987,7 @@ class TPUBeamSearchDecoderCTC:
         init_fn, seg_fn, fin_fn = self._get_segment_fns(
             seg, beam_width, k, prune_history, n_pad,
             use_hotwords=hot is not None, emit_paths=emit_paths,
+            collect_stats=collect_stats,
         )
         state = init_fn(start)
         nf = jnp.asarray(n_frames)
