@@ -533,29 +533,21 @@ def build_vocab_trie(
 
 
 def _put_row_major(arr: np.ndarray) -> "object":
-    """Device-put a 2-D table with an explicit row-major layout.
+    """Upload a 2-D table for row-gather consumption.
 
-    The gather emitter wants tables row-major; when ``jnp.asarray`` picks
-    a different default layout, XLA inserts a whole-table relayout copy
-    into EVERY program that gathers from it (measured ~1 ms per segment
-    call on the 211 MB trie plane). Pinning the layout at upload time
-    removes those copies. Falls back to a plain transfer on backends
-    without layout support (CPU).
+    XLA's gather emitter wants these tables row-major and inserts a
+    whole-table relayout copy into programs that disagree (~1 ms per
+    segment call on a 211 MB trie plane). Pinning the layout at upload
+    time via ``jax.experimental.layout.Format(Layout((0, 1)))`` removes
+    those copies — but on this TPU relay it silently corrupts LARGE
+    program outputs (batch-256 backtrace paths come back permuted while
+    small repros round-trip clean), so tables upload with the default
+    layout and the relayout cost is accepted until the relay handles
+    custom layouts correctly.
     """
-    import jax
     import jax.numpy as jnp
 
-    try:
-        from jax.experimental.layout import Format, Layout
-        from jax.sharding import SingleDeviceSharding
-
-        dev = jax.devices()[0]
-        if dev.platform == "cpu":
-            return jnp.asarray(arr)
-        fmt = Format(Layout((0, 1)), SingleDeviceSharding(dev))
-        return jax.device_put(np.ascontiguousarray(arr), fmt)
-    except Exception:  # pragma: no cover - layout API drift
-        return jnp.asarray(arr)
+    return jnp.asarray(arr)
 
 
 def _pad_trie_rows(
