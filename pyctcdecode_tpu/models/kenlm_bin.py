@@ -16,11 +16,12 @@ device probe tables are built straight from the stored hashes
 (``device_tables.build_fp_table_from_hashes``) and the device probe
 recomputes the same chain in u32 lanes — no conversion step, no ARPA.
 
-Supported: format version 5, ``model_type`` 0 (PROBING), un-quantized,
-vocabulary strings present (kenlm writes them unless built with
-``include_vocab=false``). TRIE-family and REST binaries are rejected with
-a message naming the fix (rebuild with ``build_binary probing`` or load
-the ARPA). The reader is validated by round-trip against this module's
+Supported: format version 5, ``model_type`` 0 (PROBING) here plus 2
+(un-quantized TRIE, dispatched to :mod:`.kenlm_trie`), vocabulary strings
+present (kenlm writes them unless built with ``include_vocab=false``).
+QUANT/ARRAY trie and REST binaries are rejected with a message naming the
+fix (rebuild with ``build_binary probing``/plain ``trie`` or load the
+ARPA). The reader is validated by round-trip against this module's
 writer and by exact score equality with the ARPA scorer on the same model;
 the header sanity block is checked field-for-field, so a file that loads
 is structurally sound.
@@ -65,6 +66,7 @@ _COUNTS_OFFSET = _SANITY_BYTES + 20
 _MASK64 = (1 << 64) - 1
 
 MODEL_PROBING = 0
+MODEL_TRIE = 2
 _MODEL_NAMES = {
     0: "PROBING",
     1: "REST_PROBING",
@@ -101,7 +103,12 @@ def _chain1(ids: Tuple[int, ...]) -> int:
 # header
 # --------------------------------------------------------------------------
 def _pack_header(
-    order: int, counts: List[int], multiplier: float, has_vocab: bool
+    order: int,
+    counts: List[int],
+    multiplier: float,
+    has_vocab: bool,
+    model_type: int = MODEL_PROBING,
+    search_version: int = 0,
 ) -> bytes:
     sanity = bytearray(_SANITY_BYTES)
     sanity[: len(MAGIC)] = MAGIC
@@ -114,9 +121,9 @@ def _pack_header(
     params = bytearray(20)
     params[0] = order
     params[4:8] = np.float32(multiplier).tobytes()
-    params[8:12] = np.int32(MODEL_PROBING).tobytes()
+    params[8:12] = np.int32(model_type).tobytes()
     params[12] = 1 if has_vocab else 0
-    params[16:20] = np.uint32(0).tobytes()
+    params[16:20] = np.uint32(search_version).tobytes()
     blob = bytes(sanity) + bytes(params) + np.asarray(counts, "<u8").tobytes()
     return blob + b"\x00" * (_align8(len(blob)) - len(blob))
 
@@ -136,23 +143,24 @@ def _read_header(raw: bytes, path: str):
     multiplier = float(np.frombuffer(raw, "<f4", 1, _PARAMS_OFFSET + 4)[0])
     model_type = int(np.frombuffer(raw, "<i4", 1, _PARAMS_OFFSET + 8)[0])
     has_vocab = bool(raw[_PARAMS_OFFSET + 12])
-    if model_type != MODEL_PROBING:
+    if model_type not in (MODEL_PROBING, MODEL_TRIE):
         name = _MODEL_NAMES.get(model_type, f"#{model_type}")
         raise ValueError(
-            f"{path!r} is a KenLM {name} binary; only the PROBING layout "
-            "is readable here. Rebuild it with `build_binary probing "
-            "model.arpa model.bin`, or pass the ARPA file instead."
+            f"{path!r} is a KenLM {name} binary; only the PROBING and "
+            "un-quantized TRIE layouts are readable here. Rebuild it with "
+            "`build_binary probing model.arpa model.bin` (or `build_binary "
+            "trie` without -q/-a), or pass the ARPA file instead."
         )
     counts = [
         int(c) for c in np.frombuffer(raw, "<u8", order, _COUNTS_OFFSET)
     ]
     if order < 2:
         raise ValueError(
-            f"{path!r} declares order {order}; KenLM probing models are "
+            f"{path!r} declares order {order}; KenLM binary models are "
             "order >= 2."
         )
     body = _align8(_COUNTS_OFFSET + 8 * order)
-    return order, multiplier, has_vocab, counts, body
+    return order, multiplier, has_vocab, counts, body, model_type
 
 
 # --------------------------------------------------------------------------
@@ -326,16 +334,22 @@ class KenLMTables:
 
 
 def read_kenlm_binary(path: str) -> KenLMTables:
-    """Load a KenLM PROBING ``.bin``/``.binary`` into :class:`KenLMTables`."""
+    """Load a KenLM ``.bin``/``.binary`` (PROBING or un-quantized TRIE)."""
     with open(path, "rb") as fh:
         raw = fh.read()
-    order, multiplier, has_vocab, counts, off = _read_header(raw, path)
+    order, multiplier, has_vocab, counts, off, model_type = _read_header(
+        raw, path
+    )
     if not has_vocab:
         raise ValueError(
             f"{path!r} was built without vocabulary strings "
             "(include_vocab=false); the decoder needs the words. Rebuild "
             "the binary with vocabulary included, or load the ARPA."
         )
+    if model_type == MODEL_TRIE:
+        from .kenlm_trie import read_kenlm_trie
+
+        return read_kenlm_trie(raw, path, order, counts, off)
     # vocabulary hash table (words come from the trailing strings section)
     bound = int(np.frombuffer(raw, "<u8", 1, off)[0])
     off += 8

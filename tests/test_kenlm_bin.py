@@ -139,9 +139,9 @@ class TestKenLMRejection(TempfileTestCase):
             fh.write(bytes(raw) + b"\x00" * 64)
         return path
 
-    def test_trie_model_rejected_with_guidance(self):
-        path = self._write_header_variant({96: np.int32(2).tobytes()})
-        with self.assertRaisesRegex(ValueError, "TRIE.*probing"):
+    def test_array_trie_model_rejected_with_guidance(self):
+        path = self._write_header_variant({96: np.int32(4).tobytes()})
+        with self.assertRaisesRegex(ValueError, "ARRAY_TRIE.*probing"):
             read_kenlm_binary(path)
 
     def test_wrong_version_rejected(self):
