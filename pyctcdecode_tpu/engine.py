@@ -529,7 +529,9 @@ def _gather_fields(jnp, fields: Dict, src):
     return out
 
 
-def _select_fields_mxu(jnp, fields: Dict, src, n_candidates: int):
+def _select_fields_mxu(
+    jnp, fields: Dict, src, n_candidates: int, n_chunks: Optional[Dict] = None
+):
     """Select per-candidate fields at ``src`` with one one-hot matmul.
 
     TPU gathers cost ~14-60 ns per gathered row regardless of width, which
@@ -541,6 +543,11 @@ def _select_fields_mxu(jnp, fields: Dict, src, n_candidates: int):
     to 256 exactly — so each product (one-hot 1.0/0.0 times a chunk <= 255)
     is exact, the row sum touches exactly one nonzero, and the chunks
     recombine losslessly regardless of matmul precision mode.
+
+    ``n_chunks`` optionally narrows a field to its low ``n * 8`` bits
+    (e.g. 1 for flags, 2 for small counters) — the operand matrix is the
+    selection step's main HBM traffic, so dropping always-zero chunk
+    columns is a direct bandwidth saving. Callers own the width claim.
     """
     import jax
 
@@ -551,19 +558,21 @@ def _select_fields_mxu(jnp, fields: Dict, src, n_candidates: int):
             return arr.astype(jnp.uint32)
         return arr.astype(jnp.uint32)
 
+    shifts = (0, 8, 16, 24)
     # flatten every field (and every column of 2-D fields) into f32 chunks
-    layout = []  # (key, n_cols_in_field)
+    layout = []  # (key, n_cols_in_field, n_chunks)
     chunk_cols = []
     for key, arr in fields.items():
         bits = to_u32(arr)
         if bits.ndim == 1:
             bits = bits[:, None]
-        layout.append((key, bits.shape[1]))
-        for shift in (0, 8, 16, 24):
+        nc = (n_chunks or {}).get(key, 4)
+        layout.append((key, bits.shape[1], nc))
+        for shift in shifts[:nc]:
             chunk_cols.append(
                 ((bits >> shift) & jnp.uint32(0xFF)).astype(jnp.float32)
             )
-    big = jnp.concatenate(chunk_cols, axis=1)  # [C, 4*F]
+    big = jnp.concatenate(chunk_cols, axis=1)  # [C, sum(nc_f * cols_f)]
     onehot = (
         src[:, None] == jnp.arange(n_candidates, dtype=src.dtype)[None, :]
     ).astype(jnp.float32)  # [B, C]
@@ -572,15 +581,15 @@ def _select_fields_mxu(jnp, fields: Dict, src, n_candidates: int):
         big,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [B, 4*F]
+    )  # [B, n_cols(big)]
     out = {}
     col = 0
-    for key, width in layout:
+    for key, width, nc in layout:
         val = jnp.zeros((picked.shape[0], width), dtype=jnp.uint32)
-        for i, shift in enumerate((0, 8, 16, 24)):
+        for i, shift in enumerate(shifts[:nc]):
             chunk = picked[:, col + i * width : col + (i + 1) * width]
             val = val | (chunk.astype(jnp.uint32) << shift)
-        col += 4 * width
+        col += nc * width
         dtype = fields[key].dtype
         if dtype == jnp.float32:
             val = jax.lax.bitcast_convert_type(val, jnp.float32)
@@ -790,12 +799,6 @@ def _make_step(
         fused_n = state["fused"][:, None] + jnp.where(
             as_boundary, cm["word_fused"][:, None], 0.0
         )
-        ring_lo_n = jnp.where(
-            as_boundary[:, :, None], cm["ring_lo"][:, None, :], state["ring_lo"][:, None, :]
-        )
-        ring_hi_n = jnp.where(
-            as_boundary[:, :, None], cm["ring_hi"][:, None, :], state["ring_hi"][:, None, :]
-        )
         n_words_n = jnp.where(as_boundary, cm["n_words"][:, None], state["n_words"][:, None])
         last_n = jnp.broadcast_to(toks[None, :], (b, k)).astype(jnp.int32)
         force_n = jnp.where(as_boundary, tok_right[None, :], state["force"][:, None])
@@ -808,45 +811,6 @@ def _make_step(
         # block-diagonal per token column, see _merge_dense)
         kl = _mix_key(jnp, text_lo_n, p_lo_n, p_hi_n, force_n.astype(jnp.uint32))
         kh = _mix_key(jnp, text_hi_n, p_hi_n, p_lo_n, force_n.astype(jnp.uint32))
-
-        fields = {
-            "text_lo": _flatten(text_lo_n),
-            "text_hi": _flatten(text_hi_n),
-            "p_lo": _flatten(p_lo_n),
-            "p_hi": _flatten(p_hi_n),
-            "p_len": _flatten(p_len_n),
-            "last_tok": _flatten(last_n),
-            "force": _flatten(force_n),
-            "fused": _flatten(fused_n),
-            "ring_lo": _flatten(ring_lo_n),
-            "ring_hi": _flatten(ring_hi_n),
-            "n_words": _flatten(n_words_n),
-        }
-        for i in range(n_lms):
-            fields[f"p_node{i}"] = _flatten(p_entry_n[i] & _NODE_MASK)
-            fields[f"p_flags{i}"] = _flatten(p_entry_n[i] & ~_NODE_MASK)
-            fields[f"ctx{i}"] = _flatten(
-                jnp.where(
-                    as_boundary[:, :, None],
-                    cm[f"ctx{i}"][:, None, :],
-                    state[f"ctx{i}"][:, None, :],
-                )
-            )
-            fields[f"ctx_len{i}"] = _flatten(
-                jnp.where(
-                    as_boundary, cm[f"ctx_len{i}"][:, None], state[f"ctx_len{i}"][:, None]
-                )
-            )
-            fields[f"ctx_bo{i}"] = _flatten(
-                jnp.where(
-                    as_boundary[:, :, None],
-                    cm[f"ctx_bo{i}"][:, None, :],
-                    state[f"ctx_bo{i}"][:, None, :],
-                )
-            )
-        if cfg.use_hotwords:
-            fields["h_node"] = _flatten(h_entry_n & HOT_NODE_MASK)
-            fields["h_bits"] = _flatten(h_entry_n & ~HOT_NODE_MASK)
 
         # ---- block-diagonal merge: [K, B] layout
         to_kb = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
@@ -872,17 +836,72 @@ def _make_step(
                 cfg,
                 hot,
                 prm,
-                [fields[f"p_flags{i}"] for i in range(n_lms)],
-                fields["h_node"] if cfg.use_hotwords else None,
-                fields["h_bits"] if cfg.use_hotwords else None,
-                fields["p_len"],
+                [_flatten(p_entry_n[i] & ~_NODE_MASK) for i in range(n_lms)],
+                _flatten(h_entry_n & HOT_NODE_MASK) if cfg.use_hotwords else None,
+                _flatten(h_entry_n & ~HOT_NODE_MASK) if cfg.use_hotwords else None,
+                _flatten(p_len_n),
             )
-            extra = fields["fused"] + pscore
+            extra = _flatten(fused_n) + pscore
         else:
-            extra = fields["fused"]
+            extra = _flatten(fused_n)
         if cfg.use_pallas_merge:
             from .ops.pallas_merge import merge_rank_pallas
 
+            # the Pallas path gathers full candidate rows, so it needs the
+            # two-way (carried vs committed) fields materialized per
+            # candidate; the default path below never forms these
+            fields = {
+                "text_lo": _flatten(text_lo_n),
+                "text_hi": _flatten(text_hi_n),
+                "p_lo": _flatten(p_lo_n),
+                "p_hi": _flatten(p_hi_n),
+                "p_len": _flatten(p_len_n),
+                "last_tok": _flatten(last_n),
+                "force": _flatten(force_n),
+                "fused": _flatten(fused_n),
+                "n_words": _flatten(n_words_n),
+                "ring_lo": _flatten(
+                    jnp.where(
+                        as_boundary[:, :, None],
+                        cm["ring_lo"][:, None, :],
+                        state["ring_lo"][:, None, :],
+                    )
+                ),
+                "ring_hi": _flatten(
+                    jnp.where(
+                        as_boundary[:, :, None],
+                        cm["ring_hi"][:, None, :],
+                        state["ring_hi"][:, None, :],
+                    )
+                ),
+            }
+            for i in range(n_lms):
+                fields[f"p_node{i}"] = _flatten(p_entry_n[i] & _NODE_MASK)
+                fields[f"p_flags{i}"] = _flatten(p_entry_n[i] & ~_NODE_MASK)
+                fields[f"ctx{i}"] = _flatten(
+                    jnp.where(
+                        as_boundary[:, :, None],
+                        cm[f"ctx{i}"][:, None, :],
+                        state[f"ctx{i}"][:, None, :],
+                    )
+                )
+                fields[f"ctx_len{i}"] = _flatten(
+                    jnp.where(
+                        as_boundary,
+                        cm[f"ctx_len{i}"][:, None],
+                        state[f"ctx_len{i}"][:, None],
+                    )
+                )
+                fields[f"ctx_bo{i}"] = _flatten(
+                    jnp.where(
+                        as_boundary[:, :, None],
+                        cm[f"ctx_bo{i}"][:, None, :],
+                        state[f"ctx_bo{i}"][:, None, :],
+                    )
+                )
+            if cfg.use_hotwords:
+                fields["h_node"] = _flatten(h_entry_n & HOT_NODE_MASK)
+                fields["h_bits"] = _flatten(h_entry_n & ~HOT_NODE_MASK)
             top_scores, top_logit, src = merge_rank_pallas(
                 to_kb(kl),
                 to_kb(kh),
@@ -899,23 +918,88 @@ def _make_step(
             new_state = _gather_fields(jnp, fields, src)
         else:
             # window prune + top-k on scores only; everything positional
-            # (donor index, merged logit, token id, state fields) rides the
-            # one-hot MXU selection instead of row gathers
+            # (donor index, merged logit, token id, state fields) rides
+            # one-hot MXU selections instead of row gathers. The operand
+            # matrices are the step's main HBM traffic, so the C-wide
+            # select carries ONLY truly per-candidate fields (narrowed to
+            # their live chunk widths); two-way carried-vs-committed
+            # fields (ring, ctx) ride a B-wide parent select — 16x fewer
+            # rows — resolved by the winner's own boundary flag.
             lm_score_flat = jnp.where(live, merged_flat + extra, DEAD)
             mx = jnp.max(lm_score_flat)
             sc = jnp.where(
                 lm_score_flat >= mx + prm["beam_prune_logp"], lm_score_flat, DEAD
             )
             top_scores, top_idx = jax.lax.top_k(sc, cfg.beam_width)
-            src = _select_fields_mxu(
-                jnp, {"_src": src_flat}, top_idx, c
-            )["_src"]
-            fields["_logit"] = merged_c  # donor shares its group's logsumexp
-            new_state = _select_fields_mxu(jnp, fields, src, c)
-            del fields["_logit"]
-            top_logit = new_state.pop("_logit")
+            sel0 = _select_fields_mxu(
+                jnp,
+                {"_src": src_flat, "_logit": merged_c},
+                top_idx,
+                c,
+                n_chunks={"_src": 2 if c <= 0xFFFF else 4},
+            )
+            src = sel0["_src"]
+            top_logit = sel0["_logit"]  # donor shares its group's logsumexp
             sel_alive = top_scores > DEAD_THRESH
             parent = (src % b).astype(jnp.int32)
+            cand = {
+                "text_lo": _flatten(text_lo_n),
+                "text_hi": _flatten(text_hi_n),
+                "p_lo": _flatten(p_lo_n),
+                "p_hi": _flatten(p_hi_n),
+                "p_len": _flatten(p_len_n),
+                "last_tok": _flatten(last_n),
+                "force": _flatten(force_n),
+                "fused": _flatten(fused_n),
+                "n_words": _flatten(n_words_n),
+                "_bnd": _flatten(as_boundary),
+            }
+            chunks = {"p_len": 3, "last_tok": 3, "force": 1, "_bnd": 1}
+            for i in range(n_lms):
+                cand[f"_ent{i}"] = _flatten(p_entry_n[i])
+            if cfg.use_hotwords:
+                cand["_h"] = _flatten(h_entry_n)
+            new_state = _select_fields_mxu(jnp, cand, src, c, n_chunks=chunks)
+            bnd_sel = new_state.pop("_bnd")
+            for i in range(n_lms):
+                ent = new_state.pop(f"_ent{i}")
+                new_state[f"p_node{i}"] = ent & _NODE_MASK
+                new_state[f"p_flags{i}"] = ent & ~_NODE_MASK
+            if cfg.use_hotwords:
+                h_ent = new_state.pop("_h")
+                new_state["h_node"] = h_ent & HOT_NODE_MASK
+                new_state["h_bits"] = h_ent & ~HOT_NODE_MASK
+            beam_fields = {
+                "c_ring_lo": state["ring_lo"],
+                "c_ring_hi": state["ring_hi"],
+                "m_ring_lo": cm["ring_lo"],
+                "m_ring_hi": cm["ring_hi"],
+            }
+            for i in range(n_lms):
+                beam_fields[f"c_ctx{i}"] = state[f"ctx{i}"]
+                beam_fields[f"m_ctx{i}"] = cm[f"ctx{i}"]
+                beam_fields[f"c_ctx_len{i}"] = state[f"ctx_len{i}"]
+                beam_fields[f"m_ctx_len{i}"] = cm[f"ctx_len{i}"]
+                beam_fields[f"c_ctx_bo{i}"] = state[f"ctx_bo{i}"]
+                beam_fields[f"m_ctx_bo{i}"] = cm[f"ctx_bo{i}"]
+            bsel = _select_fields_mxu(jnp, beam_fields, parent, b)
+            bnd2 = bnd_sel[:, None]
+            new_state["ring_lo"] = jnp.where(
+                bnd2, bsel["m_ring_lo"], bsel["c_ring_lo"]
+            )
+            new_state["ring_hi"] = jnp.where(
+                bnd2, bsel["m_ring_hi"], bsel["c_ring_hi"]
+            )
+            for i in range(n_lms):
+                new_state[f"ctx{i}"] = jnp.where(
+                    bnd2, bsel[f"m_ctx{i}"], bsel[f"c_ctx{i}"]
+                )
+                new_state[f"ctx_len{i}"] = jnp.where(
+                    bnd_sel, bsel[f"m_ctx_len{i}"], bsel[f"c_ctx_len{i}"]
+                )
+                new_state[f"ctx_bo{i}"] = jnp.where(
+                    bnd2, bsel[f"m_ctx_bo{i}"], bsel[f"c_ctx_bo{i}"]
+                )
             token_sel = new_state["last_tok"]  # == toks[src // b] by construction
         new_state["logit"] = jnp.where(sel_alive, top_logit, DEAD)
         new_state["last_tok"] = jnp.where(
