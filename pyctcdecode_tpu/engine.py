@@ -931,18 +931,16 @@ def _make_step(
                 lm_score_flat >= mx + prm["beam_prune_logp"], lm_score_flat, DEAD
             )
             top_scores, top_idx = jax.lax.top_k(sc, cfg.beam_width)
-            sel0 = _select_fields_mxu(
-                jnp,
-                {"_src": src_flat, "_logit": merged_c},
-                top_idx,
-                c,
-                n_chunks={"_src": 2 if c <= 0xFFFF else 4},
-            )
-            src = sel0["_src"]
-            top_logit = sel0["_logit"]  # donor shares its group's logsumexp
-            sel_alive = top_scores > DEAD_THRESH
-            parent = (src % b).astype(jnp.int32)
+            # every state field below is a function of the merge key (text,
+            # partial, force — and fused/ring/ctx, which are functions of
+            # the text), so group members carry identical values and the
+            # top-ranked member (the group's earliest, preserving the
+            # reference's tie order) can supply them directly. Only the
+            # backtrace metadata keeps the reference's newest-wins donor:
+            # ``_src`` resolves to the donor index for parents/trace.
             cand = {
+                "_src": src_flat,
+                "_logit": merged_c,  # every member carries the group logsumexp
                 "text_lo": _flatten(text_lo_n),
                 "text_hi": _flatten(text_hi_n),
                 "p_lo": _flatten(p_lo_n),
@@ -954,12 +952,23 @@ def _make_step(
                 "n_words": _flatten(n_words_n),
                 "_bnd": _flatten(as_boundary),
             }
-            chunks = {"p_len": 3, "last_tok": 3, "force": 1, "_bnd": 1}
+            chunks = {
+                "_src": 2 if c <= 0xFFFF else 4,
+                "p_len": 3,
+                "last_tok": 3,
+                "force": 1,
+                "_bnd": 1,
+            }
             for i in range(n_lms):
                 cand[f"_ent{i}"] = _flatten(p_entry_n[i])
             if cfg.use_hotwords:
                 cand["_h"] = _flatten(h_entry_n)
-            new_state = _select_fields_mxu(jnp, cand, src, c, n_chunks=chunks)
+            new_state = _select_fields_mxu(jnp, cand, top_idx, c, n_chunks=chunks)
+            src = new_state.pop("_src")
+            top_logit = new_state.pop("_logit")
+            sel_alive = top_scores > DEAD_THRESH
+            parent = (src % b).astype(jnp.int32)  # newest-wins, backtrace only
+            top_parent = (top_idx % b).astype(jnp.int32)
             bnd_sel = new_state.pop("_bnd")
             for i in range(n_lms):
                 ent = new_state.pop(f"_ent{i}")
@@ -982,7 +991,7 @@ def _make_step(
                 beam_fields[f"m_ctx_len{i}"] = cm[f"ctx_len{i}"]
                 beam_fields[f"c_ctx_bo{i}"] = state[f"ctx_bo{i}"]
                 beam_fields[f"m_ctx_bo{i}"] = cm[f"ctx_bo{i}"]
-            bsel = _select_fields_mxu(jnp, beam_fields, parent, b)
+            bsel = _select_fields_mxu(jnp, beam_fields, top_parent, b)
             bnd2 = bnd_sel[:, None]
             new_state["ring_lo"] = jnp.where(
                 bnd2, bsel["m_ring_lo"], bsel["c_ring_lo"]
