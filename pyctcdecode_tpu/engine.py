@@ -559,29 +559,34 @@ def _select_fields_mxu(
         return arr.astype(jnp.uint32)
 
     shifts = (0, 8, 16, 24)
-    # flatten every field (and every column of 2-D fields) into f32 chunks
+    # flatten every field (and every column of 2-D fields) into f32 chunk
+    # ROWS of a [F, C] matrix: with candidates minor the contracted dim is
+    # already minor-most, so the matmul consumes the operand without the
+    # whole-matrix relayout copy a [C, F] build incurs (measured ~23 ms
+    # per parity-config batch).
     layout = []  # (key, n_cols_in_field, n_chunks)
-    chunk_cols = []
+    chunk_rows = []
     for key, arr in fields.items():
         bits = to_u32(arr)
         if bits.ndim == 1:
             bits = bits[:, None]
         nc = (n_chunks or {}).get(key, 4)
         layout.append((key, bits.shape[1], nc))
+        cols = jnp.swapaxes(bits, 0, 1)  # [width, C]
         for shift in shifts[:nc]:
-            chunk_cols.append(
-                ((bits >> shift) & jnp.uint32(0xFF)).astype(jnp.float32)
+            chunk_rows.append(
+                ((cols >> shift) & jnp.uint32(0xFF)).astype(jnp.float32)
             )
-    big = jnp.concatenate(chunk_cols, axis=1)  # [C, sum(nc_f * cols_f)]
+    big = jnp.concatenate(chunk_rows, axis=0)  # [sum(nc_f * cols_f), C]
     onehot = (
         src[:, None] == jnp.arange(n_candidates, dtype=src.dtype)[None, :]
     ).astype(jnp.float32)  # [B, C]
     picked = jax.lax.dot_general(
         onehot,
         big,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [B, n_cols(big)]
+    )  # [B, n_rows(big)]
     out = {}
     col = 0
     for key, width, nc in layout:
@@ -1296,10 +1301,17 @@ def make_decode_fn(
                 par_t, tok_t = xs
                 return par_t[cur], tok_t[cur]
 
-            _, toks_rev = jax.lax.scan(
+            # scan(reverse=True) walks the frames back-to-front and writes
+            # each step's tokens at its own frame index, so the paths come
+            # out in forward order with NO materialized reverse ops — a
+            # [::-1]/flip on the output path miscompiled through the TPU
+            # relay at some batch shapes (batch 384: the leading frames
+            # came back un-reversed).
+            _, toks = jax.lax.scan(
                 back,
                 fin["src"][:r],
-                (parents[::-1], trace[::-1]),
+                (parents, trace),
+                reverse=True,
             )
             out = {
                 "beam_src": fin["src"][:r],
@@ -1307,7 +1319,7 @@ def make_decode_fn(
                 "lm_score": fin["score"][:r],
                 "ctx": tuple(c[:r] for c in fin["ctx"]),
                 "ctx_len": tuple(c[:r] for c in fin["ctx_len"]),
-                "paths": toks_rev[::-1].swapaxes(0, 1),  # [N, Tp]
+                "paths": toks.swapaxes(0, 1),  # [N, Tp]
             }
             if cfg.collect_stats:
                 out["stats"] = final_state["stats"]
@@ -1394,8 +1406,10 @@ def make_segment_decode_fns(
             par_t, tok_t = xs
             return par_t[cur], tok_t[cur]
 
-        _, toks_rev = jax.lax.scan(
-            back, fin["src"][:r], (parents[::-1], trace[::-1])
+        # reverse=True: forward-ordered paths with no materialized reverse
+        # (see make_decode_fn; [::-1] miscompiles at some batch shapes)
+        _, toks = jax.lax.scan(
+            back, fin["src"][:r], (parents, trace), reverse=True
         )
         out = {
             "beam_src": fin["src"][:r],
@@ -1403,7 +1417,7 @@ def make_segment_decode_fns(
             "lm_score": fin["score"][:r],
             "ctx": tuple(c[:r] for c in fin["ctx"]),
             "ctx_len": tuple(c[:r] for c in fin["ctx_len"]),
-            "paths": toks_rev[::-1].swapaxes(0, 1),  # [N, Tp]
+            "paths": toks.swapaxes(0, 1),  # [N, Tp]
         }
         if cfg.collect_stats:
             out["stats"] = state["stats"]
