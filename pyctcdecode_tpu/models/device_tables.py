@@ -533,21 +533,31 @@ def build_vocab_trie(
 
 
 def _put_row_major(arr: np.ndarray) -> "object":
-    """Upload a 2-D table for row-gather consumption.
+    """Device-put a 2-D table with an explicit row-major layout.
 
     XLA's gather emitter wants these tables row-major and inserts a
     whole-table relayout copy into programs that disagree (~1 ms per
-    segment call on a 211 MB trie plane). Pinning the layout at upload
-    time via ``jax.experimental.layout.Format(Layout((0, 1)))`` removes
-    those copies — but on this TPU relay it silently corrupts LARGE
-    program outputs (batch-256 backtrace paths come back permuted while
-    small repros round-trip clean), so tables upload with the default
-    layout and the relayout cost is accepted until the relay handles
-    custom layouts correctly.
+    segment call on a 211 MB trie plane); pinning the layout at upload
+    time removes those copies. (An earlier attempt appeared to corrupt
+    batch-256 outputs; the real culprit was a [::-1] miscompile on the
+    backtrace path — fixed by scan(reverse=True) in engine.py — which the
+    layout change merely perturbed into triggering.) Falls back to a
+    plain transfer on CPU and on layout-API drift.
     """
+    import jax
     import jax.numpy as jnp
 
-    return jnp.asarray(arr)
+    try:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            return jnp.asarray(arr)
+        fmt = Format(Layout((0, 1)), SingleDeviceSharding(dev))
+        return jax.device_put(np.ascontiguousarray(arr), fmt)
+    except Exception:  # pragma: no cover - layout API drift
+        return jnp.asarray(arr)
 
 
 def _pad_trie_rows(
