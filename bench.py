@@ -29,7 +29,9 @@ import numpy as np
 
 FRAME_SEC = 0.02
 BEAM_WIDTH = 100
-BATCH = int(os.environ.get("BENCH_BATCH", 256))
+# 384 is the measured single-chip sweet spot at the parity config (2513
+# audio_s/s vs 2314 @256 and 2253 @512 after the round-2 engine work)
+BATCH = int(os.environ.get("BENCH_BATCH", 384))
 K_TOKENS = 16  # top-K token preselect (threshold admits ~2-6 in practice)
 RUN_SECONDARY = os.environ.get("BENCH_SECONDARY", "1") == "1"
 SAMPLE = "/root/reference/pyctcdecode/tests/sample_data/libri_logits.json"
