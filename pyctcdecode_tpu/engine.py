@@ -93,6 +93,12 @@ class EngineConfig:
     # fuse the per-frame merge + prune + top-k into one Pallas kernel
     # (ops/pallas_merge.py); interpret mode is selected automatically off-TPU
     use_pallas_merge: bool = False
+    # rank candidates with TPU's PartialReduce-based approx_max_k instead
+    # of the full sort lax.top_k lowers to. With recall_target=1.0 the
+    # top-k SET is exact, but tie ORDER among equal scores may differ from
+    # the reference's enumeration order — opt-in for serving, off for
+    # parity work.
+    fast_topk: bool = False
     # accumulate per-utterance decode counters (beams alive, prune/merge
     # kills, commits, LM probe hit rates) in the carried state; off by
     # default so the hot program is unchanged. See stats_fields().
@@ -935,7 +941,13 @@ def _make_step(
             sc = jnp.where(
                 lm_score_flat >= mx + prm["beam_prune_logp"], lm_score_flat, DEAD
             )
-            top_scores, top_idx = jax.lax.top_k(sc, cfg.beam_width)
+            if cfg.fast_topk:
+                top_scores, top_idx = jax.lax.approx_max_k(
+                    sc, cfg.beam_width, recall_target=1.0
+                )
+                top_idx = top_idx.astype(jnp.int32)
+            else:
+                top_scores, top_idx = jax.lax.top_k(sc, cfg.beam_width)
             # every state field below is a function of the merge key (text,
             # partial, force — and fused/ring/ctx, which are functions of
             # the text), so group members carry identical values and the

@@ -350,10 +350,20 @@ def read_kenlm_binary(path: str) -> KenLMTables:
         from .kenlm_trie import read_kenlm_trie
 
         return read_kenlm_trie(raw, path, order, counts, off)
-    # vocabulary hash table (words come from the trailing strings section)
+    # vocabulary hash table: murmur64(word) -> id. Word ids are recovered
+    # by hashing the trailing strings through this table rather than by
+    # position, so the reader is agnostic to whether the strings section
+    # includes <unk> or starts at id 0 or 1 (conventions differ between
+    # writers; kenlm's own enumeration starts at id 1 with <unk> fixed 0).
     bound = int(np.frombuffer(raw, "<u8", 1, off)[0])
     off += 8
-    off += _buckets(counts[0], multiplier) * _VOCAB_ENTRY.itemsize
+    n_buckets = _buckets(counts[0], multiplier)
+    vtab = np.frombuffer(raw, _VOCAB_ENTRY, n_buckets, off)
+    occ = vtab["key"] != 0
+    hash2id = dict(
+        zip(vtab["key"][occ].tolist(), vtab["value"][occ].tolist())
+    )
+    off += n_buckets * _VOCAB_ENTRY.itemsize
     # unigram dense array
     uni = np.frombuffer(raw, _PROB_BACKOFF, counts[0] + 1, off)[: counts[0]]
     off += (counts[0] + 1) * _PROB_BACKOFF.itemsize
@@ -381,15 +391,26 @@ def read_kenlm_binary(path: str) -> KenLMTables:
                 )
             )
         )
-    words = raw[off:].split(b"\x00")[:bound]
-    if len(words) < bound:
+    words = [w for w in raw[off:].split(b"\x00") if w]
+    vocab: Dict[str, int] = {}
+    for w in words:
+        ws = w.decode("utf-8")
+        if ws == UNK_WORD:
+            vocab[ws] = 0
+            continue
+        wid = hash2id.get(murmur64(w))
+        if wid is None:
+            raise ValueError(
+                f"{path!r}: vocabulary string {ws!r} does not hash into "
+                "the stored id table; the file is corrupt."
+            )
+        vocab[ws] = int(wid)
+    vocab.setdefault(UNK_WORD, 0)  # kenlm fixes <unk> = 0, strings omit it
+    if len(vocab) < bound:
         raise ValueError(
-            f"{path!r}: vocabulary strings section holds {len(words)} "
-            f"words but the header promises {bound}."
+            f"{path!r}: vocabulary strings section resolves to "
+            f"{len(vocab)} words but the header promises {bound}."
         )
-    vocab = {w.decode("utf-8"): i for i, w in enumerate(words)}
-    if UNK_WORD not in vocab:
-        raise ValueError(f"{path!r}: vocabulary is missing {UNK_WORD}.")
     return KenLMTables(order, vocab, uni.copy(), grams, raw_tabs, path=path)
 
 

@@ -185,12 +185,16 @@ class TPUBeamSearchDecoderCTC:
         language_model: Optional[LanguageModel] = None,
         use_pallas_merge: bool = False,
         segment_frames: Optional[int] = None,
+        fast_topk: bool = False,
     ) -> None:
         import jax.numpy as jnp
 
         from .models.language_model import MultiLanguageModel
 
         self._use_pallas_merge = use_pallas_merge
+        # approx_max_k ranking: exact top-k SET, tie order may diverge from
+        # the reference's enumeration order (see EngineConfig.fast_topk)
+        self._fast_topk = fast_topk
         # batch decoding runs as host-dispatched segments of unrolled frames
         # on accelerators (in-loop gathers take XLA's scalar path, ~40x
         # slower than top-level gathers; see make_segment_decode_fns). 0
@@ -256,6 +260,7 @@ class TPUBeamSearchDecoderCTC:
             emit_paths=emit_paths,
             use_pallas_merge=self._use_pallas_merge,
             collect_stats=collect_stats,
+            fast_topk=self._fast_topk,
         )
 
     def _get_fn(

@@ -527,3 +527,21 @@ class TestDeviceBatch(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestFastTopK(unittest.TestCase):
+    """fast_topk swaps lax.top_k for approx_max_k (exact set, tie order
+    may differ); on identical-score-free inputs the decode is identical."""
+
+    def test_fast_topk_matches_default_on_libri(self):
+        path = os.path.join(SAMPLE_DATA, "libri_logits.json")
+        if not os.path.exists(path):
+            self.skipTest("reference fixture not present")
+        with open(path) as fh:
+            logits = np.array(json.load(fh), dtype=np.float32)
+        alphabet = Alphabet.build_alphabet(LIBRI_LABELS)
+        base = TPUBeamSearchDecoderCTC(alphabet)
+        fast = TPUBeamSearchDecoderCTC(alphabet, fast_topk=True)
+        want = base.decode(logits, beam_width=25)
+        got = fast.decode(logits, beam_width=25)
+        self.assertEqual(got, want)

@@ -113,6 +113,27 @@ class TestKenLMRoundTrip(TempfileTestCase):
             have, _ = _score_sentence(got, sent)
             self.assertAlmostEqual(want, have, places=5, msg=str(sent))
 
+    def test_reader_accepts_kenlm_strings_convention(self):
+        """kenlm's own writer omits <unk> from the trailing strings (ids
+        start at 1, <unk> fixed 0); ids are recovered via the murmur hash
+        table, so a binary in that convention must load identically."""
+        if not os.path.exists(BUGS_ARPA):
+            self.skipTest("reference fixture not present")
+        ref = NGramModel(read_arpa(BUGS_ARPA))
+        path = os.path.join(self.temp_dir, "model.bin")
+        write_kenlm_binary(ref.tables, path)
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        marker = b"<unk>\x00"
+        idx = raw.rindex(marker)  # our writer puts <unk> first in strings
+        with open(path, "wb") as fh:
+            fh.write(raw[:idx] + raw[idx + len(marker):])
+        got = KenLMBinaryModel.from_file(path)
+        self.assertEqual(got.tables.vocab["<unk>"], 0)
+        want, _ = _score_sentence(ref, ["bugs", "bunny"])
+        have, _ = _score_sentence(got, ["bugs", "bunny"])
+        self.assertAlmostEqual(want, have, places=6)
+
     def test_states_track_reference(self):
         arpa = os.path.join(self.temp_dir, "rand.arpa")
         vocab = _random_arpa(arpa, order=3, vocab_n=80, grams_per_order=500)
