@@ -545,3 +545,9 @@ class TestFastTopK(unittest.TestCase):
         want = base.decode(logits, beam_width=25)
         got = fast.decode(logits, beam_width=25)
         self.assertEqual(got, want)
+        # the segmented per-frame programs (the accelerator batch path)
+        # must compile and agree with approx_max_k ranking too
+        seg = TPUBeamSearchDecoderCTC(alphabet, fast_topk=True, segment_frames=16)
+        self.assertEqual(
+            seg.decode_batch([logits], beam_width=25)[0], want
+        )
