@@ -142,17 +142,22 @@ class ShardedCTCDecoder:
         prune_history: bool,
         use_hotwords: bool = False,
         emit_paths: Optional[int] = None,
+        collect_stats: bool = False,
     ):
         import jax
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
-        key = (t_pad, beam_width, k, prune_history, use_hotwords, emit_paths)
+        key = (
+            t_pad, beam_width, k, prune_history, use_hotwords, emit_paths,
+            collect_stats,
+        )
         fn = self._fn_cache.get(key)
         if fn is None:
             d = self._decoder
             cfg = d._engine_cfg(
-                beam_width, k, prune_history, use_hotwords, emit_paths
+                beam_width, k, prune_history, use_hotwords, emit_paths,
+                collect_stats=collect_stats,
             )
             axis = self._axis
             shard = (axis, self.n_devices) if self._shard_lm else None
@@ -212,8 +217,14 @@ class ShardedCTCDecoder:
         hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
         max_tokens_per_frame: Optional[int] = None,
         top_n: Optional[int] = None,
-    ) -> List[List]:
-        """Decode a global batch sharded over the mesh; ragged inputs padded."""
+        collect_stats: bool = False,
+    ) -> "object":
+        """Decode a global batch sharded over the mesh; ragged inputs padded.
+
+        With ``collect_stats=True`` returns ``(results, stats)`` — one
+        on-device counter dict per utterance, same schema as
+        :meth:`~pyctcdecode_tpu.tpu_decoder.TPUBeamSearchDecoderCTC.decode_beams_batch`.
+        """
         import jax.numpy as jnp
 
         if not logits_list:
@@ -239,6 +250,7 @@ class ShardedCTCDecoder:
             prune_history,
             use_hotwords=hot is not None,
             emit_paths=(min(top_n, beam_width) if top_n is not None else None),
+            collect_stats=collect_stats,
         )
         params = d._params_vector(token_min_logp, beam_prune_logp, weight)
         start = d._start_ctx(None)
@@ -250,6 +262,8 @@ class ShardedCTCDecoder:
             self._tabs,
             hot,
         )
+        out = dict(out)
+        stats_dev = out.pop("stats", None)
         host = {
             key: (
                 tuple(np.asarray(v) for v in val)
@@ -267,6 +281,17 @@ class ShardedCTCDecoder:
                 for key, val in host.items()
             }
             results.append(d._build_outputs(one, n_frames=lens[i], top_n=top_n))
+        if collect_stats:
+            from ..engine import stats_fields
+
+            cfg = d._engine_cfg(
+                beam_width, k, prune_history, hot is not None,
+                (min(top_n, beam_width) if top_n is not None else None),
+                collect_stats=True,
+            )
+            names = stats_fields(cfg)
+            per_utt = np.asarray(stats_dev)[:n]
+            return results, [dict(zip(names, row.tolist())) for row in per_utt]
         return results
 
     def decode_beams_batch_multiprocess(

@@ -227,3 +227,30 @@ class TestGraftEntry(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+def test_sharded_collect_stats_matches_unsharded():
+    """Mesh decode returns the same per-utterance counters as the plain
+    device engine (stats ride the sharded batch axis like any output)."""
+    import numpy as np
+
+    from pyctcdecode_tpu.alphabet import Alphabet
+    from pyctcdecode_tpu.parallel import ShardedCTCDecoder, make_data_mesh
+    from pyctcdecode_tpu.tpu_decoder import TPUBeamSearchDecoderCTC
+
+    from .helpers import LIBRI_LABELS
+
+    rng = np.random.RandomState(3)
+    logits = [rng.randn(24, len(LIBRI_LABELS) + 1).astype(np.float32) * 2
+              for _ in range(6)]
+    labels = LIBRI_LABELS + [""]
+    dec = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(labels))
+    plain, plain_stats = dec.decode_beams_batch(
+        logits, beam_width=8, collect_stats=True
+    )
+    sharded = ShardedCTCDecoder(dec, mesh=make_data_mesh(4))
+    res, stats = sharded.decode_beams_batch(
+        logits, beam_width=8, collect_stats=True
+    )
+    assert [r[0].text for r in res] == [r[0].text for r in plain]
+    assert stats == plain_stats
