@@ -47,6 +47,7 @@ def build_ctcdecoder(
     unk_score_offset: float = DEFAULT_UNK_LOGP_OFFSET,
     lm_score_boundary: bool = DEFAULT_SCORE_LM_BOUNDARY,
     engine: str = "auto",
+    **engine_options: "object",
 ) -> Union[BeamSearchDecoderCTC, "TPUBeamSearchDecoderCTC"]:
     """Build a ready-to-use decoder (main entry point).
 
@@ -64,6 +65,9 @@ def build_ctcdecoder(
         engine: ``"tpu"`` for the vectorized device engine, ``"host"`` for
             the exact host engine, ``"auto"`` (default) picks the device
             engine whenever JAX is usable.
+        **engine_options: forwarded to the device engine constructor
+            (``fast_topk``, ``segment_frames``, ``use_pallas_merge``);
+            rejected with the host engine, which has no such knobs.
 
     Returns:
         A :class:`~pyctcdecode_tpu.tpu_decoder.TPUBeamSearchDecoderCTC` or
@@ -115,5 +119,14 @@ def build_ctcdecoder(
     if engine == "tpu":
         from .tpu_decoder import TPUBeamSearchDecoderCTC
 
-        return TPUBeamSearchDecoderCTC(alphabet, language_model)
+        return TPUBeamSearchDecoderCTC(
+            alphabet, language_model, **engine_options
+        )
+    if engine_options:
+        raise TypeError(
+            "engine options "
+            f"{sorted(engine_options)} apply to the device engine only; "
+            "the host engine accepts none (remove them or use "
+            "engine='tpu')"
+        )
     return BeamSearchDecoderCTC(alphabet, language_model)

@@ -86,3 +86,23 @@ class TestDeviceSerialization(TempfileTestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestEngineOptions(unittest.TestCase):
+    def test_options_forward_to_device_engine(self):
+        from pyctcdecode_tpu import build_ctcdecoder
+
+        dec = build_ctcdecoder(
+            [" ", "a", "b", ""], engine="tpu", fast_topk=True,
+            segment_frames=8,
+        )
+        self.assertTrue(dec._fast_topk)
+        self.assertEqual(dec._segment_frames, 8)
+
+    def test_options_rejected_on_host_engine(self):
+        from pyctcdecode_tpu import build_ctcdecoder
+
+        with self.assertRaisesRegex(TypeError, "fast_topk.*device engine"):
+            build_ctcdecoder(
+                [" ", "a", "b", ""], engine="host", fast_topk=True
+            )
