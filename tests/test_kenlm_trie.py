@@ -142,8 +142,8 @@ class TestTrieRoundTrip(TempfileTestCase):
             self.assertAlmostEqual(want, have, places=6, msg=str(sent))
             self.assertEqual(len(ws), len(hs), msg=str(sent))
 
-    def test_suffix_closed_fuzz_orders_3_and_4(self):
-        for order, seed in ((3, 7), (4, 23)):
+    def test_suffix_closed_fuzz_orders_3_to_5(self):
+        for order, seed in ((3, 7), (4, 23), (5, 41)):
             arpa = os.path.join(self.temp_dir, f"rand{order}.arpa")
             vocab = _suffix_closed_arpa(arpa, order=order, seed=seed)
             ref, got = self._roundtrip(arpa)
