@@ -90,8 +90,9 @@ class EngineConfig:
     # raw [T, B] backpointer matrices (slashes device->host transfer for
     # top-1 decoding); None emits the full pointers
     emit_paths: Optional[int] = None
-    # fuse the per-frame merge + prune + top-k into one Pallas kernel
-    # (ops/pallas_merge.py); interpret mode is selected automatically off-TPU
+    # compute the per-frame block-diagonal merge + window prune in one
+    # Pallas kernel pass (ops/pallas_merge.py) instead of XLA's separate
+    # reductions; interpret mode is selected automatically off-TPU
     use_pallas_merge: bool = False
     # rank candidates with TPU's PartialReduce-based approx_max_k instead
     # of the full sort lax.top_k lowers to. With recall_target=1.0 the
@@ -507,34 +508,6 @@ def _merge_dense(jnp, keys, valid, logit):
     return merged, dup, jnp.maximum(donor, 0)
 
 
-def _gather_fields(jnp, fields: Dict, src):
-    """Gather every per-candidate field at ``src`` with one gather per dtype.
-
-    Small-array gathers cost ~fixed time per op on TPU; ~20 per-field
-    gathers dominate the selection step. Packing same-dtype fields into one
-    [C, F] matrix turns them into a handful of row-gathers.
-    """
-    out = {}
-    groups: Dict[str, List[str]] = {}
-    for key, arr in fields.items():
-        if arr.ndim != 1:
-            out[key] = arr[src]  # multi-column fields are row-gathers already
-            continue
-        kind = "u32" if arr.dtype == jnp.uint32 else (
-            "f32" if arr.dtype == jnp.float32 else "i32"
-        )
-        groups.setdefault(kind, []).append(key)
-    casts = {"u32": jnp.uint32, "f32": jnp.float32, "i32": jnp.int32}
-    for kind, keys in groups.items():
-        # NOTE: stacking scalars works well; concatenating 2-D fields into
-        # the group matrix regresses badly on TPU (layout churn) — measured.
-        mat = jnp.stack([fields[k].astype(casts[kind]) for k in keys], axis=1)
-        gathered = mat[src]
-        for col, key in enumerate(keys):
-            out[key] = gathered[:, col].astype(fields[key].dtype)
-    return out
-
-
 def _select_fields_mxu(
     jnp, fields: Dict, src, n_candidates: int, n_chunks: Optional[Dict] = None
 ):
@@ -544,11 +517,12 @@ def _select_fields_mxu(
     makes per-field row gathers the selection bottleneck; a one-hot [B, C]
     matrix times a packed [C, F] field matrix does the same permutation on
     the MXU in microseconds. Exactness: every 32-bit field is bitcast to
-    u32 and split into four 8-bit chunks stored as f32. XLA:TPU lowers f32
-    matmuls to bf16 passes by default, and bf16 represents every integer up
-    to 256 exactly — so each product (one-hot 1.0/0.0 times a chunk <= 255)
-    is exact, the row sum touches exactly one nonzero, and the chunks
-    recombine losslessly regardless of matmul precision mode.
+    u32 and split into four 8-bit chunks stored as bf16 (bf16 represents
+    every integer up to 256 exactly), so each product (one-hot 1.0/0.0
+    times a chunk <= 255) is exact, the row sum touches exactly one
+    nonzero, and the chunks recombine losslessly. The operand matrix is
+    the selection step's main HBM traffic, so bf16 storage halves it
+    relative to f32 chunks at identical results (measured, bit-equal).
 
     ``n_chunks`` optionally narrows a field to its low ``n * 8`` bits
     (e.g. 1 for flags, 2 for small counters) — the operand matrix is the
@@ -581,12 +555,12 @@ def _select_fields_mxu(
         cols = jnp.swapaxes(bits, 0, 1)  # [width, C]
         for shift in shifts[:nc]:
             chunk_rows.append(
-                ((cols >> shift) & jnp.uint32(0xFF)).astype(jnp.float32)
+                ((cols >> shift) & jnp.uint32(0xFF)).astype(jnp.bfloat16)
             )
     big = jnp.concatenate(chunk_rows, axis=0)  # [sum(nc_f * cols_f), C]
     onehot = (
         src[:, None] == jnp.arange(n_candidates, dtype=src.dtype)[None, :]
-    ).astype(jnp.float32)  # [B, C]
+    ).astype(jnp.bfloat16)  # [B, C]
     picked = jax.lax.dot_general(
         onehot,
         big,
@@ -764,8 +738,10 @@ def _make_step(
                         ext_hentry,
                     )
 
-        seed_lo = jnp.broadcast_to(tok_dev["seed_lo"][toks][None, :], (b, k))
-        seed_hi = jnp.broadcast_to(tok_dev["seed_hi"][toks][None, :], (b, k))
+        seed_lo_k = tok_dev["seed_lo"][toks]
+        seed_hi_k = tok_dev["seed_hi"][toks]
+        seed_lo = jnp.broadcast_to(seed_lo_k[None, :], (b, k))
+        seed_hi = jnp.broadcast_to(seed_hi_k[None, :], (b, k))
         p_lo_n = jnp.where(
             stay, state["p_lo"][:, None], jnp.where(as_boundary, seed_lo, ext_lo)
         )
@@ -810,8 +786,6 @@ def _make_step(
         fused_n = state["fused"][:, None] + jnp.where(
             as_boundary, cm["word_fused"][:, None], 0.0
         )
-        n_words_n = jnp.where(as_boundary, cm["n_words"][:, None], state["n_words"][:, None])
-        last_n = jnp.broadcast_to(toks[None, :], (b, k)).astype(jnp.int32)
         force_n = jnp.where(as_boundary, tok_right[None, :], state["force"][:, None])
         logit_n = jnp.where(
             alive[:, None], state["logit"][:, None] + tok_logp[None, :], DEAD
@@ -822,20 +796,6 @@ def _make_step(
         # block-diagonal per token column, see _merge_dense)
         kl = _mix_key(jnp, text_lo_n, p_lo_n, p_hi_n, force_n.astype(jnp.uint32))
         kh = _mix_key(jnp, text_hi_n, p_hi_n, p_lo_n, force_n.astype(jnp.uint32))
-
-        # ---- block-diagonal merge: [K, B] layout
-        to_kb = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
-        if not cfg.use_pallas_merge:
-            merged, dup, donor = _merge_dense(
-                jnp, [to_kb(kl), to_kb(kh)], to_kb(valid), to_kb(logit_n)
-            )
-            src_flat = (
-                jnp.arange(k, dtype=jnp.int32)[:, None] * b + donor
-            ).reshape(c)
-            rep = (to_kb(valid) & ~dup).reshape(c)
-            merged_c = merged.reshape(c)  # group logsumexp at EVERY member
-            merged_flat = jnp.where(rep, merged_c, DEAD)
-            live = merged_flat > DEAD_THRESH
 
         # every member of a merge group shares (text, partial), hence the
         # same fused accumulator and partial score — use each candidate's
@@ -855,178 +815,173 @@ def _make_step(
             extra = _flatten(fused_n) + pscore
         else:
             extra = _flatten(fused_n)
-        if cfg.use_pallas_merge:
-            from .ops.pallas_merge import merge_rank_pallas
 
-            # the Pallas path gathers full candidate rows, so it needs the
-            # two-way (carried vs committed) fields materialized per
-            # candidate; the default path below never forms these
-            fields = {
-                "text_lo": _flatten(text_lo_n),
-                "text_hi": _flatten(text_hi_n),
-                "p_lo": _flatten(p_lo_n),
-                "p_hi": _flatten(p_hi_n),
-                "p_len": _flatten(p_len_n),
-                "last_tok": _flatten(last_n),
-                "force": _flatten(force_n),
-                "fused": _flatten(fused_n),
-                "n_words": _flatten(n_words_n),
-                "ring_lo": _flatten(
-                    jnp.where(
-                        as_boundary[:, :, None],
-                        cm["ring_lo"][:, None, :],
-                        state["ring_lo"][:, None, :],
-                    )
-                ),
-                "ring_hi": _flatten(
-                    jnp.where(
-                        as_boundary[:, :, None],
-                        cm["ring_hi"][:, None, :],
-                        state["ring_hi"][:, None, :],
-                    )
-                ),
-            }
-            for i in range(n_lms):
-                fields[f"p_node{i}"] = _flatten(p_entry_n[i] & _NODE_MASK)
-                fields[f"p_flags{i}"] = _flatten(p_entry_n[i] & ~_NODE_MASK)
-                fields[f"ctx{i}"] = _flatten(
-                    jnp.where(
-                        as_boundary[:, :, None],
-                        cm[f"ctx{i}"][:, None, :],
-                        state[f"ctx{i}"][:, None, :],
-                    )
-                )
-                fields[f"ctx_len{i}"] = _flatten(
-                    jnp.where(
-                        as_boundary,
-                        cm[f"ctx_len{i}"][:, None],
-                        state[f"ctx_len{i}"][:, None],
-                    )
-                )
-                fields[f"ctx_bo{i}"] = _flatten(
-                    jnp.where(
-                        as_boundary[:, :, None],
-                        cm[f"ctx_bo{i}"][:, None, :],
-                        state[f"ctx_bo{i}"][:, None, :],
-                    )
-                )
-            if cfg.use_hotwords:
-                fields["h_node"] = _flatten(h_entry_n & HOT_NODE_MASK)
-                fields["h_bits"] = _flatten(h_entry_n & ~HOT_NODE_MASK)
-            top_scores, top_logit, src = merge_rank_pallas(
+        # ---- block-diagonal merge + window prune: [K, B] layout.
+        # Both paths produce the same three [C] vectors: ``sc`` (pruned
+        # candidate score, DEAD at duplicate members), ``merged_c`` (group
+        # logsumexp at every member) and ``src_flat`` (newest group member,
+        # the backtrace donor).
+        to_kb = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
+        if cfg.use_pallas_merge:
+            from .ops.pallas_merge import merge_score_pallas
+
+            sc_kb, merged_kb, src_kb = merge_score_pallas(
                 to_kb(kl),
                 to_kb(kh),
                 to_kb(valid),
                 to_kb(logit_n),
                 extra.reshape(k, b),
                 prm["beam_prune_logp"],
-                cfg.beam_width,
                 interpret=jax.default_backend() != "tpu",
             )
-            sel_alive = top_scores > DEAD_THRESH
-            parent = (src % b).astype(jnp.int32)
-            token_sel = toks[src // b].astype(jnp.int32)
-            new_state = _gather_fields(jnp, fields, src)
+            sc = sc_kb.reshape(c)
+            merged_c = merged_kb.reshape(c)
+            src_flat = src_kb.reshape(c)
         else:
-            # window prune + top-k on scores only; everything positional
-            # (donor index, merged logit, token id, state fields) rides
-            # one-hot MXU selections instead of row gathers. The operand
-            # matrices are the step's main HBM traffic, so the C-wide
-            # select carries ONLY truly per-candidate fields (narrowed to
-            # their live chunk widths); two-way carried-vs-committed
-            # fields (ring, ctx) ride a B-wide parent select — 16x fewer
-            # rows — resolved by the winner's own boundary flag.
+            merged, dup, donor = _merge_dense(
+                jnp, [to_kb(kl), to_kb(kh)], to_kb(valid), to_kb(logit_n)
+            )
+            src_flat = (
+                jnp.arange(k, dtype=jnp.int32)[:, None] * b + donor
+            ).reshape(c)
+            rep = (to_kb(valid) & ~dup).reshape(c)
+            merged_c = merged.reshape(c)  # group logsumexp at EVERY member
+            merged_flat = jnp.where(rep, merged_c, DEAD)
+            live = merged_flat > DEAD_THRESH
             lm_score_flat = jnp.where(live, merged_flat + extra, DEAD)
             mx = jnp.max(lm_score_flat)
             sc = jnp.where(
                 lm_score_flat >= mx + prm["beam_prune_logp"], lm_score_flat, DEAD
             )
-            if cfg.fast_topk:
-                top_scores, top_idx = jax.lax.approx_max_k(
-                    sc, cfg.beam_width, recall_target=1.0
-                )
-                top_idx = top_idx.astype(jnp.int32)
-            else:
-                top_scores, top_idx = jax.lax.top_k(sc, cfg.beam_width)
-            # every state field below is a function of the merge key (text,
-            # partial, force — and fused/ring/ctx, which are functions of
-            # the text), so group members carry identical values and the
-            # top-ranked member (the group's earliest, preserving the
-            # reference's tie order) can supply them directly. Only the
-            # backtrace metadata keeps the reference's newest-wins donor:
-            # ``_src`` resolves to the donor index for parents/trace.
-            cand = {
-                "_src": src_flat,
-                "_logit": merged_c,  # every member carries the group logsumexp
-                "text_lo": _flatten(text_lo_n),
-                "text_hi": _flatten(text_hi_n),
-                "p_lo": _flatten(p_lo_n),
-                "p_hi": _flatten(p_hi_n),
-                "p_len": _flatten(p_len_n),
-                "last_tok": _flatten(last_n),
-                "force": _flatten(force_n),
-                "fused": _flatten(fused_n),
-                "n_words": _flatten(n_words_n),
-                "_bnd": _flatten(as_boundary),
-            }
-            chunks = {
-                "_src": 2 if c <= 0xFFFF else 4,
-                "p_len": 3,
-                "last_tok": 3,
-                "force": 1,
-                "_bnd": 1,
-            }
-            for i in range(n_lms):
-                cand[f"_ent{i}"] = _flatten(p_entry_n[i])
-            if cfg.use_hotwords:
-                cand["_h"] = _flatten(h_entry_n)
-            new_state = _select_fields_mxu(jnp, cand, top_idx, c, n_chunks=chunks)
-            src = new_state.pop("_src")
-            top_logit = new_state.pop("_logit")
-            sel_alive = top_scores > DEAD_THRESH
-            parent = (src % b).astype(jnp.int32)  # newest-wins, backtrace only
-            top_parent = (top_idx % b).astype(jnp.int32)
-            bnd_sel = new_state.pop("_bnd")
-            for i in range(n_lms):
-                ent = new_state.pop(f"_ent{i}")
-                new_state[f"p_node{i}"] = ent & _NODE_MASK
-                new_state[f"p_flags{i}"] = ent & ~_NODE_MASK
-            if cfg.use_hotwords:
-                h_ent = new_state.pop("_h")
-                new_state["h_node"] = h_ent & HOT_NODE_MASK
-                new_state["h_bits"] = h_ent & ~HOT_NODE_MASK
-            beam_fields = {
-                "c_ring_lo": state["ring_lo"],
-                "c_ring_hi": state["ring_hi"],
-                "m_ring_lo": cm["ring_lo"],
-                "m_ring_hi": cm["ring_hi"],
-            }
-            for i in range(n_lms):
-                beam_fields[f"c_ctx{i}"] = state[f"ctx{i}"]
-                beam_fields[f"m_ctx{i}"] = cm[f"ctx{i}"]
-                beam_fields[f"c_ctx_len{i}"] = state[f"ctx_len{i}"]
-                beam_fields[f"m_ctx_len{i}"] = cm[f"ctx_len{i}"]
-                beam_fields[f"c_ctx_bo{i}"] = state[f"ctx_bo{i}"]
-                beam_fields[f"m_ctx_bo{i}"] = cm[f"ctx_bo{i}"]
-            bsel = _select_fields_mxu(jnp, beam_fields, top_parent, b)
-            bnd2 = bnd_sel[:, None]
-            new_state["ring_lo"] = jnp.where(
-                bnd2, bsel["m_ring_lo"], bsel["c_ring_lo"]
+
+        # ---- top-k on scores only; everything positional (donor index,
+        # merged logit, token id, state fields) rides one-hot MXU
+        # selections instead of row gathers. The operand matrices are the
+        # step's main HBM traffic, so the C-wide select carries ONLY truly
+        # per-candidate fields (narrowed to their live chunk widths);
+        # two-way carried-vs-committed fields (ring, ctx) ride a B-wide
+        # parent select — 16x fewer rows — resolved by the winner's own
+        # boundary flag.
+        if cfg.fast_topk:
+            top_scores, top_idx = jax.lax.approx_max_k(
+                sc, cfg.beam_width, recall_target=1.0
             )
-            new_state["ring_hi"] = jnp.where(
-                bnd2, bsel["m_ring_hi"], bsel["c_ring_hi"]
+            top_idx = top_idx.astype(jnp.int32)
+        else:
+            top_scores, top_idx = jax.lax.top_k(sc, cfg.beam_width)
+        # Only quantities that depend on the merge GROUP (the donor index
+        # and the group logsumexp) or on the trie walk ride the C-wide
+        # select. Every other state field is a deterministic function of
+        # (parent beam, token), so it is re-derived for the B winners from
+        # a B-wide parent select — 16x fewer operand rows, and the
+        # transition replay below is pure [B]-width arithmetic.
+        tok_col = top_idx // b  # winner's token column
+        top_parent = (top_idx % b).astype(jnp.int32)
+        cand = {
+            "_src": src_flat,
+            "_logit": merged_c,  # every member carries the group logsumexp
+        }
+        chunks = {"_src": 2 if c <= 0xFFFF else 4}
+        for i in range(n_lms):
+            cand[f"_ent{i}"] = _flatten(p_entry_n[i])
+        if cfg.use_hotwords:
+            cand["_h"] = _flatten(h_entry_n)
+        sel = _select_fields_mxu(jnp, cand, top_idx, c, n_chunks=chunks)
+        src = sel.pop("_src")
+        top_logit = sel.pop("_logit")
+        sel_alive = top_scores > DEAD_THRESH
+        parent = (src % b).astype(jnp.int32)  # newest-wins, backtrace only
+        new_state = {}
+        for i in range(n_lms):
+            ent = sel.pop(f"_ent{i}")
+            new_state[f"p_node{i}"] = ent & _NODE_MASK
+            new_state[f"p_flags{i}"] = ent & ~_NODE_MASK
+        if cfg.use_hotwords:
+            h_ent = sel.pop("_h")
+            new_state["h_node"] = h_ent & HOT_NODE_MASK
+            new_state["h_bits"] = h_ent & ~HOT_NODE_MASK
+        beam_fields = {
+            "c_text_lo": state["text_lo"],
+            "m_text_lo": cm["text_lo"],
+            "c_text_hi": state["text_hi"],
+            "m_text_hi": cm["text_hi"],
+            "c_p_lo": state["p_lo"],
+            "c_p_hi": state["p_hi"],
+            "c_p_len": state["p_len"],
+            "c_last": state["last_tok"],
+            "c_force": state["force"],
+            "c_fused": state["fused"],
+            "m_wfused": cm["word_fused"],
+            "c_nw": state["n_words"],
+            "m_nw": cm["n_words"],
+            "c_ring_lo": state["ring_lo"],
+            "c_ring_hi": state["ring_hi"],
+            "m_ring_lo": cm["ring_lo"],
+            "m_ring_hi": cm["ring_hi"],
+        }
+        for i in range(n_lms):
+            beam_fields[f"c_ctx{i}"] = state[f"ctx{i}"]
+            beam_fields[f"m_ctx{i}"] = cm[f"ctx{i}"]
+            beam_fields[f"c_ctx_len{i}"] = state[f"ctx_len{i}"]
+            beam_fields[f"m_ctx_len{i}"] = cm[f"ctx_len{i}"]
+            beam_fields[f"c_ctx_bo{i}"] = state[f"ctx_bo{i}"]
+            beam_fields[f"m_ctx_bo{i}"] = cm[f"ctx_bo{i}"]
+        bsel = _select_fields_mxu(jnp, beam_fields, top_parent, b)
+        # ---- transition replay for the winners (parity-exact: the same
+        # 4-way rules as the [B, K] expansion above, applied to the same
+        # (parent, token) pair the top-ranked group member came from)
+        tok_w = toks[tok_col]
+        stay_w = blank[tok_col] | (bsel["c_last"] == tok_w)
+        if cfg.is_bpe:
+            bnd_w = ~stay_w & (boundary_kind[tok_col] | bsel["c_force"])
+        else:
+            bnd_w = ~stay_w & boundary_kind[tok_col]
+        ext_lo_w, ext_hi_w = bsel["c_p_lo"], bsel["c_p_hi"]
+        for l in range(lmax):
+            cid_w = tok_dev["raw_chars"][toks, l][tok_col]
+            has_w = cid_w >= 0
+            nlo_w, nhi_w = hash_extend_char(
+                jnp, ext_lo_w, ext_hi_w, jnp.maximum(cid_w, 0)
             )
-            for i in range(n_lms):
-                new_state[f"ctx{i}"] = jnp.where(
-                    bnd2, bsel[f"m_ctx{i}"], bsel[f"c_ctx{i}"]
-                )
-                new_state[f"ctx_len{i}"] = jnp.where(
-                    bnd_sel, bsel[f"m_ctx_len{i}"], bsel[f"c_ctx_len{i}"]
-                )
-                new_state[f"ctx_bo{i}"] = jnp.where(
-                    bnd2, bsel[f"m_ctx_bo{i}"], bsel[f"c_ctx_bo{i}"]
-                )
-            token_sel = new_state["last_tok"]  # == toks[src // b] by construction
+            ext_lo_w = jnp.where(has_w, nlo_w, ext_lo_w)
+            ext_hi_w = jnp.where(has_w, nhi_w, ext_hi_w)
+        new_state["p_lo"] = jnp.where(
+            stay_w, bsel["c_p_lo"], jnp.where(bnd_w, seed_lo_k[tok_col], ext_lo_w)
+        )
+        new_state["p_hi"] = jnp.where(
+            stay_w, bsel["c_p_hi"], jnp.where(bnd_w, seed_hi_k[tok_col], ext_hi_w)
+        )
+        new_state["p_len"] = jnp.where(
+            stay_w,
+            bsel["c_p_len"],
+            jnp.where(
+                bnd_w, tok_plen[tok_col], bsel["c_p_len"] + tok_rlen[tok_col]
+            ),
+        )
+        new_state["text_lo"] = jnp.where(bnd_w, bsel["m_text_lo"], bsel["c_text_lo"])
+        new_state["text_hi"] = jnp.where(bnd_w, bsel["m_text_hi"], bsel["c_text_hi"])
+        new_state["fused"] = bsel["c_fused"] + jnp.where(bnd_w, bsel["m_wfused"], 0.0)
+        new_state["n_words"] = jnp.where(bnd_w, bsel["m_nw"], bsel["c_nw"])
+        new_state["force"] = jnp.where(bnd_w, tok_right[tok_col], bsel["c_force"])
+        new_state["last_tok"] = tok_w
+        bnd2 = bnd_w[:, None]
+        new_state["ring_lo"] = jnp.where(
+            bnd2, bsel["m_ring_lo"], bsel["c_ring_lo"]
+        )
+        new_state["ring_hi"] = jnp.where(
+            bnd2, bsel["m_ring_hi"], bsel["c_ring_hi"]
+        )
+        for i in range(n_lms):
+            new_state[f"ctx{i}"] = jnp.where(
+                bnd2, bsel[f"m_ctx{i}"], bsel[f"c_ctx{i}"]
+            )
+            new_state[f"ctx_len{i}"] = jnp.where(
+                bnd_w, bsel[f"m_ctx_len{i}"], bsel[f"c_ctx_len{i}"]
+            )
+            new_state[f"ctx_bo{i}"] = jnp.where(
+                bnd2, bsel[f"m_ctx_bo{i}"], bsel[f"c_ctx_bo{i}"]
+            )
+        token_sel = new_state["last_tok"]  # == toks[src // b] by construction
         new_state["logit"] = jnp.where(sel_alive, top_logit, DEAD)
         new_state["last_tok"] = jnp.where(
             sel_alive, new_state["last_tok"], -2 - jnp.arange(b, dtype=jnp.int32)

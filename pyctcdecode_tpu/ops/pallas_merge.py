@@ -1,46 +1,43 @@
-"""Pallas TPU kernel: fused block-diagonal merge + window prune + top-k.
+"""Pallas TPU kernel: fused block-diagonal merge + window prune.
 
-The engine's per-frame candidate pipeline after expansion is ~30 small XLA
-ops (dense merge reductions, masking, `lax.top_k`). This kernel fuses the
-whole pipeline into one VMEM-resident program per utterance:
+The engine's per-frame candidate merge (`engine._merge_dense`) is four
+[K, B, B] masked reductions — duplicate detection, group max, group
+logsumexp, newest-member donor — that XLA schedules as separate passes,
+re-materializing the [K, B, B] collision mask between them. This kernel
+computes the collision mask once in VMEM and produces all merge outputs in
+a single sweep:
 
-    eq = key-collision matrix per token block           (VPU compare)
-    merged = masked logsumexp over each collision group (VPU reduce)
-    dup/donor = first/newest member bookkeeping         (VPU reduce)
-    score = merged + extra, window prune vs global max  (VPU)
-    top-k = iterative argmax selection (k = beam width) (VPU reduce loop)
+    eq     = key-collision matrix per token block        (VPU compare)
+    merged = masked logsumexp over each collision group  (VPU reduce)
+    dup    = non-first group member flags                (same pass)
+    donor  = newest group member (backtrace metadata)    (same pass)
+    score  = merged + extra for group-first members,
+             window-pruned against the global max        (VPU)
 
-Semantics are identical to :func:`pyctcdecode_tpu.engine._merge_dense` +
-``_rank`` (verified in ``tests/test_pallas_merge.py`` against the lowered
-XLA path, and transitively against the host oracle). Tie-breaks resolve to
-the lowest flat candidate index, matching the reference's enumeration-order
-stability.
+Ranking (``lax.top_k``) and state selection (one-hot MXU matmuls) stay in
+XLA, which beats hand-written equivalents at those shapes — the previous
+whole-pipeline kernel (fused iterative top-k) measured 3x slower than the
+lowered path precisely because of its sequential beam-width selection
+loop; this split keeps each side on its fastest implementation.
+
+Semantics are identical to `engine._merge_dense` + the window prune of
+`engine._rank` (verified in ``tests/test_pallas_merge.py`` end to end
+against the host oracle). Tie-breaks resolve to the lowest flat candidate
+index downstream, matching the reference's enumeration-order stability.
 
 The kernel processes one utterance per call; under ``jax.vmap`` the batch
 dimension is lifted onto the grid. Select it with
 ``EngineConfig(use_pallas_merge=True)``.
-
-**Status / measurement (TPU v5e, batch 64, beam 50, K 16):** the fused
-kernel runs correctly but at ~1.1 s vs 0.39 s for the lowered XLA path —
-the iterative top-k (beam-width sequential VPU rounds) and the un-pipelined
-[K, B, B] materialization lose to XLA's fused native reductions + top-k
-custom call. It therefore defaults OFF and exists as a verified base for
-future kernel work; the profitable directions are (a) replacing the
-selection loop with an in-VMEM bitonic sort, (b) processing several frames
-per invocation to amortize kernel entry, and (c) folding the expansion
-phase in so candidate fields never round-trip HBM.
 """
 from __future__ import annotations
 
 from typing import Tuple
 
-import numpy as np
-
 DEAD = -1.0e30
 
 
 def _kernel(kl_ref, kh_ref, valid_ref, logit_ref, extra_ref, prune_ref,
-            scores_ref, logit_out_ref, src_ref):
+            score_ref, merged_ref, src_ref):
     import jax
     import jax.numpy as jnp
 
@@ -73,75 +70,42 @@ def _kernel(kl_ref, kh_ref, valid_ref, logit_ref, extra_ref, prune_ref,
     )
     donor = jnp.maximum(donor, 0)
 
+    # group-first members carry the group score; everyone carries the
+    # group logsumexp (engine selects it positionally at the top-k index)
     rep = valid & ~dup
-    merged = jnp.where(rep, merged, DEAD)
-    score = jnp.where(merged > DEAD / 2, merged + extra, DEAD)
-
+    score = jnp.where(rep, merged + extra, DEAD)
     mx = jnp.max(score)
     score = jnp.where(score >= mx + prune, score, DEAD)
 
-    # flat candidate index (token-major) for tie-break + src mapping
-    flat_src = jax.lax.broadcasted_iota(jnp.int32, (k, b), 0) * b + donor
-    flat_pos = (
-        jax.lax.broadcasted_iota(jnp.int32, (k, b), 0) * b
-        + jax.lax.broadcasted_iota(jnp.int32, (k, b), 1)
-    )
-
-    # iterative top-k selection: best score, lowest flat position on ties.
-    # Results accumulate in carried vectors (scalar VMEM stores are not
-    # lowerable); one vector store at the end.
-    n_out = scores_ref.shape[1]
-    slot = jax.lax.broadcasted_iota(jnp.int32, (1, n_out), 1)
-
-    def pick(i, carry):
-        """Select round i, mask the winner out of the work set."""
-        work, sc, lg, sr = carry
-        best = jnp.max(work)
-        cand_pos = jnp.where(work == best, flat_pos, np.int32(2**30))
-        pos = jnp.min(cand_pos)
-        hit = flat_pos == pos
-        sel = slot == i
-        sc = jnp.where(sel, best, sc)
-        lg = jnp.where(sel, jnp.sum(jnp.where(hit, merged, 0.0)), lg)
-        sr = jnp.where(sel, jnp.sum(jnp.where(hit, flat_src, 0)), sr)
-        return jnp.where(hit, DEAD, work), sc, lg, sr
-
-    init = (
-        score,
-        jnp.full((1, n_out), DEAD, dtype=jnp.float32),
-        jnp.zeros((1, n_out), dtype=jnp.float32),
-        jnp.zeros((1, n_out), dtype=jnp.int32),
-    )
-    _, sc, lg, sr = jax.lax.fori_loop(0, n_out, pick, init)
-    scores_ref[:] = sc
-    logit_out_ref[:] = lg
-    src_ref[:] = sr
+    score_ref[:] = score
+    merged_ref[:] = merged
+    src_ref[:] = jax.lax.broadcasted_iota(jnp.int32, (k, b), 0) * b + donor
 
 
-def merge_rank_pallas(
+def merge_score_pallas(
     kl: "object",
     kh: "object",
     valid: "object",
     logit: "object",
     extra: "object",
     beam_prune_logp: "object",
-    n_out: int,
     interpret: bool = False,
 ) -> Tuple:
-    """Fused merge+rank for one utterance.
+    """Fused merge + window prune for one utterance.
 
-    ``kl/kh`` uint32 ``[K, B]`` (pre-mixed beam keys), ``valid``/``logit``/
-    ``extra`` ``[K, B]``; returns ``(top_scores [n_out], top_logit [n_out],
-    src [n_out])`` with ``src`` a flat token-major candidate index.
+    ``kl``/``kh`` uint32 ``[K, B]`` (pre-mixed beam keys), ``valid``/
+    ``logit``/``extra`` ``[K, B]``. Returns ``(score, merged, src)``, all
+    ``[K, B]``: the window-pruned candidate score (DEAD for duplicate or
+    pruned members), the merge-group logsumexp at every member, and the
+    token-major flat index of the group's newest member.
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     k, b = kl.shape
-    # the kernel materializes several [K, B, B] f32/bool intermediates in
-    # VMEM (~16 MB/core); guard with a clear error instead of a Mosaic
-    # compile failure. Budget: ~3 live [K,B,B] f32 arrays <= 12 MB.
+    # the kernel materializes a few [K, B, B] f32/i32 intermediates in
+    # VMEM; guard with a clear error instead of a Mosaic compile failure.
     if 3 * k * b * b * 4 > 12 * 1024 * 1024:
         raise ValueError(
             f"use_pallas_merge: K*B*B too large for VMEM "
@@ -160,18 +124,15 @@ def merge_rank_pallas(
         return pl.BlockSpec(memory_space=vmem) if vmem is not None else pl.BlockSpec()
 
     prune = jnp.reshape(beam_prune_logp.astype(jnp.float32), (1, 1))
-    # outputs are kept 2-D (1, n_out) so the implicit vmap batching of the
-    # engine produces TPU-legal block shapes (last two dims == array dims)
     out_shape = (
-        jax.ShapeDtypeStruct((1, n_out), jnp.float32),
-        jax.ShapeDtypeStruct((1, n_out), jnp.float32),
-        jax.ShapeDtypeStruct((1, n_out), jnp.int32),
+        jax.ShapeDtypeStruct((k, b), jnp.float32),
+        jax.ShapeDtypeStruct((k, b), jnp.float32),
+        jax.ShapeDtypeStruct((k, b), jnp.int32),
     )
-    scores, logit_out, src = pl.pallas_call(
+    return pl.pallas_call(
         _kernel,
         out_shape=out_shape,
         in_specs=[spec() for _ in range(6)],
         out_specs=tuple(spec() for _ in range(3)),
         interpret=interpret,
     )(kl, kh, valid.astype(jnp.int32), logit, extra, prune)
-    return scores[0], logit_out[0], src[0]

@@ -1,4 +1,4 @@
-"""Pallas fused merge+rank kernel parity (interpret mode on CPU)."""
+"""Pallas fused merge+window-prune kernel parity (interpret mode on CPU)."""
 import os
 import unittest
 
@@ -47,13 +47,13 @@ class TestPallasMerge(unittest.TestCase):
         """Oversized K*B*B raises a clear error instead of a Mosaic failure."""
         import jax.numpy as jnp
 
-        from pyctcdecode_tpu.ops.pallas_merge import merge_rank_pallas
+        from pyctcdecode_tpu.ops.pallas_merge import merge_score_pallas
 
         big = jnp.zeros((600, 100), dtype=jnp.uint32)
         with self.assertRaisesRegex(ValueError, "use_pallas_merge"):
-            merge_rank_pallas(
+            merge_score_pallas(
                 big, big, big != 0, big.astype(jnp.float32),
-                big.astype(jnp.float32), jnp.float32(-10.0), 100,
+                big.astype(jnp.float32), jnp.float32(-10.0),
                 interpret=True,
             )
 
