@@ -96,9 +96,10 @@ class EngineConfig:
     use_pallas_merge: bool = False
     # rank candidates with TPU's PartialReduce-based approx_max_k instead
     # of the full sort lax.top_k lowers to. With recall_target=1.0 the
-    # top-k SET is exact, but tie ORDER among equal scores may differ from
-    # the reference's enumeration order — opt-in for serving, off for
-    # parity work.
+    # top-k SET is exact and a re-sort restores enumeration tie order
+    # within it; only exact-score ties ACROSS the selection boundary may
+    # pick a different (equal-scoring) member than the reference — opt-in
+    # for serving, off for parity work.
     fast_topk: bool = False
     # accumulate per-utterance decode counters (beams alive, prune/merge
     # kills, commits, LM probe hit rates) in the carried state; off by
@@ -509,7 +510,12 @@ def _merge_dense(jnp, keys, valid, logit):
 
 
 def _select_fields_mxu(
-    jnp, fields: Dict, src, n_candidates: int, n_chunks: Optional[Dict] = None
+    jnp,
+    fields: Dict,
+    src,
+    n_candidates: int,
+    n_chunks: Optional[Dict] = None,
+    token_factor: Optional[Tuple] = None,
 ):
     """Select per-candidate fields at ``src`` with one one-hot matmul.
 
@@ -528,6 +534,15 @@ def _select_fields_mxu(
     (e.g. 1 for flags, 2 for small counters) — the operand matrix is the
     selection step's main HBM traffic, so dropping always-zero chunk
     columns is a direct bandwidth saving. Callers own the width claim.
+
+    ``token_factor=(tok_col, k, b)`` selects from token-major [K*B]-flat
+    candidate fields by the FACTORED index ``tok_col * b + src`` instead of
+    a flat one-hot: a [K*B]-wide one-hot matrix is itself the dominant HBM
+    traffic of a flat candidate select, while the factored form contracts
+    the beam axis with the (shared, [B, B]) parent one-hot on the MXU and
+    resolves the tiny token axis with a masked reduction. Exactness holds
+    as in the flat path: each (r, winner) output sums exactly one nonzero
+    product of exact-in-bf16 values.
     """
     import jax
 
@@ -560,13 +575,29 @@ def _select_fields_mxu(
     big = jnp.concatenate(chunk_rows, axis=0)  # [sum(nc_f * cols_f), C]
     onehot = (
         src[:, None] == jnp.arange(n_candidates, dtype=src.dtype)[None, :]
-    ).astype(jnp.bfloat16)  # [B, C]
-    picked = jax.lax.dot_general(
-        onehot,
-        big,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [B, n_rows(big)]
+    ).astype(jnp.bfloat16)  # [B, C] (or [B, B] parent one-hot when factored)
+    if token_factor is None:
+        picked = jax.lax.dot_general(
+            onehot,
+            big,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B, n_rows(big)]
+    else:
+        tok_col, kf, bf = token_factor
+        big3 = big.reshape(big.shape[0], kf, bf)
+        # contract the beam axis: G[r, t, w] = field_chunk[r, t, parent_w]
+        g = jax.lax.dot_general(
+            big3,
+            onehot,
+            dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [R, K, B_winners]
+        # resolve the token axis: one nonzero per (r, winner)
+        tok_mask = (
+            jnp.arange(kf, dtype=tok_col.dtype)[:, None] == tok_col[None, :]
+        ).astype(jnp.float32)  # [K, B_winners]
+        picked = jnp.swapaxes(jnp.sum(g * tok_mask[None], axis=1), 0, 1)
     out = {}
     col = 0
     for key, width, nc in layout:
@@ -867,6 +898,13 @@ def _make_step(
                 sc, cfg.beam_width, recall_target=1.0
             )
             top_idx = top_idx.astype(jnp.int32)
+            # restore the reference's enumeration tie order among the
+            # selected set (a 100-element two-key sort is ~free); only
+            # exact-score ties ACROSS the selection boundary remain
+            # approximate — see EngineConfig.fast_topk
+            _, top_idx, top_scores = jax.lax.sort(
+                (-top_scores, top_idx, top_scores), num_keys=2
+            )
         else:
             top_scores, top_idx = jax.lax.top_k(sc, cfg.beam_width)
         # Only quantities that depend on the merge GROUP (the donor index
@@ -886,7 +924,10 @@ def _make_step(
             cand[f"_ent{i}"] = _flatten(p_entry_n[i])
         if cfg.use_hotwords:
             cand["_h"] = _flatten(h_entry_n)
-        sel = _select_fields_mxu(jnp, cand, top_idx, c, n_chunks=chunks)
+        sel = _select_fields_mxu(
+            jnp, cand, top_parent, b, n_chunks=chunks,
+            token_factor=(tok_col, k, b),
+        )
         src = sel.pop("_src")
         top_logit = sel.pop("_logit")
         sel_alive = top_scores > DEAD_THRESH
