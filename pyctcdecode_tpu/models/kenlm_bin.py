@@ -16,12 +16,12 @@ device probe tables are built straight from the stored hashes
 (``device_tables.build_fp_table_from_hashes``) and the device probe
 recomputes the same chain in u32 lanes — no conversion step, no ARPA.
 
-Supported: format version 5, ``model_type`` 0 (PROBING) here plus 2
-(un-quantized TRIE, dispatched to :mod:`.kenlm_trie`), vocabulary strings
-present (kenlm writes them unless built with ``include_vocab=false``).
-QUANT/ARRAY trie and REST binaries are rejected with a message naming the
-fix (rebuild with ``build_binary probing``/plain ``trie`` or load the
-ARPA). The reader is validated by round-trip against this module's
+Supported: format version 5, ``model_type`` 0 (PROBING) here plus 2/3
+(TRIE and QUANT_TRIE, dispatched to :mod:`.kenlm_trie`), vocabulary
+strings present (kenlm writes them unless built with
+``include_vocab=false``). ARRAY (Bhiksha) trie and REST binaries are
+rejected with a message naming the fix (rebuild with ``build_binary
+probing``/``trie`` without ``-a``, or load the ARPA). The reader is validated by round-trip against this module's
 writer and by exact score equality with the ARPA scorer on the same model;
 the header sanity block is checked field-for-field, so a file that loads
 is structurally sound.
@@ -67,6 +67,7 @@ _MASK64 = (1 << 64) - 1
 
 MODEL_PROBING = 0
 MODEL_TRIE = 2
+MODEL_QUANT_TRIE = 3
 _MODEL_NAMES = {
     0: "PROBING",
     1: "REST_PROBING",
@@ -143,13 +144,13 @@ def _read_header(raw: bytes, path: str):
     multiplier = float(np.frombuffer(raw, "<f4", 1, _PARAMS_OFFSET + 4)[0])
     model_type = int(np.frombuffer(raw, "<i4", 1, _PARAMS_OFFSET + 8)[0])
     has_vocab = bool(raw[_PARAMS_OFFSET + 12])
-    if model_type not in (MODEL_PROBING, MODEL_TRIE):
+    if model_type not in (MODEL_PROBING, MODEL_TRIE, MODEL_QUANT_TRIE):
         name = _MODEL_NAMES.get(model_type, f"#{model_type}")
         raise ValueError(
-            f"{path!r} is a KenLM {name} binary; only the PROBING and "
-            "un-quantized TRIE layouts are readable here. Rebuild it with "
+            f"{path!r} is a KenLM {name} binary; only the PROBING, TRIE "
+            "and QUANT_TRIE layouts are readable here. Rebuild it with "
             "`build_binary probing model.arpa model.bin` (or `build_binary "
-            "trie` without -q/-a), or pass the ARPA file instead."
+            "trie` without -a), or pass the ARPA file instead."
         )
     counts = [
         int(c) for c in np.frombuffer(raw, "<u8", order, _COUNTS_OFFSET)
@@ -334,7 +335,7 @@ class KenLMTables:
 
 
 def read_kenlm_binary(path: str) -> KenLMTables:
-    """Load a KenLM ``.bin``/``.binary`` (PROBING or un-quantized TRIE)."""
+    """Load a KenLM ``.bin``/``.binary`` (PROBING, TRIE or QUANT_TRIE)."""
     with open(path, "rb") as fh:
         raw = fh.read()
     order, multiplier, has_vocab, counts, off, model_type = _read_header(
@@ -346,10 +347,13 @@ def read_kenlm_binary(path: str) -> KenLMTables:
             "(include_vocab=false); the decoder needs the words. Rebuild "
             "the binary with vocabulary included, or load the ARPA."
         )
-    if model_type == MODEL_TRIE:
+    if model_type in (MODEL_TRIE, MODEL_QUANT_TRIE):
         from .kenlm_trie import read_kenlm_trie
 
-        return read_kenlm_trie(raw, path, order, counts, off)
+        return read_kenlm_trie(
+            raw, path, order, counts, off,
+            quantized=model_type == MODEL_QUANT_TRIE,
+        )
     # vocabulary hash table: murmur64(word) -> id. Word ids are recovered
     # by hashing the trailing strings through this table rather than by
     # position, so the reader is agnostic to whether the strings section

@@ -17,11 +17,23 @@ kenlm chain hash so all downstream machinery (hash-keyed scoring, device
 probe tables built via ``build_fp_table_from_hashes``) is shared with the
 PROBING path.
 
-Supported: format version 5, ``model_type`` 2 (TRIE: un-quantized,
-un-Bhiksha'd), vocabulary strings present. QUANT_/ARRAY_ variants are
-rejected with a message naming the fix. Like the PROBING reader, this is
-validated by round-trip against :func:`write_kenlm_trie` and by exact
-score equality with the ARPA scorer on the same model.
+Supported: format version 5, ``model_type`` 2 (TRIE) and 3 (QUANT_TRIE,
+kenlm ``build_binary -q N -b M trie``), vocabulary strings present.
+ARRAY_ (Bhiksha-compressed pointer) variants are rejected with a message
+naming the fix. Like the PROBING reader, this is validated by round-trip
+against :func:`write_kenlm_trie` and by exact score equality with the
+ARPA scorer on the same model (quantized: equality against the binned
+values).
+
+Quantized layout (kenlm ``lm/quantize.{hh,cc}``, SeparatelyQuantize,
+version 2): between the vocabulary and the unigram array sits an 8-byte
+header ``(version u8, prob_bits u8, backoff_bits u8, 5 pad)`` followed by
+the bin-center tables — per middle order a ``2^prob_bits`` f32 prob table
+and a ``2^backoff_bits`` f32 backoff table (whose first two slots are the
+reserved no-extension/-0.0 and extension/0.0 backoffs), then one
+``2^prob_bits`` prob table for the longest order. Middle entries then
+pack ``word | prob_idx | backoff_idx | next`` and longest entries
+``word | prob_idx``; unigrams stay unquantized.
 
 Layout after the shared header (see ``kenlm_bin``; offsets follow kenlm
 ``lm/vocab.cc``, ``lm/trie.cc``, ``lm/search_trie.hh``,
@@ -55,7 +67,9 @@ from .kenlm_bin import KenLMTables, _PROB_BACKOFF, _pack_header
 from .ngram import UNK_WORD
 
 MODEL_TRIE = 2
+MODEL_QUANT_TRIE = 3
 _TRIE_SEARCH_VERSION = 1  # kenlm trie::TrieSearch::kVersion
+_QUANT_VERSION = 2  # kenlm lm/quantize.cc kSeparatelyQuantizeVersion
 _SIGN_BIT = np.uint32(0x80000000)
 
 _UNIGRAM_VALUE = np.dtype(
@@ -120,10 +134,78 @@ def _npf31_to_float(bits: np.ndarray) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# quantization bins (kenlm lm/quantize.cc)
+# --------------------------------------------------------------------------
+def train_bins(values: np.ndarray, n_bins: int) -> np.ndarray:
+    """Equal-population bin centers (kenlm ``MakeBins``): sorted values
+    split into ``n_bins`` buckets, center = bucket mean (-inf for an empty
+    leading bucket, previous center otherwise)."""
+    values = np.sort(np.asarray(values, dtype=np.float32))
+    size = len(values)
+    centers = np.empty(n_bins, dtype=np.float32)
+    start = 0
+    for i in range(n_bins):
+        finish = (size * (i + 1)) // n_bins
+        if finish == start:
+            centers[i] = centers[i - 1] if i else -np.inf
+        else:
+            centers[i] = np.float32(
+                np.sum(values[start:finish], dtype=np.float64)
+                / (finish - start)
+            )
+        start = finish
+    return centers
+
+
+def encode_bins(values: np.ndarray, centers: np.ndarray, reserved: int) -> np.ndarray:
+    """Nearest-center index (>= ``reserved``) for each value."""
+    usable = centers[reserved:]
+    pos = np.searchsorted(usable, values)
+    lo = np.clip(pos - 1, 0, len(usable) - 1)
+    hi = np.clip(pos, 0, len(usable) - 1)
+    pick_hi = np.abs(usable[hi] - values) < np.abs(values - usable[lo])
+    return np.where(pick_hi, hi, lo).astype(np.uint64) + np.uint64(reserved)
+
+
+def _parse_quant_tables(
+    raw: bytes, path: str, order: int, off: int
+) -> Tuple[List[np.ndarray], List[np.ndarray], np.ndarray, int, int, int]:
+    """Read the SeparatelyQuantize region; returns per-middle-order prob and
+    backoff center tables, the longest-order prob table, the two bit
+    widths, and the offset past the region."""
+    version, prob_bits, backoff_bits = raw[off], raw[off + 1], raw[off + 2]
+    if version != _QUANT_VERSION:
+        raise ValueError(
+            f"{path!r} uses quantization version {version}; this reader "
+            f"implements version {_QUANT_VERSION} (current kenlm)."
+        )
+    if not prob_bits or not backoff_bits:
+        raise ValueError(f"{path!r}: zero quantization bit width.")
+    off += 8  # ALIGN8(3-byte header)
+    probs: List[np.ndarray] = []
+    backoffs: List[np.ndarray] = []
+    for _ in range(order - 2):  # middle orders 2..order-1
+        probs.append(np.frombuffer(raw, "<f4", 1 << prob_bits, off).copy())
+        off += 4 << prob_bits
+        backoffs.append(
+            np.frombuffer(raw, "<f4", 1 << backoff_bits, off).copy()
+        )
+        off += 4 << backoff_bits
+    longest = np.frombuffer(raw, "<f4", 1 << prob_bits, off).copy()
+    off += 4 << prob_bits
+    return probs, backoffs, longest, int(prob_bits), int(backoff_bits), off
+
+
+# --------------------------------------------------------------------------
 # reader
 # --------------------------------------------------------------------------
 def read_kenlm_trie(
-    raw: bytes, path: str, order: int, counts: List[int], off: int
+    raw: bytes,
+    path: str,
+    order: int,
+    counts: List[int],
+    off: int,
+    quantized: bool = False,
 ) -> KenLMTables:
     """Decode a TRIE-format body (header already parsed by the caller)."""
     buf = np.frombuffer(raw, dtype=np.uint8)
@@ -138,6 +220,15 @@ def read_kenlm_trie(
     off += 8 + 8 * counts[0]
     n_words = n_entries + 1  # + <unk> at id 0
 
+    prob_bits = backoff_bits = 0
+    q_probs: List[np.ndarray] = []
+    q_backoffs: List[np.ndarray] = []
+    q_longest = np.empty(0, dtype=np.float32)
+    if quantized:
+        (q_probs, q_backoffs, q_longest, prob_bits, backoff_bits, off) = (
+            _parse_quant_tables(raw, path, order, off)
+        )
+
     # unigram: dense (prob, backoff, next) by word id, +2 slack entries
     uni_raw = np.frombuffer(raw, _UNIGRAM_VALUE, counts[0] + 2, off)
     off += (counts[0] + 2) * _UNIGRAM_VALUE.itemsize
@@ -147,30 +238,45 @@ def read_kenlm_trie(
     levels: List[Dict[str, np.ndarray]] = []  # per order 2..order
     for m in range(2, order + 1):
         entries = counts[m - 1]
-        if m < order:
-            next_bits = _required_bits(counts[m])
-            total = word_bits + 63 + next_bits
+        last = m == order
+        if quantized:
+            value_bits = prob_bits if last else prob_bits + backoff_bits
         else:
-            next_bits = 0
-            total = word_bits + 31
+            value_bits = 31 if last else 63
+        next_bits = 0 if last else _required_bits(counts[m])
+        total = word_bits + value_bits + next_bits
         base = np.arange(entries, dtype=np.uint64) * np.uint64(total)
         words = _read_bits(buf[off:], base, word_bits).astype(np.int64)
-        probs = _npf31_to_float(
-            _read_bits(buf[off:], base + np.uint64(word_bits), 31)
-        )
-        if m < order:
-            backoffs = _read_bits(
-                buf[off:], base + np.uint64(word_bits + 31), 32
-            ).astype(np.uint32).view(np.float32)
+        if quantized:
+            p_idx = _read_bits(
+                buf[off:], base + np.uint64(word_bits), prob_bits
+            ).astype(np.int64)
+            probs = (q_longest if last else q_probs[m - 2])[p_idx]
+            if not last:
+                b_idx = _read_bits(
+                    buf[off:],
+                    base + np.uint64(word_bits + prob_bits),
+                    backoff_bits,
+                ).astype(np.int64)
+                backoffs = q_backoffs[m - 2][b_idx]
+        else:
+            probs = _npf31_to_float(
+                _read_bits(buf[off:], base + np.uint64(word_bits), 31)
+            )
+            if not last:
+                backoffs = _read_bits(
+                    buf[off:], base + np.uint64(word_bits + 31), 32
+                ).astype(np.uint32).view(np.float32)
+        if last:
+            backoffs = np.zeros(entries, dtype=np.float32)
+            nxt = None
+        else:
             nxt = _read_bits(
                 buf[off:],
                 np.arange(entries + 1, dtype=np.uint64) * np.uint64(total)
-                + np.uint64(word_bits + 63),
+                + np.uint64(word_bits + value_bits),
                 next_bits,
             ).astype(np.int64)
-        else:
-            backoffs = np.zeros(entries, dtype=np.float32)
-            nxt = None
         if np.any(words >= n_words):
             raise ValueError(
                 f"{path!r}: order-{m} entries name word ids beyond the "
@@ -250,7 +356,10 @@ def read_kenlm_trie(
 # writer
 # --------------------------------------------------------------------------
 def write_kenlm_trie(
-    tables: "object", path: str, probing_multiplier: float = 1.5
+    tables: "object",
+    path: str,
+    probing_multiplier: float = 1.5,
+    quant_bits: "object" = None,
 ) -> None:
     """Serialize :class:`~.ngram.NGramTables` as a KenLM TRIE binary.
 
@@ -261,6 +370,13 @@ def write_kenlm_trie(
     backoff is 0 (lm/search_trie.cc BlankManager) — exactly reproducing
     kenlm's (documented) divergence from pure ARPA resolution on pruned
     models.
+
+    ``quant_bits=(prob_bits, backoff_bits)`` writes the QUANT_TRIE layout
+    (kenlm ``build_binary -q -b``): values quantize to equal-population
+    bin centers (:func:`train_bins`) and entries store bin indices. The
+    encoder here picks the nearest center (kenlm's own boundary choice may
+    differ by one bin) — the READER is the compatibility surface; this
+    writer exists for round-trip tests and synthetic fixtures.
     """
     order = tables.order
     if order < 2:
@@ -318,13 +434,29 @@ def write_kenlm_trie(
         level_entries.append(ents)
         counts.append(len(ents))
 
+    # per-level value arrays (train quantization bins before packing)
+    level_probs = [
+        np.array(
+            [node_vals[m - 1][t][0] for t in level_entries[m - 2]],
+            dtype=np.float32,
+        )
+        for m in range(2, order + 1)
+    ]
+    level_backoffs = [
+        np.array(
+            [node_vals[m - 1][t][1] for t in level_entries[m - 2]],
+            dtype=np.float32,
+        )
+        for m in range(2, order)
+    ]
+
     out = [
         _pack_header(
             order,
             counts,
             probing_multiplier,
             has_vocab=True,
-            model_type=MODEL_TRIE,
+            model_type=MODEL_QUANT_TRIE if quant_bits else MODEL_TRIE,
             search_version=_TRIE_SEARCH_VERSION,
         )
     ]
@@ -333,6 +465,31 @@ def write_kenlm_trie(
     vocab_region[: len(hashes)] = hashes[rank]
     out.append(np.uint64(len(hashes)).tobytes())
     out.append(vocab_region.tobytes())
+
+    q_probs: List[np.ndarray] = []
+    q_backoffs: List[np.ndarray] = []
+    q_longest = np.empty(0, dtype=np.float32)
+    if quant_bits:
+        prob_bits, backoff_bits = quant_bits
+        if not (1 <= prob_bits <= 25 and 1 <= backoff_bits <= 25):
+            raise ValueError("quant_bits must each be in 1..25")
+        out.append(
+            bytes([_QUANT_VERSION, prob_bits, backoff_bits]) + b"\x00" * 5
+        )
+        for m in range(2, order):
+            q_probs.append(train_bins(level_probs[m - 2], 1 << prob_bits))
+            bo = level_backoffs[m - 2]
+            centers = np.concatenate(
+                [
+                    np.array([-0.0, 0.0], dtype=np.float32),  # reserved
+                    train_bins(bo[bo != 0.0], (1 << backoff_bits) - 2),
+                ]
+            )
+            q_backoffs.append(centers)
+            out.append(q_probs[-1].tobytes())
+            out.append(centers.tobytes())
+        q_longest = train_bins(level_probs[order - 2], 1 << prob_bits)
+        out.append(q_longest.tobytes())
 
     # unigram array with CSR next pointers into level 2
     uni = np.zeros(counts[0] + 2, dtype=_UNIGRAM_VALUE)
@@ -353,32 +510,52 @@ def write_kenlm_trie(
     for m in range(2, order + 1):
         ents = level_entries[m - 2]
         n = len(ents)
-        if m < order:
-            next_bits = _required_bits(counts[m])
-            total = word_bits + 63 + next_bits
+        last = m == order
+        if quant_bits:
+            value_bits = prob_bits if last else prob_bits + backoff_bits
         else:
-            next_bits = 0
-            total = word_bits + 31
+            value_bits = 31 if last else 63
+        next_bits = 0 if last else _required_bits(counts[m])
+        total = word_bits + value_bits + next_bits
         buf = np.zeros(_base_size(n, total), dtype=np.uint8)
         base = np.arange(n, dtype=np.uint64) * np.uint64(total)
         word_arr = np.array([t[0] for t in ents], dtype=np.uint64)
-        probs = np.array(
-            [node_vals[m - 1][t][0] for t in ents], dtype=np.float32
-        )
+        probs = level_probs[m - 2]
         _write_bits(buf, base, word_bits, word_arr)
-        _write_bits(
-            buf, base + np.uint64(word_bits), 31, _float_to_npf31(probs)
-        )
-        if m < order:
-            backoffs = np.array(
-                [node_vals[m - 1][t][1] for t in ents], dtype=np.float32
-            )
+        if quant_bits:
+            table = q_longest if m == order else q_probs[m - 2]
             _write_bits(
                 buf,
-                base + np.uint64(word_bits + 31),
-                32,
-                backoffs.view(np.uint32).astype(np.uint64),
+                base + np.uint64(word_bits),
+                prob_bits,
+                encode_bins(probs, table, 0),
             )
+        else:
+            _write_bits(
+                buf, base + np.uint64(word_bits), 31, _float_to_npf31(probs)
+            )
+        if m < order:
+            backoffs = level_backoffs[m - 2]
+            if quant_bits:
+                # reserved slots: 0 = no-extension (-0.0), 1 = extension (0.0)
+                idx = encode_bins(backoffs, q_backoffs[m - 2], 2)
+                zero = backoffs == 0.0
+                idx = np.where(
+                    zero, np.where(np.signbit(backoffs), 0, 1), idx
+                ).astype(np.uint64)
+                _write_bits(
+                    buf,
+                    base + np.uint64(word_bits + prob_bits),
+                    backoff_bits,
+                    idx,
+                )
+            else:
+                _write_bits(
+                    buf,
+                    base + np.uint64(word_bits + 31),
+                    32,
+                    backoffs.view(np.uint32).astype(np.uint64),
+                )
             kid_count = np.zeros(n + 1, dtype=np.int64)
             for t in level_entries[m - 1]:
                 kid_count[index_of[t[1:]]] += 1
@@ -386,7 +563,7 @@ def write_kenlm_trie(
             _write_bits(
                 buf,
                 np.arange(n + 1, dtype=np.uint64) * np.uint64(total)
-                + np.uint64(word_bits + 63),
+                + np.uint64(word_bits + value_bits),
                 next_bits,
                 nxt.astype(np.uint64),
             )

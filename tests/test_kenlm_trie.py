@@ -22,9 +22,11 @@ from pyctcdecode_tpu.models.kenlm_bin import (
 from pyctcdecode_tpu.models.kenlm_trie import (
     _read_bits,
     _write_bits,
+    encode_bins,
+    train_bins,
     write_kenlm_trie,
 )
-from pyctcdecode_tpu.models.ngram import NGramModel, read_arpa
+from pyctcdecode_tpu.models.ngram import NGramModel, NGramTables, read_arpa
 
 BUGS_ARPA = "/root/reference/pyctcdecode/tests/sample_data/bugs_bunny_kenlm.arpa"
 
@@ -254,16 +256,16 @@ class TestTrieDecoding(TempfileTestCase):
 
 
 class TestTrieRejection(TempfileTestCase):
-    def test_quantized_trie_rejected_with_guidance(self):
+    def test_bhiksha_trie_rejected_with_guidance(self):
         from pyctcdecode_tpu.models import kenlm_bin as kb
 
         raw = bytearray(
-            kb._pack_header(3, [10, 5, 2], 1.5, True, model_type=3)
+            kb._pack_header(3, [10, 5, 2], 1.5, True, model_type=4)
         )
-        path = os.path.join(self.temp_dir, "quant.bin")
+        path = os.path.join(self.temp_dir, "array.bin")
         with open(path, "wb") as fh:
             fh.write(bytes(raw) + b"\x00" * 64)
-        with self.assertRaisesRegex(ValueError, "QUANT_TRIE"):
+        with self.assertRaisesRegex(ValueError, "ARRAY_TRIE"):
             read_kenlm_binary(path)
 
     def test_corrupt_csr_rejected(self):
@@ -287,6 +289,110 @@ class TestTrieRejection(TempfileTestCase):
         with open(path, "wb") as fh:
             fh.write(bytes(raw))
         with self.assertRaisesRegex(ValueError, "corrupt"):
+            read_kenlm_binary(path)
+
+
+def _quantize_tables(tables, prob_bits, backoff_bits):
+    """Expected model after quantization: every order >= 2 value replaced
+    by its bin center, with the same bins the writer trains."""
+    new = [dict(tables.ngrams[0])]
+    for n in range(2, tables.order + 1):
+        grams = tables.ngrams[n - 1]
+        probs = np.array([v[0] for v in grams.values()], dtype=np.float32)
+        p_centers = train_bins(probs, 1 << prob_bits)
+        if n < tables.order:
+            backoffs = np.array(
+                [v[1] for v in grams.values()], dtype=np.float32
+            )
+            b_centers = np.concatenate(
+                [
+                    np.array([-0.0, 0.0], dtype=np.float32),
+                    train_bins(
+                        backoffs[backoffs != 0.0], (1 << backoff_bits) - 2
+                    ),
+                ]
+            )
+        level = {}
+        for key, (p, b) in grams.items():
+            qp = p_centers[int(encode_bins(np.float32(p), p_centers, 0))]
+            if n < tables.order and b != 0.0:
+                qb = b_centers[int(encode_bins(np.float32(b), b_centers, 2))]
+            else:
+                qb = np.float32(b)
+            level[key] = (np.float32(qp), np.float32(qb))
+        new.append(level)
+    return NGramTables(tables.order, dict(tables.vocab), new, path=tables.path)
+
+
+class TestQuantTrieRoundTrip(TempfileTestCase):
+    """QUANT_TRIE (build_binary -q/-b) layout: bins + index packing."""
+
+    def _roundtrip(self, arpa_path, qp=8, qb=8):
+        ref = NGramModel(read_arpa(arpa_path))
+        bin_path = os.path.join(self.temp_dir, "model.qtrie.bin")
+        write_kenlm_trie(ref.tables, bin_path, quant_bits=(qp, qb))
+        got = KenLMBinaryModel(read_kenlm_binary(bin_path))
+        want = NGramModel(_quantize_tables(ref.tables, qp, qb))
+        self.assertEqual(got.order, ref.order)
+        return want, got
+
+    def test_scores_equal_binned_model(self):
+        """Read-back scoring equals the explicitly-quantized model exactly
+        (bit-level: both read f32 centers from the same bins)."""
+        for order, seed, qp, qb in ((3, 7, 8, 8), (4, 23, 6, 5), (2, 11, 4, 4)):
+            arpa = os.path.join(self.temp_dir, f"q{order}.arpa")
+            vocab = _suffix_closed_arpa(arpa, order=order, seed=seed)
+            want, got = self._roundtrip(arpa, qp, qb)
+            rng = np.random.RandomState(order)
+            for _ in range(150):
+                n_words = rng.randint(1, 6)
+                sent = [vocab[i] for i in rng.randint(0, len(vocab), n_words)]
+                if rng.rand() < 0.2:
+                    sent[rng.randint(n_words)] = "oov-word"
+                w, _ = _score_sentence(want, sent)
+                h, _ = _score_sentence(got, sent)
+                self.assertAlmostEqual(w, h, places=5, msg=str(sent))
+
+    def test_quantization_actually_compresses(self):
+        arpa = os.path.join(self.temp_dir, "c.arpa")
+        _suffix_closed_arpa(arpa, order=3, seed=9)
+        ref = NGramModel(read_arpa(arpa))
+        plain = os.path.join(self.temp_dir, "plain.bin")
+        quant = os.path.join(self.temp_dir, "quant.bin")
+        write_kenlm_trie(ref.tables, plain)
+        write_kenlm_trie(ref.tables, quant, quant_bits=(8, 8))
+        self.assertLess(os.path.getsize(quant), os.path.getsize(plain))
+
+    def test_unigrams_not_quantized(self):
+        arpa = os.path.join(self.temp_dir, "u.arpa")
+        _suffix_closed_arpa(arpa, order=3, seed=5)
+        ref = NGramModel(read_arpa(arpa))
+        path = os.path.join(self.temp_dir, "u.qtrie.bin")
+        write_kenlm_trie(ref.tables, path, quant_bits=(4, 4))
+        got = KenLMBinaryModel(read_kenlm_binary(path))
+        for w in ("w0", "w5", "</s>"):
+            wid_r = ref.tables.vocab[w]
+            wid_g = got.tables.vocab[w]
+            np.testing.assert_equal(
+                got.tables.uni[wid_g]["prob"],
+                ref.tables.ngrams[0][(wid_r,)][0],
+            )
+
+    def test_unknown_quant_version_rejected(self):
+        arpa = os.path.join(self.temp_dir, "v.arpa")
+        _suffix_closed_arpa(arpa, order=3, seed=2)
+        ref = NGramModel(read_arpa(arpa))
+        path = os.path.join(self.temp_dir, "v.qtrie.bin")
+        write_kenlm_trie(ref.tables, path, quant_bits=(8, 8))
+        from pyctcdecode_tpu.models.kenlm_bin import _read_header
+
+        with open(path, "rb") as fh:
+            raw = bytearray(fh.read())
+        _, _, _, counts, off, _ = _read_header(bytes(raw), path)
+        raw[off + 8 + 8 * counts[0]] = 77  # quant version byte
+        with open(path, "wb") as fh:
+            fh.write(bytes(raw))
+        with self.assertRaisesRegex(ValueError, "quantization version"):
             read_kenlm_binary(path)
 
 
