@@ -25,33 +25,35 @@ Semantics are identical to `engine._merge_dense` + the window prune of
 against the host oracle). Tie-breaks resolve to the lowest flat candidate
 index downstream, matching the reference's enumeration-order stability.
 
-The kernel processes one utterance per call; under ``jax.vmap`` the batch
-dimension is lifted onto the grid. Select it with
+The kernel's vmap rule blocks the utterance batch onto the grid
+``PYCTCDECODE_TPU_MERGE_BLOCK`` (default 8) utterances per grid step —
+per-utterance work is a few microseconds, so several utterances per step
+amortize grid/DMA turnaround. Select the kernel with
 ``EngineConfig(use_pallas_merge=True)``.
 """
 from __future__ import annotations
 
+import functools
+import os
 from typing import Tuple
 
 DEAD = -1.0e30
 
 
-def _kernel(kl_ref, kh_ref, valid_ref, logit_ref, extra_ref, prune_ref,
-            score_ref, merged_ref, src_ref):
-    import jax
-    import jax.numpy as jnp
+def _merge_block() -> int:
+    """Utterances per grid step for the batched kernel (env-tunable)."""
+    return max(int(os.environ.get("PYCTCDECODE_TPU_MERGE_BLOCK", "8")), 1)
 
-    kl = kl_ref[:]  # [K, B] uint32
-    kh = kh_ref[:]
-    valid_i = valid_ref[:]  # [K, B] int32 (Mosaic: broadcast bools 32-bit)
-    valid = valid_i != 0
-    logit = logit_ref[:]
-    extra = extra_ref[:]
-    prune = prune_ref[0, 0]
 
+def _merge_math(jax, jnp, kl, kh, valid_i, logit, extra, prune):
+    """One utterance's merge + window prune on [K, B] values (VMEM-resident).
+
+    ``valid_i`` is int32 (Mosaic: pairwise bool logic broadcasts in 32-bit
+    space; minor-dim insertion of 1-bit types is unsupported).
+    """
     k, b = kl.shape
-    # block-diagonal collision matrix [K, B, B]; pairwise terms broadcast in
-    # 32-bit space (minor-dim insertion of 1-bit types is unsupported)
+    valid = valid_i != 0
+    # block-diagonal collision matrix [K, B, B]
     eq = (valid_i[:, :, None] * valid_i[:, None, :]) != 0
     eq &= kl[:, :, None] == kl[:, None, :]
     eq &= kh[:, :, None] == kh[:, None, :]
@@ -76,10 +78,118 @@ def _kernel(kl_ref, kh_ref, valid_ref, logit_ref, extra_ref, prune_ref,
     score = jnp.where(rep, merged + extra, DEAD)
     mx = jnp.max(score)
     score = jnp.where(score >= mx + prune, score, DEAD)
+    src = jax.lax.broadcasted_iota(jnp.int32, (k, b), 0) * b + donor
+    return score, merged, src
 
+
+def _kernel(kl_ref, kh_ref, valid_ref, logit_ref, extra_ref, prune_ref,
+            score_ref, merged_ref, src_ref):
+    import jax
+    import jax.numpy as jnp
+
+    score, merged, src = _merge_math(
+        jax, jnp, kl_ref[:], kh_ref[:], valid_ref[:], logit_ref[:],
+        extra_ref[:], prune_ref[0, 0],
+    )
     score_ref[:] = score
     merged_ref[:] = merged
-    src_ref[:] = jax.lax.broadcasted_iota(jnp.int32, (k, b), 0) * b + donor
+    src_ref[:] = src
+
+
+def _kernel_batched(kl_ref, kh_ref, valid_ref, logit_ref, extra_ref,
+                    prune_ref, score_ref, merged_ref, src_ref):
+    """Several utterances per grid step: [NB, K, B] blocks, looped in-core."""
+    import jax
+    import jax.numpy as jnp
+
+    def body(n, carry):
+        score, merged, src = _merge_math(
+            jax, jnp, kl_ref[n], kh_ref[n], valid_ref[n], logit_ref[n],
+            extra_ref[n], prune_ref[n, 0, 0],
+        )
+        score_ref[n] = score
+        merged_ref[n] = merged
+        src_ref[n] = src
+        return carry
+
+    jax.lax.fori_loop(0, kl_ref.shape[0], body, 0)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_runner(k: int, b: int, interpret: bool):
+    """(Cached) custom-vmap wrapper: single-program base, batched-grid rule."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        vmem = pltpu.VMEM
+    except ImportError:  # interpret-only environments
+        vmem = None
+
+    def spec():
+        return pl.BlockSpec(memory_space=vmem) if vmem is not None else pl.BlockSpec()
+
+    @jax.custom_batching.custom_vmap
+    def run(kl, kh, valid_i, logit, extra, prune):
+        out_shape = (
+            jax.ShapeDtypeStruct((k, b), jnp.float32),
+            jax.ShapeDtypeStruct((k, b), jnp.float32),
+            jax.ShapeDtypeStruct((k, b), jnp.int32),
+        )
+        return pl.pallas_call(
+            _kernel,
+            out_shape=out_shape,
+            in_specs=[spec() for _ in range(6)],
+            out_specs=tuple(spec() for _ in range(3)),
+            interpret=interpret,
+        )(kl, kh, valid_i, logit, extra, prune)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, kl, kh, valid_i, logit, extra, prune):
+        """Batch rule: grid over blocks of ``_merge_block()`` utterances.
+
+        Planes may arrive unbatched mid-way through scan's batching
+        fixpoint (a carry component not yet marked batched) — broadcast
+        those along the batch axis rather than reject.
+        """
+        args = []
+        for x, batched in zip((kl, kh, valid_i, logit, extra, prune), in_batched):
+            if not batched:
+                x = jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+            args.append(x)
+        kl, kh, valid_i, logit, extra, prune = args
+        nb = min(_merge_block(), axis_size)
+        n_pad = -(-axis_size // nb) * nb
+        pad = n_pad - axis_size
+
+        def padded(x):
+            if not pad:
+                return x
+            return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+
+        plane = lambda: pl.BlockSpec((nb, k, b), lambda i: (i, 0, 0))  # noqa: E731
+        out_shape = (
+            jax.ShapeDtypeStruct((n_pad, k, b), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, k, b), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, k, b), jnp.int32),
+        )
+        score, merged, src = pl.pallas_call(
+            _kernel_batched,
+            grid=(n_pad // nb,),
+            out_shape=out_shape,
+            in_specs=[plane() for _ in range(5)]
+            + [pl.BlockSpec((nb, 1, 1), lambda i: (i, 0, 0))],
+            out_specs=tuple(plane() for _ in range(3)),
+            interpret=interpret,
+        )(*(padded(a) for a in (kl, kh, valid_i, logit, extra, prune)))
+        if pad:
+            score, merged, src = score[:axis_size], merged[:axis_size], src[:axis_size]
+        return (score, merged, src), (True, True, True)
+
+    return run
 
 
 def merge_score_pallas(
@@ -97,11 +207,10 @@ def merge_score_pallas(
     ``logit``/``extra`` ``[K, B]``. Returns ``(score, merged, src)``, all
     ``[K, B]``: the window-pruned candidate score (DEAD for duplicate or
     pruned members), the merge-group logsumexp at every member, and the
-    token-major flat index of the group's newest member.
+    token-major flat index of the group's newest member. Under ``jax.vmap``
+    the batch dimension rides the kernel grid, several utterances per step.
     """
-    import jax
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
 
     k, b = kl.shape
     # the kernel materializes a few [K, B, B] f32/i32 intermediates in
@@ -112,27 +221,6 @@ def merge_score_pallas(
             f"(K={k}, B={b}; need 3*K*B*B*4 <= 12MiB). Reduce beam_width or "
             f"max_tokens_per_frame, or use the default XLA merge path."
         )
-
-    try:
-        from jax.experimental.pallas import tpu as pltpu
-
-        vmem = pltpu.VMEM
-    except ImportError:  # interpret-only environments
-        vmem = None
-
-    def spec():
-        return pl.BlockSpec(memory_space=vmem) if vmem is not None else pl.BlockSpec()
-
     prune = jnp.reshape(beam_prune_logp.astype(jnp.float32), (1, 1))
-    out_shape = (
-        jax.ShapeDtypeStruct((k, b), jnp.float32),
-        jax.ShapeDtypeStruct((k, b), jnp.float32),
-        jax.ShapeDtypeStruct((k, b), jnp.int32),
-    )
-    return pl.pallas_call(
-        _kernel,
-        out_shape=out_shape,
-        in_specs=[spec() for _ in range(6)],
-        out_specs=tuple(spec() for _ in range(3)),
-        interpret=interpret,
-    )(kl, kh, valid.astype(jnp.int32), logit, extra, prune)
+    run = _build_runner(k, b, interpret)
+    return run(kl, kh, valid.astype(jnp.int32), logit, extra, prune)
