@@ -960,6 +960,7 @@ def _make_step(
             "m_ring_lo": cm["ring_lo"],
             "m_ring_hi": cm["ring_hi"],
         }
+        beam_chunks = {"c_p_len": 3, "c_force": 1, "c_nw": 3, "m_nw": 3}
         for i in range(n_lms):
             beam_fields[f"c_ctx{i}"] = state[f"ctx{i}"]
             beam_fields[f"m_ctx{i}"] = cm[f"ctx{i}"]
@@ -967,7 +968,12 @@ def _make_step(
             beam_fields[f"m_ctx_len{i}"] = cm[f"ctx_len{i}"]
             beam_fields[f"c_ctx_bo{i}"] = state[f"ctx_bo{i}"]
             beam_fields[f"m_ctx_bo{i}"] = cm[f"ctx_bo{i}"]
-        bsel = _select_fields_mxu(jnp, beam_fields, top_parent, b)
+            # context length <= order-1 <= 15: one 8-bit chunk suffices
+            beam_chunks[f"c_ctx_len{i}"] = 1
+            beam_chunks[f"m_ctx_len{i}"] = 1
+        bsel = _select_fields_mxu(
+            jnp, beam_fields, top_parent, b, n_chunks=beam_chunks
+        )
         # ---- transition replay for the winners (parity-exact: the same
         # 4-way rules as the [B, K] expansion above, applied to the same
         # (parent, token) pair the top-ranked group member came from)
