@@ -25,6 +25,10 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--cpu", action="store_true", help="force CPU (interpret)")
+    ap.add_argument(
+        "--blocks", default="8",
+        help="comma-separated PYCTCDECODE_TPU_MERGE_BLOCK values to sweep",
+    )
     args = ap.parse_args()
 
     import jax
@@ -78,7 +82,12 @@ def main() -> None:
         return jax.jit(jax.vmap(run, in_axes=(0, 0, 0, 0, 0)))
 
     on_tpu = jax.default_backend() == "tpu"
-    for name, fn in (("xla", xla_path), ("pallas", pallas_path)):
+    variants = [("xla", xla_path)]
+    for blk in str(args.blocks).split(","):
+        variants.append((f"pallas/b{blk.strip()}", pallas_path, blk.strip()))
+    for name, fn, *blk in variants:
+        if blk:
+            os.environ["PYCTCDECODE_TPU_MERGE_BLOCK"] = blk[0]
         run = chained(fn)
         out = run(kl, kh, valid, logit, extra)
         out.block_until_ready()
