@@ -66,7 +66,7 @@ _NODE_MASK = DeviceLM.NODE_MASK
 _BIT_IN_VOCAB = DeviceLM.BIT_IN_VOCAB
 _BIT_UNI_WORD = DeviceLM.BIT_UNI_WORD
 _BIT_UNI_PREFIX = DeviceLM.BIT_UNI_PREFIX
-from .ops.hashing import hash_extend_char, hash_text_commit
+from .ops.hashing import hash_extend_char, hash_text_commit, mix4
 from .ops.tokens import KIND_BLANK, KIND_BOUNDARY, TokenArrays
 
 DEAD = -1.0e30
@@ -154,10 +154,8 @@ def stats_fields(cfg: EngineConfig) -> List[str]:
 
 
 def _mix_key(jnp, a, b, c, d):
-    """Fold four uint32 streams into one uint32 lane."""
-    h = a * jnp.uint32(0x01000193) ^ b
-    h = h * jnp.uint32(0x01000193) ^ c
-    return h * jnp.uint32(0x01000193) ^ d
+    """Fold four uint32 streams into one uint32 lane (see ops.hashing.mix4)."""
+    return mix4(jnp, a, b, c, d)
 
 
 def _normalize_members(
@@ -719,8 +717,12 @@ def _make_step(
         # ---- partial-word extension walk (regular children, raw label).
         # Trie transitions return PACKED entries (child node + its flags),
         # so each walk step is one gather and scoring needs no flag lookups.
-        ext_lo = jnp.broadcast_to(state["p_lo"][:, None], (b, k))
-        ext_hi = jnp.broadcast_to(state["p_hi"][:, None], (b, k))
+        # With the Pallas kernel the candidate hash/key planes are computed
+        # in VMEM (ops.pallas_merge._expand_math) and never built here.
+        fold = cfg.use_pallas_merge
+        if not fold:
+            ext_lo = jnp.broadcast_to(state["p_lo"][:, None], (b, k))
+            ext_hi = jnp.broadcast_to(state["p_hi"][:, None], (b, k))
         ext_entries = [
             jnp.broadcast_to(
                 (state[f"p_node{i}"] | state[f"p_flags{i}"])[:, None], (b, k)
@@ -739,9 +741,10 @@ def _make_step(
             has = (cid >= 0)[None, :]
             cid_safe = jnp.maximum(cid, 0)
             cid_b = jnp.broadcast_to(cid_safe[None, :], (b, k))
-            nlo, nhi = hash_extend_char(jnp, ext_lo, ext_hi, cid_b)
-            ext_lo = jnp.where(has, nlo, ext_lo)
-            ext_hi = jnp.where(has, nhi, ext_hi)
+            if not fold:
+                nlo, nhi = hash_extend_char(jnp, ext_lo, ext_hi, cid_b)
+                ext_lo = jnp.where(has, nlo, ext_lo)
+                ext_hi = jnp.where(has, nhi, ext_hi)
             for i in range(n_lms):
                 rows = trie_rows_b[i]  # [B, W] (shared with commit scoring)
                 ext_entries[i] = jnp.where(has, rows[:, cid_safe], ext_entries[i])
@@ -753,9 +756,10 @@ def _make_step(
                 cid = tok_dev["raw_chars"][toks, l]  # [K]
                 has = (cid >= 0)[None, :]
                 cid_b = jnp.broadcast_to(jnp.maximum(cid, 0)[None, :], (b, k))
-                nlo, nhi = hash_extend_char(jnp, ext_lo, ext_hi, cid_b)
-                ext_lo = jnp.where(has, nlo, ext_lo)
-                ext_hi = jnp.where(has, nhi, ext_hi)
+                if not fold:
+                    nlo, nhi = hash_extend_char(jnp, ext_lo, ext_hi, cid_b)
+                    ext_lo = jnp.where(has, nlo, ext_lo)
+                    ext_hi = jnp.where(has, nhi, ext_hi)
                 for i in range(n_lms):
                     ext_entries[i] = jnp.where(
                         has,
@@ -771,14 +775,15 @@ def _make_step(
 
         seed_lo_k = tok_dev["seed_lo"][toks]
         seed_hi_k = tok_dev["seed_hi"][toks]
-        seed_lo = jnp.broadcast_to(seed_lo_k[None, :], (b, k))
-        seed_hi = jnp.broadcast_to(seed_hi_k[None, :], (b, k))
-        p_lo_n = jnp.where(
-            stay, state["p_lo"][:, None], jnp.where(as_boundary, seed_lo, ext_lo)
-        )
-        p_hi_n = jnp.where(
-            stay, state["p_hi"][:, None], jnp.where(as_boundary, seed_hi, ext_hi)
-        )
+        if not fold:
+            seed_lo = jnp.broadcast_to(seed_lo_k[None, :], (b, k))
+            seed_hi = jnp.broadcast_to(seed_hi_k[None, :], (b, k))
+            p_lo_n = jnp.where(
+                stay, state["p_lo"][:, None], jnp.where(as_boundary, seed_lo, ext_lo)
+            )
+            p_hi_n = jnp.where(
+                stay, state["p_hi"][:, None], jnp.where(as_boundary, seed_hi, ext_hi)
+            )
         p_len_n = jnp.where(
             stay,
             state["p_len"][:, None],
@@ -808,25 +813,28 @@ def _make_step(
                 jnp.where(as_boundary, seed_hentry, ext_hentry),
             )
 
-        text_lo_n = jnp.where(
-            as_boundary, cm["text_lo"][:, None], state["text_lo"][:, None]
-        )
-        text_hi_n = jnp.where(
-            as_boundary, cm["text_hi"][:, None], state["text_hi"][:, None]
-        )
-        fused_n = state["fused"][:, None] + jnp.where(
-            as_boundary, cm["word_fused"][:, None], 0.0
-        )
-        force_n = jnp.where(as_boundary, tok_right[None, :], state["force"][:, None])
-        logit_n = jnp.where(
-            alive[:, None], state["logit"][:, None] + tok_logp[None, :], DEAD
-        )
-        valid = alive[:, None] & admit[None, :]
+        if not fold:
+            text_lo_n = jnp.where(
+                as_boundary, cm["text_lo"][:, None], state["text_lo"][:, None]
+            )
+            text_hi_n = jnp.where(
+                as_boundary, cm["text_hi"][:, None], state["text_hi"][:, None]
+            )
+            fused_n = state["fused"][:, None] + jnp.where(
+                as_boundary, cm["word_fused"][:, None], 0.0
+            )
+            force_n = jnp.where(
+                as_boundary, tok_right[None, :], state["force"][:, None]
+            )
+            logit_n = jnp.where(
+                alive[:, None], state["logit"][:, None] + tok_logp[None, :], DEAD
+            )
+            valid = alive[:, None] & admit[None, :]
 
-        # ---- merge keys (token identity is implicit: merges are
-        # block-diagonal per token column, see _merge_dense)
-        kl = _mix_key(jnp, text_lo_n, p_lo_n, p_hi_n, force_n.astype(jnp.uint32))
-        kh = _mix_key(jnp, text_hi_n, p_hi_n, p_lo_n, force_n.astype(jnp.uint32))
+            # ---- merge keys (token identity is implicit: merges are
+            # block-diagonal per token column, see _merge_dense)
+            kl = _mix_key(jnp, text_lo_n, p_lo_n, p_hi_n, force_n.astype(jnp.uint32))
+            kh = _mix_key(jnp, text_hi_n, p_hi_n, p_lo_n, force_n.astype(jnp.uint32))
 
         # every member of a merge group shares (text, partial), hence the
         # same fused accumulator and partial score — use each candidate's
@@ -843,9 +851,8 @@ def _make_step(
                 _flatten(h_entry_n & ~HOT_NODE_MASK) if cfg.use_hotwords else None,
                 _flatten(p_len_n),
             )
-            extra = _flatten(fused_n) + pscore
         else:
-            extra = _flatten(fused_n)
+            pscore = None
 
         # ---- block-diagonal merge + window prune: [K, B] layout.
         # Both paths produce the same three [C] vectors: ``sc`` (pruned
@@ -853,22 +860,56 @@ def _make_step(
         # logsumexp at every member) and ``src_flat`` (newest group member,
         # the backtrace donor).
         to_kb = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
-        if cfg.use_pallas_merge:
-            from .ops.pallas_merge import merge_score_pallas
+        if fold:
+            from .ops.pallas_merge import expand_merge_score_pallas
 
-            sc_kb, merged_kb, src_kb = merge_score_pallas(
-                to_kb(kl),
-                to_kb(kh),
-                to_kb(valid),
-                to_kb(logit_n),
-                extra.reshape(k, b),
+            beam_planes = {
+                "text_lo": state["text_lo"],
+                "text_hi": state["text_hi"],
+                "cm_text_lo": cm["text_lo"],
+                "cm_text_hi": cm["text_hi"],
+                "p_lo": state["p_lo"],
+                "p_hi": state["p_hi"],
+                "force": state["force"].astype(jnp.int32),
+                "fused": state["fused"],
+                "wfused": cm["word_fused"],
+                "logit": state["logit"],
+                "last_tok": state["last_tok"],
+            }
+            tok_planes = {
+                "tok": toks,
+                "blank": blank.astype(jnp.int32),
+                "boundary": boundary_kind.astype(jnp.int32),
+                "right": tok_right.astype(jnp.int32),
+                "seed_lo": seed_lo_k,
+                "seed_hi": seed_hi_k,
+                "tok_logp": tok_logp,
+                "admit": admit.astype(jnp.int32),
+            }
+            cid_planes = [tok_dev["raw_chars"][toks, l] for l in range(lmax)]
+            pscore_kb = (
+                pscore.reshape(k, b)
+                if pscore is not None
+                else jnp.zeros((k, b), dtype=jnp.float32)
+            )
+            sc_kb, merged_kb, src_kb = expand_merge_score_pallas(
+                beam_planes,
+                tok_planes,
+                cid_planes,
+                pscore_kb,
                 prm["beam_prune_logp"],
+                cfg.is_bpe,
                 interpret=jax.default_backend() != "tpu",
             )
             sc = sc_kb.reshape(c)
             merged_c = merged_kb.reshape(c)
             src_flat = src_kb.reshape(c)
         else:
+            extra = (
+                _flatten(fused_n) + pscore
+                if pscore is not None
+                else _flatten(fused_n)
+            )
             merged, dup, donor = _merge_dense(
                 jnp, [to_kb(kl), to_kb(kh)], to_kb(valid), to_kb(logit_n)
             )

@@ -96,6 +96,13 @@ def hash_extend_char(xp: Any, h_lo: Any, h_hi: Any, char_id: Any) -> Tuple[Any, 
     return lo, hi
 
 
+def mix4(xp: Any, a: Any, b: Any, c: Any, d: Any) -> Any:
+    """Fold four uint32 streams into one uint32 lane (beam merge keys)."""
+    h = a * _u32(xp, 0x01000193) ^ b
+    h = h * _u32(xp, 0x01000193) ^ c
+    return h * _u32(xp, 0x01000193) ^ d
+
+
 def hash_string(prefix: str, char2id: Any) -> tuple:
     """Host helper: hash a full string through the char lanes (numpy)."""
     lo = np.uint32(0)

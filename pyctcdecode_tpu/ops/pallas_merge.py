@@ -38,6 +38,7 @@ import os
 from typing import Tuple
 
 DEAD = -1.0e30
+DEAD_THRESH = -1.0e29  # matches engine.DEAD_THRESH
 
 
 def _merge_block() -> int:
@@ -190,6 +191,218 @@ def _build_runner(k: int, b: int, interpret: bool):
         return (score, merged, src), (True, True, True)
 
     return run
+
+
+# --------------------------------------------------------------------------
+# expansion-folded variant: candidate planes never touch HBM
+# --------------------------------------------------------------------------
+# flat argument order for the expand kernels (after the per-char cid planes
+# are appended): see _expand_math's parameter list.
+_X_BEAM = ("text_lo", "text_hi", "cm_text_lo", "cm_text_hi", "p_lo", "p_hi",
+           "force", "fused", "wfused", "logit", "last_tok")  # [1, B] planes
+_X_TOK = ("tok", "blank", "boundary", "right", "seed_lo", "seed_hi",
+          "tok_logp", "admit")  # [K, 1] planes
+
+
+def _expand_math(jax, jnp, is_bpe, k, b, beam, tok, cids, pscore, prune):
+    """Candidate expansion + merge on broadcast [K, B] values.
+
+    ``beam``: dict of [1, B] parent planes (u32 hashes, i32 flags/ids, f32
+    scores); ``tok``: dict of [K, 1] token planes; ``cids``: per-label-char
+    [K, 1] i32 char ids (-1 past the label end); ``pscore``: [K, B]
+    partial-word score (zeros when no LM/hotwords). Reproduces the
+    engine's 4-way transition exactly — bools are derived AFTER
+    broadcasting the int planes to [K, B] (Mosaic cannot broadcast 1-bit
+    types along the minor dim).
+    """
+    from .hashing import hash_extend_char, mix4
+
+    def bb(x):
+        return jnp.broadcast_to(x, (k, b))
+
+    last = bb(beam["last_tok"])
+    stay = (bb(tok["blank"]) != 0) | (last == bb(tok["tok"]))
+    force_p = bb(beam["force"])  # parent's BPE break flag, i32
+    if is_bpe:
+        bnd = ~stay & ((bb(tok["boundary"]) != 0) | (force_p != 0))
+    else:
+        bnd = ~stay & (bb(tok["boundary"]) != 0)
+
+    ext_lo, ext_hi = bb(beam["p_lo"]), bb(beam["p_hi"])
+    for cid_plane in cids:
+        cid = bb(cid_plane)
+        has = cid >= 0
+        nlo, nhi = hash_extend_char(
+            jnp, ext_lo, ext_hi, jnp.maximum(cid, 0).astype(jnp.uint32)
+        )
+        ext_lo = jnp.where(has, nlo, ext_lo)
+        ext_hi = jnp.where(has, nhi, ext_hi)
+    p_lo_n = jnp.where(
+        stay, bb(beam["p_lo"]), jnp.where(bnd, bb(tok["seed_lo"]), ext_lo)
+    )
+    p_hi_n = jnp.where(
+        stay, bb(beam["p_hi"]), jnp.where(bnd, bb(tok["seed_hi"]), ext_hi)
+    )
+    text_lo_n = jnp.where(bnd, bb(beam["cm_text_lo"]), bb(beam["text_lo"]))
+    text_hi_n = jnp.where(bnd, bb(beam["cm_text_hi"]), bb(beam["text_hi"]))
+    force_n = jnp.where(bnd, bb(tok["right"]), force_p).astype(jnp.uint32)
+    logit_p = bb(beam["logit"])
+    alive = logit_p > DEAD_THRESH
+    logit_n = jnp.where(alive, logit_p + bb(tok["tok_logp"]), DEAD)
+    valid_i = (alive & (bb(tok["admit"]) != 0)).astype(jnp.int32)
+    kl = mix4(jnp, text_lo_n, p_lo_n, p_hi_n, force_n)
+    kh = mix4(jnp, text_hi_n, p_hi_n, p_lo_n, force_n)
+    extra = bb(beam["fused"]) + jnp.where(bnd, bb(beam["wfused"]), 0.0) + pscore
+    return _merge_math(jax, jnp, kl, kh, valid_i, logit_n, extra, prune)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_expand_runner(k: int, b: int, lmax: int, is_bpe: bool, interpret: bool):
+    """(Cached) custom-vmap wrapper for the expansion-folded kernel."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    n_beam, n_tok = len(_X_BEAM), len(_X_TOK)
+    n_args = n_beam + n_tok + lmax + 2  # + pscore + prune
+
+    def _unpack(refs):
+        beam = {name: refs[i][:] for i, name in enumerate(_X_BEAM)}
+        tok = {name: refs[n_beam + i][:] for i, name in enumerate(_X_TOK)}
+        cids = [refs[n_beam + n_tok + l][:] for l in range(lmax)]
+        pscore = refs[n_beam + n_tok + lmax][:]
+        return beam, tok, cids, pscore
+
+    def _kernel_x(*refs):
+        ins, outs = refs[:n_args], refs[n_args:]
+        beam, tok, cids, pscore = _unpack(ins)
+        score, merged, src = _expand_math(
+            jax, jnp, is_bpe, k, b, beam, tok, cids, pscore, ins[-1][0, 0]
+        )
+        outs[0][:] = score
+        outs[1][:] = merged
+        outs[2][:] = src
+
+    def _kernel_x_batched(*refs):
+        ins, outs = refs[:n_args], refs[n_args:]
+
+        def body(n, carry):
+            beam = {name: ins[i][n] for i, name in enumerate(_X_BEAM)}
+            tok = {name: ins[n_beam + i][n] for i, name in enumerate(_X_TOK)}
+            cids = [ins[n_beam + n_tok + l][n] for l in range(lmax)]
+            pscore = ins[n_beam + n_tok + lmax][n]
+            score, merged, src = _expand_math(
+                jax, jnp, is_bpe, k, b, beam, tok, cids, pscore,
+                ins[-1][n, 0, 0],
+            )
+            outs[0][n] = score
+            outs[1][n] = merged
+            outs[2][n] = src
+            return carry
+
+        jax.lax.fori_loop(0, ins[0].shape[0], body, 0)
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        vmem = pltpu.VMEM
+    except ImportError:
+        vmem = None
+
+    def spec():
+        return pl.BlockSpec(memory_space=vmem) if vmem is not None else pl.BlockSpec()
+
+    out_shape = (
+        jax.ShapeDtypeStruct((k, b), jnp.float32),
+        jax.ShapeDtypeStruct((k, b), jnp.float32),
+        jax.ShapeDtypeStruct((k, b), jnp.int32),
+    )
+
+    @jax.custom_batching.custom_vmap
+    def run(*args):
+        return pl.pallas_call(
+            _kernel_x,
+            out_shape=out_shape,
+            in_specs=[spec() for _ in range(n_args)],
+            out_specs=tuple(spec() for _ in range(3)),
+            interpret=interpret,
+        )(*args)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        """Batch rule: block utterances onto the grid (see _kernel_batched)."""
+        args = [
+            a if batched else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            for a, batched in zip(args, in_batched)
+        ]
+        nb = min(_merge_block(), axis_size)
+        n_pad = -(-axis_size // nb) * nb
+        pad = n_pad - axis_size
+        if pad:
+            args = [
+                jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) for a in args
+            ]
+
+        def plane_spec(a):
+            return pl.BlockSpec((nb,) + a.shape[1:], lambda i: (i,) + (0,) * (a.ndim - 1))
+
+        out_shape_b = (
+            jax.ShapeDtypeStruct((n_pad, k, b), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, k, b), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, k, b), jnp.int32),
+        )
+        score, merged, src = pl.pallas_call(
+            _kernel_x_batched,
+            grid=(n_pad // nb,),
+            out_shape=out_shape_b,
+            in_specs=[plane_spec(a) for a in args],
+            out_specs=tuple(
+                pl.BlockSpec((nb, k, b), lambda i: (i, 0, 0)) for _ in range(3)
+            ),
+            interpret=interpret,
+        )(*args)
+        if pad:
+            score, merged, src = score[:axis_size], merged[:axis_size], src[:axis_size]
+        return (score, merged, src), (True, True, True)
+
+    return run
+
+
+def expand_merge_score_pallas(
+    beam: dict,
+    tok: dict,
+    cids: list,
+    pscore: "object",
+    beam_prune_logp: "object",
+    is_bpe: bool,
+    interpret: bool = False,
+) -> Tuple:
+    """Expansion-folded merge for one utterance.
+
+    ``beam``: [B] parent planes keyed by ``_X_BEAM`` (hashes u32, force/
+    last_tok i32, scores f32); ``tok``: [K] token planes keyed by
+    ``_X_TOK``; ``cids``: per-char [K] i32 planes (label chars, -1 past
+    end); ``pscore``: [K, B] f32 partial-word score. Candidate fields
+    (keys, logits, validity) are computed in VMEM and never materialize to
+    HBM. Returns ``(score, merged, src)`` as :func:`merge_score_pallas`.
+    """
+    import jax.numpy as jnp
+
+    k = tok["tok"].shape[0]
+    b = beam["logit"].shape[0]
+    if 3 * k * b * b * 4 > 12 * 1024 * 1024:
+        raise ValueError(
+            f"use_pallas_merge: K*B*B too large for VMEM "
+            f"(K={k}, B={b}; need 3*K*B*B*4 <= 12MiB). Reduce beam_width or "
+            f"max_tokens_per_frame, or use the default XLA merge path."
+        )
+    flat = [jnp.reshape(beam[name], (1, b)) for name in _X_BEAM]
+    flat += [jnp.reshape(tok[name], (k, 1)) for name in _X_TOK]
+    flat += [jnp.reshape(c, (k, 1)) for c in cids]
+    flat.append(pscore)
+    flat.append(jnp.reshape(beam_prune_logp.astype(jnp.float32), (1, 1)))
+    run = _build_expand_runner(k, b, len(cids), is_bpe, interpret)
+    return run(*flat)
 
 
 def merge_score_pallas(

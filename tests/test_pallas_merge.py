@@ -57,6 +57,43 @@ class TestPallasMerge(unittest.TestCase):
                 interpret=True,
             )
 
+    def test_segmented_batch_parity(self):
+        """Kernel inside host-dispatched segment programs (the bench path)."""
+        alphabet = Alphabet.build_alphabet(SAMPLE_LABELS)
+        host = BeamSearchDecoderCTC(alphabet)
+        dev = TPUBeamSearchDecoderCTC(
+            alphabet, use_pallas_merge=True, segment_frames=8
+        )
+        rng = np.random.RandomState(11)
+        mats = [rng.randn(rng.randint(3, 30), len(SAMPLE_LABELS)) * 2.0
+                for _ in range(4)]
+        got = dev.decode_batch(mats, beam_width=6)
+        for mat, text in zip(mats, got):
+            self.assertEqual(host.decode(mat, beam_width=6), text)
+
+    def test_bpe_parity(self):
+        """BPE alphabets exercise the kernel's force-break key lane."""
+        labels = ["▁bug", "▁bun", "s", "ny", "▁⁇▁", ""]
+        alphabet = Alphabet.build_alphabet(labels)
+        host = BeamSearchDecoderCTC(alphabet)
+        dev = TPUBeamSearchDecoderCTC(alphabet, use_pallas_merge=True)
+        rng = np.random.RandomState(7)
+        for _ in range(4):
+            mat = rng.randn(rng.randint(4, 22), len(labels)) * 2.0
+            self.assertEqual(
+                host.decode(mat, beam_width=5), dev.decode(mat, beam_width=5)
+            )
+
+    @pytest.mark.skipif(not os.path.exists(ARPA), reason="reference fixtures absent")
+    def test_hotword_parity(self):
+        alphabet = Alphabet.build_alphabet(SAMPLE_LABELS)
+        host = BeamSearchDecoderCTC(alphabet)
+        dev = TPUBeamSearchDecoderCTC(alphabet, use_pallas_merge=True)
+        hb = host.decode_beams(TEST_PROBS, hotwords=["bugs"], hotword_weight=8.0)
+        db = dev.decode_beams(TEST_PROBS, hotwords=["bugs"], hotword_weight=8.0)
+        self.assertEqual(hb[0].text, db[0].text)
+        self.assertAlmostEqual(hb[0].lm_score, db[0].lm_score, delta=SCORE_TOL)
+
     @pytest.mark.skipif(not os.path.exists(ARPA), reason="reference fixtures absent")
     def test_lm_parity(self):
         lm = LanguageModel(
