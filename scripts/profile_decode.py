@@ -28,6 +28,11 @@ def main() -> None:
     ap.add_argument("--arpa", default=None)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--logdir", default=None, help="keep the raw trace here")
+    ap.add_argument("--pallas", action="store_true", help="use_pallas_merge")
+    ap.add_argument("--fast-topk", action="store_true", dest="fast_topk")
+    ap.add_argument(
+        "--segment-frames", type=int, default=None, dest="segment_frames"
+    )
     args = ap.parse_args()
 
     import jax
@@ -54,7 +59,13 @@ def main() -> None:
     lm = None
     if args.arpa:
         lm = LanguageModel(open_ngram_file(args.arpa))
-    dev = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(LIBRI_LABELS), lm)
+    dev = TPUBeamSearchDecoderCTC(
+        Alphabet.build_alphabet(LIBRI_LABELS),
+        lm,
+        use_pallas_merge=args.pallas,
+        fast_topk=args.fast_topk,
+        segment_frames=args.segment_frames,
+    )
     batch = [logits] * args.batch
     kw = dict(beam_width=args.beam, max_tokens_per_frame=args.k)
     dev.decode_batch(batch, **kw)  # compile + warm
