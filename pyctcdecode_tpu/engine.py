@@ -784,15 +784,16 @@ def _make_step(
             p_hi_n = jnp.where(
                 stay, state["p_hi"][:, None], jnp.where(as_boundary, seed_hi, ext_hi)
             )
-        p_len_n = jnp.where(
-            stay,
-            state["p_len"][:, None],
-            jnp.where(
-                as_boundary,
-                tok_plen[None, :],
-                state["p_len"][:, None] + tok_rlen[None, :],
-            ),
-        )
+        if n_lms or cfg.use_hotwords:  # partial length feeds pscore only
+            p_len_n = jnp.where(
+                stay,
+                state["p_len"][:, None],
+                jnp.where(
+                    as_boundary,
+                    tok_plen[None, :],
+                    state["p_len"][:, None] + tok_rlen[None, :],
+                ),
+            )
         p_entry_n = []
         for i in range(n_lms):
             seed_entry = jnp.broadcast_to(
