@@ -216,7 +216,19 @@ def main() -> None:
     stream_dt = (time.perf_counter() - t0) / (n_stream - 1)
     stream_tput = len(batch) * audio_sec / stream_dt
 
+    # --- blank collapse (opt-in, exactness-preserving at the call's
+    # token_min_logp): real CTC emissions are blank-dominated, so dropping
+    # blank-certain frames multiplies throughput at identical output
+    texts_bc, bc_dt, bc_tput = _time_device(
+        dev, batch, audio_sec, blank_collapse=True, **kwargs
+    )
+
     detail = {
+        "blank_collapse": {
+            "audio_sec_per_s": round(bc_tput, 2),
+            "batch_latency_s": round(bc_dt, 4),
+            "texts_match_full": texts_bc == texts,
+        },
         "batch": BATCH,
         "beam_width": BEAM_WIDTH,
         "k_tokens": K_TOKENS,

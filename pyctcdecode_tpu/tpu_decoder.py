@@ -43,6 +43,7 @@ from .models.base import AbstractLMState, NGramLMState
 from .models.device_tables import build_device_lm
 from .models.language_model import LanguageModel
 from .ops.tokens import build_token_arrays
+from .utils.logits import blank_collapse as blank_collapse_frames
 
 logger = logging.getLogger(__name__)
 
@@ -202,6 +203,7 @@ class TPUBeamSearchDecoderCTC:
         self._segment_frames = segment_frames
         self._alphabet = alphabet
         self._labels = alphabet.labels
+        self._blank_id = self._labels.index("")  # CTC blank (always present)
         self._lm = language_model
         self._tokens = build_token_arrays(alphabet)
         if language_model is None:
@@ -664,6 +666,8 @@ class TPUBeamSearchDecoderCTC:
         out: Dict[str, np.ndarray],
         n_frames: int,
         top_n: Optional[int] = None,
+        frame_ids: Optional[np.ndarray] = None,
+        score_offset: float = 0.0,
     ) -> List[OutputBeam]:
         beam_src = np.asarray(out["beam_src"])  # [B]
         logit = np.asarray(out["logit"])
@@ -701,6 +705,7 @@ class TPUBeamSearchDecoderCTC:
                 toks,
                 self._labels,
                 self._alphabet.is_bpe,
+                frame_ids=frame_ids,  # original indices under blank collapse
             )
             if partial:
                 words.append(partial)
@@ -731,8 +736,8 @@ class TPUBeamSearchDecoderCTC:
                     text=collapse_spaces(text),
                     last_lm_state=last_state,
                     text_frames=list(zip(words, frames)),
-                    logit_score=float(logit[rank]),
-                    lm_score=float(lm_score[rank]),
+                    logit_score=float(logit[rank]) + score_offset,
+                    lm_score=float(lm_score[rank]) + score_offset,
                 )
             )
         return results
@@ -750,11 +755,15 @@ class TPUBeamSearchDecoderCTC:
         lm_start_state: Optional[AbstractLMState] = None,
         max_tokens_per_frame: Optional[int] = None,
         top_n: Optional[int] = None,
+        blank_collapse: bool = False,
     ) -> List[OutputBeam]:
         """Decode one utterance on device; returns ranked OutputBeams.
 
         ``top_n`` limits host-side text reconstruction to the best N beams
         (scores/search are unaffected); the top-1 APIs use ``top_n=1``.
+        ``blank_collapse`` drops blank-certain frames before decoding
+        (exactness-preserving at this call's ``token_min_logp``; see
+        :func:`~pyctcdecode_tpu.utils.logits.blank_collapse`).
         """
         if logits.ndim != 2 or logits.shape[1] != len(self._labels):
             raise ValueError(
@@ -764,9 +773,17 @@ class TPUBeamSearchDecoderCTC:
         hot, weight, _ = self._hot_tables(hotwords, hotword_weight)
         v = len(self._labels)
         k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
-        t = logits.shape[0]
-        t_pad = _bucket(t)
         logp = normalize_host(logits)
+        frame_ids = None
+        score_offset = 0.0
+        if blank_collapse:
+            keep_idx, score_offset = blank_collapse_frames(
+                logp, self._blank_id, token_min_logp
+            )
+            logp = logp[keep_idx]
+            frame_ids = keep_idx
+        t = logp.shape[0]
+        t_pad = _bucket(t)
         logp_pad = np.full((t_pad, v), 0.0, dtype=np.float32)
         logp_pad[:t] = logp
         fn = self._get_fn(
@@ -788,7 +805,10 @@ class TPUBeamSearchDecoderCTC:
             self._tabs,
             hot,
         )
-        return self._build_outputs(out, n_frames=t, top_n=top_n)
+        return self._build_outputs(
+            out, n_frames=t, top_n=top_n, frame_ids=frame_ids,
+            score_offset=score_offset,
+        )
 
     def decode(
         self,
@@ -800,6 +820,7 @@ class TPUBeamSearchDecoderCTC:
         hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
         lm_start_state: Optional[AbstractLMState] = None,
         max_tokens_per_frame: Optional[int] = None,
+        blank_collapse: bool = False,
     ) -> str:
         """Top transcript for one utterance."""
         return self.decode_beams(
@@ -813,6 +834,7 @@ class TPUBeamSearchDecoderCTC:
             lm_start_state=lm_start_state,
             max_tokens_per_frame=max_tokens_per_frame,
             top_n=1,
+            blank_collapse=blank_collapse,
         )[0].text
 
     @staticmethod
@@ -847,6 +869,7 @@ class TPUBeamSearchDecoderCTC:
         batch_pad: int = 8,
         top_n: Optional[int] = None,
         collect_stats: bool = False,
+        blank_collapse: bool = False,
     ) -> "object":
         """Vectorized batch decode: one fused device program per batch.
 
@@ -859,6 +882,14 @@ class TPUBeamSearchDecoderCTC:
         kills, word commits, per-order LM probe hit rates — SURVEY §5.5)
         and the return value becomes ``(results, stats)`` where ``stats``
         is one ``{counter_name: int}`` dict per utterance.
+
+        ``blank_collapse`` drops blank-certain frames per utterance before
+        decoding — exactness-preserving at this call's ``token_min_logp``
+        (text, ranking, frame spans and, after score-offset restoration,
+        scores all match the full decode; see
+        :func:`~pyctcdecode_tpu.utils.logits.blank_collapse`). Real CTC
+        emissions are blank-dominated, so this typically shrinks the frame
+        count 1.3-2x at zero accuracy cost.
         """
         logits_list = self._without_pool_arg(logits_list, _pool_compat)
         handle = self._dispatch_batch(
@@ -873,6 +904,7 @@ class TPUBeamSearchDecoderCTC:
             batch_pad=batch_pad,
             top_n=top_n,
             collect_stats=collect_stats,
+            blank_collapse=blank_collapse,
         )
         results = self._collect_batch(handle)
         if collect_stats:
@@ -899,6 +931,7 @@ class TPUBeamSearchDecoderCTC:
         batch_pad: int,
         top_n: Optional[int],
         collect_stats: bool = False,
+        blank_collapse: bool = False,
     ) -> Optional[Dict[str, Any]]:
         """Normalize, upload and launch one batch; returns a result handle.
 
@@ -911,8 +944,6 @@ class TPUBeamSearchDecoderCTC:
         hot, weight, _ = self._hot_tables(hotwords, hotword_weight)
         v = len(self._labels)
         k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
-        lens = [l.shape[0] for l in logits_list]
-        t_pad = _bucket(max(lens))
         n = len(logits_list)
         n_pad = ((n + batch_pad - 1) // batch_pad) * batch_pad
         for mat in logits_list:
@@ -920,11 +951,32 @@ class TPUBeamSearchDecoderCTC:
                 raise ValueError(
                     f"Input logits of shape {mat.shape}, but vocabulary is size {v}"
                 )
+        frame_ids_list: Optional[List[np.ndarray]] = None
+        offsets: Optional[List[float]] = None
+        if blank_collapse:
+            collapsed: List[np.ndarray] = []
+            frame_ids_list, offsets = [], []
+            for mat in logits_list:
+                lp = normalize_host(np.asarray(mat))
+                keep_idx, off = blank_collapse_frames(
+                    lp, self._blank_id, token_min_logp
+                )
+                collapsed.append(lp[keep_idx])
+                frame_ids_list.append(keep_idx)
+                offsets.append(off)
+            lens = [c.shape[0] for c in collapsed]
+        else:
+            lens = [l.shape[0] for l in logits_list]
+        t_pad = _bucket(max(max(lens), 1))
         seg = self._segment_frames_effective()
         if seg:
             t_pad = ((t_pad + seg - 1) // seg) * seg
         logp = np.zeros((n_pad, t_pad, v), dtype=np.float32)
-        logp[:n] = normalize_host_batch(logits_list, t_pad, v)
+        if blank_collapse:
+            for i, cl in enumerate(collapsed):
+                logp[i, : cl.shape[0]] = cl
+        else:
+            logp[:n] = normalize_host_batch(logits_list, t_pad, v)
         n_frames = np.zeros(n_pad, dtype=np.int32)
         n_frames[:n] = lens
         emit_paths = min(top_n, beam_width) if top_n is not None else None
@@ -951,7 +1003,14 @@ class TPUBeamSearchDecoderCTC:
                 self._tabs,
                 hot,
             )
-        handle = {"out": dict(out), "lens": lens, "n": n, "top_n": top_n}
+        handle = {
+            "out": dict(out),
+            "lens": lens,
+            "n": n,
+            "top_n": top_n,
+            "frame_ids": frame_ids_list,
+            "offsets": offsets,
+        }
         if collect_stats:
             from .engine import stats_fields
 
@@ -1034,6 +1093,8 @@ class TPUBeamSearchDecoderCTC:
             for key, val in handle["out"].items()
         }
         results = []
+        frame_ids_list = handle.get("frame_ids")
+        offsets = handle.get("offsets")
         for i in range(handle["n"]):
             one = {
                 key: (
@@ -1043,7 +1104,13 @@ class TPUBeamSearchDecoderCTC:
             }
             results.append(
                 self._build_outputs(
-                    one, n_frames=handle["lens"][i], top_n=handle["top_n"]
+                    one,
+                    n_frames=handle["lens"][i],
+                    top_n=handle["top_n"],
+                    frame_ids=(
+                        frame_ids_list[i] if frame_ids_list is not None else None
+                    ),
+                    score_offset=offsets[i] if offsets is not None else 0.0,
                 )
             )
         return results
@@ -1072,6 +1139,7 @@ class TPUBeamSearchDecoderCTC:
             max_tokens_per_frame=kwargs.pop("max_tokens_per_frame", None),
             batch_pad=kwargs.pop("batch_pad", 8),
             top_n=kwargs.pop("top_n", None),
+            blank_collapse=kwargs.pop("blank_collapse", False),
         )
         if kwargs:
             raise TypeError(f"unknown decode arguments: {sorted(kwargs)}")
@@ -1093,6 +1161,7 @@ class TPUBeamSearchDecoderCTC:
         hotwords: Optional[Iterable[str]] = None,
         hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
         max_tokens_per_frame: Optional[int] = None,
+        blank_collapse: bool = False,
     ) -> List[str]:
         """Batch top-1 transcripts (leading pool argument accepted, unused)."""
         logits_list = self._without_pool_arg(logits_list, _pool_compat)
@@ -1106,6 +1175,7 @@ class TPUBeamSearchDecoderCTC:
             hotword_weight=hotword_weight,
             max_tokens_per_frame=max_tokens_per_frame,
             top_n=1,
+            blank_collapse=blank_collapse,
         )
         return [b[0].text if b else "" for b in beams]
 

@@ -39,6 +39,42 @@ def normalize_to_logp(logits: np.ndarray) -> np.ndarray:
     return np.clip(log_softmax_np(logits, axis=1), math.log(MIN_TOKEN_CLIP_P), 0)
 
 
+def blank_collapse(
+    logp: np.ndarray, blank_id: int, token_min_logp: float
+) -> tuple:
+    """Frame indices to keep after collapsing blank-certain runs.
+
+    A frame is *droppable* when blank is its argmax and every other token's
+    log-prob is below ``token_min_logp``: the decoder's admission rule
+    (threshold OR argmax, ref decoder.py:444-445) then admits only the
+    blank "stay" transition, which maps every beam to itself with a score
+    shift that is uniform across beams. Runs of droppable frames keep
+    their FIRST frame (it performs the blank-path beam merge and the
+    last-token reset that separates repeated characters — dropping it
+    would change results); the rest are removed.
+
+    Decoded text, ranking, frame spans (via the returned original frame
+    ids) and pruning decisions are exactly those of the full decode;
+    adding the returned ``dropped_sum`` (the dropped frames' blank
+    log-probs) to each output score reconstructs full-decode scores up to
+    f32 summation order. The technique follows "Blank Collapse:
+    Compressing CTC emission for the faster decoding" (arXiv:2210.17017);
+    the condition here is the stronger exactness-preserving one.
+
+    Returns ``(keep_idx int64 [T'], dropped_sum float)``.
+    """
+    t = logp.shape[0]
+    if t == 0:
+        return np.arange(0, dtype=np.int64), 0.0
+    amax = logp.argmax(axis=1)
+    second = np.partition(logp, -2, axis=1)[:, -2]
+    droppable = (amax == blank_id) & (second < token_min_logp)
+    keep = ~droppable | np.concatenate([[True], ~droppable[:-1]])
+    keep_idx = np.flatnonzero(keep).astype(np.int64)
+    dropped_sum = float(logp[~keep, blank_id].sum())
+    return keep_idx, dropped_sum
+
+
 def normalize_to_logp_jnp(logits: "object", assume: str = "auto") -> "object":
     """jnp twin of :func:`normalize_to_logp`.
 
