@@ -218,6 +218,7 @@ class ShardedCTCDecoder:
         max_tokens_per_frame: Optional[int] = None,
         top_n: Optional[int] = None,
         collect_stats: bool = False,
+        blank_collapse: bool = False,
     ) -> "object":
         """Decode a global batch sharded over the mesh; ragged inputs padded.
 
@@ -233,14 +234,32 @@ class ShardedCTCDecoder:
         hot, weight, _ = d._hot_tables(hotwords, hotword_weight)
         v = len(d._labels)
         k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
-        lens = [m.shape[0] for m in logits_list]
-        t_pad = _bucket(max(lens))
+        frame_ids_list = offsets = None
+        if blank_collapse:
+            from ..utils.logits import blank_collapse as bc
+            from ..tpu_decoder import normalize_host
+
+            collapsed, frame_ids_list, offsets = [], [], []
+            for mat in logits_list:
+                lp = normalize_host(np.asarray(mat))
+                keep_idx, off = bc(lp, d._blank_id, token_min_logp)
+                collapsed.append(lp[keep_idx])
+                frame_ids_list.append(keep_idx)
+                offsets.append(off)
+            lens = [c.shape[0] for c in collapsed]
+        else:
+            lens = [m.shape[0] for m in logits_list]
+        t_pad = _bucket(max(max(lens), 1))
         n = len(logits_list)
         n_dev = self.n_devices
         per_dev = (n + n_dev - 1) // n_dev
         n_pad = per_dev * n_dev
         logp = np.zeros((n_pad, t_pad, v), dtype=np.float32)
-        logp[:n] = normalize_host_batch(logits_list, t_pad, v)
+        if blank_collapse:
+            for i, cl in enumerate(collapsed):
+                logp[i, : cl.shape[0]] = cl
+        else:
+            logp[:n] = normalize_host_batch(logits_list, t_pad, v)
         n_frames = np.zeros(n_pad, dtype=np.int32)
         n_frames[:n] = lens
         fn = self._get_fn(
@@ -280,7 +299,17 @@ class ShardedCTCDecoder:
                 )
                 for key, val in host.items()
             }
-            results.append(d._build_outputs(one, n_frames=lens[i], top_n=top_n))
+            results.append(
+                d._build_outputs(
+                    one,
+                    n_frames=lens[i],
+                    top_n=top_n,
+                    frame_ids=(
+                        frame_ids_list[i] if frame_ids_list is not None else None
+                    ),
+                    score_offset=offsets[i] if offsets is not None else 0.0,
+                )
+            )
         if collect_stats:
             from ..engine import stats_fields
 

@@ -101,6 +101,25 @@ class TestShardedDecode(unittest.TestCase):
         texts = sharded.decode_batch([TEST_PROBS] * 4, beam_width=8)
         self.assertEqual(texts, ["bunny bunny"] * 4)
 
+    def test_sharded_blank_collapse_equals_full(self):
+        dec = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(SAMPLE_LABELS))
+        sharded = ShardedCTCDecoder(dec, mesh=make_data_mesh(8))
+        rng = np.random.RandomState(3)
+        blank = len(SAMPLE_LABELS) - 1
+        mats = []
+        for _ in range(8):
+            m = rng.randn(rng.randint(5, 25), len(SAMPLE_LABELS)).astype(
+                np.float32
+            ) * 2.0
+            m[::3] = -30.0
+            m[::3, blank] = -1e-4  # blank-certain rows
+            mats.append(m)
+        full = sharded.decode_beams_batch(mats, beam_width=6)
+        fast = sharded.decode_beams_batch(mats, beam_width=6, blank_collapse=True)
+        for fu, fa in zip(full, fast):
+            self.assertEqual([b.text for b in fu], [b.text for b in fa])
+            self.assertEqual(fu[0].text_frames, fa[0].text_frames)
+
     def test_sharded_with_hotwords(self):
         dev = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(SAMPLE_LABELS))
         sharded = ShardedCTCDecoder(dev, mesh=make_data_mesh(4))
