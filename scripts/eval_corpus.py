@@ -61,7 +61,14 @@ def main() -> None:
         help="'both' also reports parity",
     )
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument(
+        "--blank-collapse", action="store_true", dest="blank_collapse",
+        help="drop blank-certain frames (device engine only; exactness-"
+        "preserving at the decode token_min_logp)",
+    )
     args = ap.parse_args()
+    if args.blank_collapse and args.engine != "device":
+        ap.error("--blank-collapse requires --engine device")
 
     if args.cpu:
         import jax
@@ -89,6 +96,8 @@ def main() -> None:
         kwargs = {}
         if args.k is not None:
             kwargs["max_tokens_per_frame"] = args.k
+        if args.blank_collapse:
+            kwargs["blank_collapse"] = True
         build = dict(alpha=args.alpha, beta=args.beta)
         if args.engine == "both":
             host = build_ctcdecoder(LIBRI_LABELS, arpa, engine="host", **build)
