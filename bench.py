@@ -1,54 +1,82 @@
-"""Benchmark: device batch beam-search throughput vs single-core host decode.
+"""Benchmark: device batch beam-search throughput vs single-core CPU decode.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The headline runs the PARITY configuration — the setup the reference's own
-published numbers use (README.md:105-117, tutorials/03_eval_performance.ipynb
-cells 8-9, 18): beam width 100, an order-3 LM at realistic scale (~200k-word
-vocabulary, ~1.5M bigrams + ~1.1M trigrams; synthesized here because the
-container has no network access, with the same shape statistics as the
-pruned LibriSpeech 3-gram), LibriSpeech-style 371x29 log-prob matrices (the
-reference's own fixture). The metric is decoded audio-seconds per wall-clock
-second per chip; ``vs_baseline`` is the speedup over this framework's host
-engine decoding the same workload single-process on CPU (the reference's
-deployment mode; its speed is "comparable to C++" per the reference README).
-A secondary line in ``detail`` re-times the round-1 2-gram configuration for
-continuity.
+Methodology (the reference's own, ref tutorials/03_eval_performance.ipynb
+cells 29-31: decode a corpus of distinct utterances single-process and
+report runtime): a reproducible synthetic corpus of ``BATCH`` distinct
+utterances at the parity configuration — beam width 100, an order-3 LM at
+realistic scale (~200k-word vocabulary, ~1.5M bigrams + ~1.1M trigrams;
+synthesized because the container has no network access, with the same
+shape statistics as the pruned LibriSpeech 3-gram).
 
-Frame stride: 0.02 s (Wav2Vec2/QuartzNet CTC frame rate), so one 371-frame
-utterance is 7.42 s of audio.
+CPU decode cost is strongly data-dependent (confident frames admit one
+token; noisy frames admit many), so corpus difficulty is pinned to the
+reference's own benchmark split: LibriSpeech dev-other, where the
+reference publishes greedy WER 10.08% (ref 03_eval_performance.ipynb cell
+25). The headline corpus is calibrated so greedy argmax decoding scores
+~10% WER (noise=1.7 below: 9.8% measured), with blank statistics matched
+to real CTC emissions (36% blank-certain frames vs 39% in the reference's
+Wav2Vec2 fixture). On this corpus the shimmed reference package measures
+~96 ms per 7-s utterance single-core — the same speed class as its
+published 0-80 ms/sample dev-other sweep. A second, easier corpus
+calibrated to the fixture itself (1.1 tokens/frame admitted) is reported
+in ``detail.easy_corpus`` to show the data-dependence both ways.
+
+Baseline (``vs_baseline``): the ACTUAL reference package at
+/root/reference, decoding the same utterances single-process with a C++
+n-gram backend (this repo's ctclm engine behind a kenlm-API shim — the
+same speed class as the kenlm binding the reference deploys with; see
+scripts/ref_baseline.py). Its transcripts are cross-checked against this
+repo's host parity engine, so the baseline demonstrably does the same
+work. When the reference checkout is absent, the host parity engine stands
+in and ``detail.baseline`` says so.
+
+The metric is decoded audio-seconds per wall-clock second per chip
+(frame stride 0.02 s — the Wav2Vec2/QuartzNet CTC frame rate).
 """
 import json
 import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _ROOT)
+sys.path.insert(1, os.path.join(_ROOT, "scripts"))
 
 import numpy as np
 
 FRAME_SEC = 0.02
 BEAM_WIDTH = 100
-# 384 is the measured single-chip sweet spot at the parity config (2513
-# audio_s/s vs 2314 @256 and 2253 @512 after the round-2 engine work)
+# 384 is the measured single-chip sweet spot at the parity config
 BATCH = int(os.environ.get("BENCH_BATCH", 384))
-K_TOKENS = 16  # top-K token preselect (threshold admits ~2-6 in practice)
-RUN_SECONDARY = os.environ.get("BENCH_SECONDARY", "1") == "1"
+K_TOKENS = 32  # top-K token preselect; exact: the hard corpus admits <= 22
+BASELINE_N = int(os.environ.get("BENCH_BASELINE_N", 64))
 SAMPLE = "/root/reference/pyctcdecode/tests/sample_data/libri_logits.json"
 LIBRI_LABELS = [" "] + list("abcdefghijklmnopqrstuvwxyz") + ["'"] + [""]
-CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+CACHE_DIR = os.path.join(_ROOT, ".cache")
 
 # parity-scale 3-gram (ref 3-gram.pruned.1e-7.arpa shape statistics)
 LM_VOCAB = 200_000
 LM_BIGRAMS = 1_500_000
 LM_TRIGRAMS = 1_100_000
-# round-1 secondary config
-LM2_VOCAB = 30_000
-LM2_BIGRAMS = 300_000
 TRANSCRIPT = (
     "i have a good deal of will you remember and what i have set my mind upon "
     "no doubt i shall some day achieve"
 )
+
+# shared corpus shape (utterances ~350 frames / 7 s, real blank cadence)
+_CORPUS_SHAPE = dict(
+    words_per_utterance=(14, 20),
+    frames_per_char=(1, 2),
+    blank_frames=(1, 2),
+    peak=8.0,
+    seed=3,
+)
+# headline: dev-other difficulty (greedy WER ~10%, see module docstring)
+HARD_KW = dict(_CORPUS_SHAPE, noise=1.7, blank_peak=12.5)
+# detail: libri-fixture difficulty (1.1 tokens/frame admitted)
+EASY_KW = dict(_CORPUS_SHAPE, noise=0.8, blank_peak=11.0)
 
 
 def _vocab(rng, n: int) -> list:
@@ -109,36 +137,6 @@ def _make_parity_arpa(path: str) -> None:
         fh.write("\n\\end\\\n")
 
 
-def _make_2gram_arpa(path: str) -> None:
-    """Round-1 secondary config: 30k vocab, ~300k bigrams."""
-    rng = np.random.RandomState(42)
-    vocab = _vocab(rng, LM2_VOCAB)
-    ids = rng.randint(0, len(vocab), size=(LM2_BIGRAMS, 2))
-    words = TRANSCRIPT.split()
-    with open(path, "w") as fh:
-        fh.write("\\data\\\n")
-        fh.write(f"ngram 1={len(vocab) + 3}\n")
-        fh.write(f"ngram 2={LM2_BIGRAMS + len(words) - 1}\n\n")
-        fh.write("\\1-grams:\n")
-        fh.write("-10\t<unk>\t0\n-2\t<s>\t-0.5\n-2\t</s>\t0\n")
-        for w in vocab:
-            fh.write(f"-3.5\t{w}\t-0.5\n")
-        fh.write("\n\\2-grams:\n")
-        seen = set()
-        for a, b in zip(words[:-1], words[1:]):
-            if (a, b) not in seen:
-                seen.add((a, b))
-                fh.write(f"-0.5\t{a} {b}\n")
-        lines = []
-        for i, j in ids:
-            a, b = vocab[i], vocab[j]
-            if (a, b) not in seen:
-                seen.add((a, b))
-                lines.append(f"-2.0\t{a} {b}\n")
-        fh.writelines(lines)
-        fh.write("\n\\end\\\n")
-
-
 def _cached_arpa(name: str, maker) -> str:
     os.makedirs(CACHE_DIR, exist_ok=True)
     path = os.path.join(CACHE_DIR, name)
@@ -153,7 +151,18 @@ def _time_device(dev, batch, audio_sec, reps=3, **kwargs):
     for _ in range(reps):
         texts = dev.decode_batch(batch, **kwargs)
     dt = (time.perf_counter() - t0) / reps
-    return texts, dt, len(batch) * audio_sec / dt
+    return texts, dt, audio_sec / dt
+
+
+def _time_single_core(decode_fn, mats, audio_secs):
+    """Sequential single-process corpus decode (the ref notebook's loop)."""
+    decode_fn(mats[0])  # warm any lazy setup outside the timed region
+    texts = []
+    t0 = time.perf_counter()
+    for mat in mats:
+        texts.append(decode_fn(mat))
+    wall = time.perf_counter() - t0
+    return texts, sum(audio_secs) / wall
 
 
 def main() -> None:
@@ -161,100 +170,145 @@ def main() -> None:
 
     from pyctcdecode_tpu.alphabet import Alphabet
     from pyctcdecode_tpu.decoder import BeamSearchDecoderCTC
+    from pyctcdecode_tpu.evaluation import synthesize_corpus
     from pyctcdecode_tpu.models.language_model import LanguageModel
     from pyctcdecode_tpu.models.native import open_ngram_file
     from pyctcdecode_tpu.tpu_decoder import TPUBeamSearchDecoderCTC
+    from pyctcdecode_tpu.utils.metrics import word_error_rate
 
     jax_cache = os.path.join(CACHE_DIR, "jax")
     os.makedirs(jax_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", jax_cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    if os.path.exists(SAMPLE):
-        with open(SAMPLE) as fh:
-            logits = np.array(json.load(fh), dtype=np.float32)
-    else:  # synthetic stand-in with the same shape statistics
-        rng = np.random.RandomState(0)
-        logits = rng.randn(371, len(LIBRI_LABELS)).astype(np.float32) * 3.0
-
     alphabet = Alphabet.build_alphabet(LIBRI_LABELS)
     arpa = _cached_arpa("bench_parity_3gram.arpa", _make_parity_arpa)
 
-    host = BeamSearchDecoderCTC(alphabet, LanguageModel(open_ngram_file(arpa)))
-    dev = TPUBeamSearchDecoderCTC(alphabet, LanguageModel(open_ngram_file(arpa)))
+    # one ARPA parse shared by host + device; the same unigram vocabulary
+    # goes to every engine, the reference included
+    model = open_ngram_file(arpa)
+    unigrams = [w for w in model.native.vocab_list()
+                if w not in ("<s>", "</s>", "<unk>")]
+    lm = LanguageModel(model, unigrams)
 
-    batch = [logits] * BATCH
-    audio_sec = logits.shape[0] * FRAME_SEC
+    # corpora: BATCH distinct utterances over LM vocabulary words
+    rng = np.random.RandomState(11)
+    corpus_vocab = [unigrams[i] for i in rng.randint(0, len(unigrams), 6000)]
+    corpus_vocab += TRANSCRIPT.split()
+    corpus = synthesize_corpus(
+        LIBRI_LABELS, corpus_vocab, n_utterances=BATCH, **HARD_KW
+    )
+    easy = synthesize_corpus(
+        LIBRI_LABELS, corpus_vocab, n_utterances=BATCH, **EASY_KW
+    )
+    audio_secs = [m.shape[0] * FRAME_SEC for m in corpus.logits]
+    audio_total = sum(audio_secs)
+    easy_total = sum(m.shape[0] * FRAME_SEC for m in easy.logits)
+    n_base = min(BASELINE_N, BATCH)
 
-    # --- host single-process baseline (time a few, like the ref notebook;
-    # repeated decoding of one utterance keeps the host LM caches warm, which
-    # flatters the host baseline rather than the device)
-    n_host = 3
-    host.decode(logits, beam_width=BEAM_WIDTH)  # warm caches
-    t0 = time.perf_counter()
-    for _ in range(n_host):
-        host.decode(logits, beam_width=BEAM_WIDTH)
-    host_tput = n_host * audio_sec / (time.perf_counter() - t0)
+    host = BeamSearchDecoderCTC(alphabet, lm)
+    dev = TPUBeamSearchDecoderCTC(alphabet, lm)
 
-    # --- device batch decode at the parity config
+    # --- single-core baselines on the first n_base utterances -------------
+    host_texts, host_tput = _time_single_core(
+        lambda m: host.decode(m, beam_width=BEAM_WIDTH),
+        corpus.logits[:n_base], audio_secs[:n_base],
+    )
+
+    ref_texts = ref_tput = ref_easy_tput = None
+    try:
+        import ref_baseline
+
+        ref_pkg = ref_baseline.load_reference()
+        if ref_pkg is not None:
+            ref_dec = ref_baseline.build_reference_decoder(
+                ref_pkg, LIBRI_LABELS, arpa
+            )
+            ref_texts, ref_tput = _time_single_core(
+                lambda m: ref_dec.decode(m, beam_width=BEAM_WIDTH),
+                corpus.logits[:n_base], audio_secs[:n_base],
+            )
+            _, ref_easy_tput = _time_single_core(
+                lambda m: ref_dec.decode(m, beam_width=BEAM_WIDTH),
+                easy.logits[:n_base],
+                [m.shape[0] * FRAME_SEC for m in easy.logits[:n_base]],
+            )
+    except Exception:
+        pass
+
+    # --- device batch decode at the parity config --------------------------
     kwargs = dict(beam_width=BEAM_WIDTH, max_tokens_per_frame=K_TOKENS)
-    texts, dev_dt, dev_tput = _time_device(dev, batch, audio_sec, **kwargs)
-    sanity = texts[0] == host.decode(logits, beam_width=BEAM_WIDTH)
+    texts, dev_dt, dev_tput = _time_device(
+        dev, corpus.logits, audio_total, **kwargs
+    )
+    easy_texts, _, easy_tput = _time_device(dev, easy.logits, easy_total, **kwargs)
 
     # --- pipelined steady-state throughput (the serving pattern): keep one
     # batch in flight so host prep/post-process and the relay transfers
-    # overlap the device run. Warm with a short stream first, then time a
-    # longer one discounting its first (un-overlapped) batch.
-    for out in dev.decode_beams_batches([batch] * 2, top_n=1, **kwargs):
+    # overlap the device run
+    for out in dev.decode_beams_batches([corpus.logits] * 2, top_n=1, **kwargs):
         pass
     n_stream = 5
-    stream = dev.decode_beams_batches([batch] * n_stream, top_n=1, **kwargs)
+    stream = dev.decode_beams_batches([corpus.logits] * n_stream, top_n=1, **kwargs)
     next(stream)  # spin-up: first batch has nothing to overlap with
     t0 = time.perf_counter()
     for out in stream:
         pass
     stream_dt = (time.perf_counter() - t0) / (n_stream - 1)
-    stream_tput = len(batch) * audio_sec / stream_dt
+    stream_tput = audio_total / stream_dt
 
     # --- blank collapse (opt-in, exactness-preserving at the call's
     # token_min_logp): real CTC emissions are blank-dominated, so dropping
     # blank-certain frames multiplies throughput at identical output
     texts_bc, bc_dt, bc_tput = _time_device(
-        dev, batch, audio_sec, blank_collapse=True, **kwargs
+        dev, corpus.logits, audio_total, blank_collapse=True, **kwargs
     )
 
+    baseline_tput = ref_tput if ref_tput else host_tput
     detail = {
+        "baseline": (
+            "reference package, single core, C++ (ctclm) LM backend"
+            if ref_tput else "host parity engine, single core (reference absent)"
+        ),
+        "baseline_audio_sec_per_s": round(baseline_tput, 2),
+        "host_engine_audio_sec_per_s": round(host_tput, 2),
+        "reference_matches_host": (
+            ref_texts == host_texts if ref_texts is not None else None
+        ),
+        "device_matches_host": texts[:n_base] == host_texts,
         "blank_collapse": {
             "audio_sec_per_s": round(bc_tput, 2),
             "batch_latency_s": round(bc_dt, 4),
             "texts_match_full": texts_bc == texts,
         },
-        "batch": BATCH,
+        "corpus": {
+            "n_utterances": BATCH,
+            "audio_seconds": round(audio_total, 1),
+            "distinct": True,
+            "difficulty": "dev-other (greedy WER calibrated to ~10%)",
+            "wer_device": round(word_error_rate(corpus.references, texts), 4),
+            "wer_host_subset": round(
+                word_error_rate(corpus.references[:n_base], host_texts), 4
+            ),
+        },
+        "easy_corpus": {
+            "difficulty": "libri fixture (1.1 tokens/frame admitted)",
+            "device_audio_sec_per_s": round(easy_tput, 2),
+            "reference_audio_sec_per_s": (
+                round(ref_easy_tput, 2) if ref_easy_tput else None
+            ),
+            "wer_device": round(word_error_rate(easy.references, easy_texts), 4),
+        },
         "beam_width": BEAM_WIDTH,
         "k_tokens": K_TOKENS,
-        "frames": int(logits.shape[0]),
+        "baseline_n": n_base,
         "lm": f"3-gram, {LM_VOCAB} vocab, ~{LM_BIGRAMS} bigrams + {LM_TRIGRAMS} trigrams",
-        "host_audio_sec_per_s": round(host_tput, 2),
         "oneshot_batch_latency_s": round(dev_dt, 4),
         "oneshot_audio_sec_per_s": round(dev_tput, 2),
         "pipelined_batch_latency_s": round(stream_dt, 4),
         "pipelined_audio_sec_per_s": round(stream_tput, 2),
-        "top1_matches_host": bool(sanity),
         "backend": jax.devices()[0].platform,
     }
-
-    if RUN_SECONDARY:
-        arpa2 = _cached_arpa("bench_2gram.arpa", _make_2gram_arpa)
-        dev2 = TPUBeamSearchDecoderCTC(
-            alphabet, LanguageModel(open_ngram_file(arpa2))
-        )
-        _, dt2, tput2 = _time_device(
-            dev2, batch, audio_sec, beam_width=50, max_tokens_per_frame=K_TOKENS
-        )
-        detail["secondary_2gram_beam50"] = {
-            "audio_sec_per_s": round(tput2, 2),
-            "device_batch_latency_s": round(dt2, 4),
-        }
 
     print(
         json.dumps(
@@ -262,7 +316,7 @@ def main() -> None:
                 "metric": "decode_throughput",
                 "value": round(stream_tput, 2),
                 "unit": "audio_sec/s/chip",
-                "vs_baseline": round(stream_tput / host_tput, 2),
+                "vs_baseline": round(stream_tput / baseline_tput, 2),
                 "detail": detail,
             }
         )

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -55,6 +55,8 @@ def synthesize_corpus(
     noise: float = 1.5,
     peak: float = 6.0,
     seed: int = 0,
+    blank_frames: Optional[Tuple[int, int]] = None,
+    blank_peak: Optional[float] = None,
 ) -> Corpus:
     """Generate a reproducible noisy CTC corpus over a char alphabet.
 
@@ -64,6 +66,15 @@ def synthesize_corpus(
     greedy decoding makes occasional character errors that a language model
     can repair — the same shape of workload the reference's LibriSpeech
     evaluation exercises.
+
+    Real CTC acoustic models emit blank on roughly half of all frames and
+    are extremely confident about them (the reference's Wav2Vec2 fixture:
+    47% blank-argmax frames, 39% with p(blank) > 0.999). The defaults keep
+    the original sparser-blank behavior; to mimic real emission statistics
+    pass ``blank_frames=(lo, hi)`` (a run of that many blank frames after
+    every character, replacing the ``blank_rate`` coin flip) and
+    ``blank_peak`` (a larger one-hot peak on blank frames so silence is
+    near-certain, as in real models).
     """
     char2id = {c: i for i, c in enumerate(labels)}
     blank_id = char2id[""]
@@ -77,16 +88,22 @@ def synthesize_corpus(
     mats: List[np.ndarray] = []
     lo, hi = words_per_utterance
     flo, fhi = frames_per_char
+    b_peak = peak if blank_peak is None else blank_peak
     for _ in range(n_utterances):
         words = [vocab[rng.randint(len(vocab))] for _ in range(rng.randint(lo, hi + 1))]
         refs.append(" ".join(words))
         ids: List[int] = []
         for ch in " ".join(words):
             ids.extend([char2id[ch]] * rng.randint(flo, fhi + 1))
-            if rng.rand() < blank_rate:
+            if blank_frames is not None:
+                ids.extend([blank_id] * rng.randint(blank_frames[0], blank_frames[1] + 1))
+            elif rng.rand() < blank_rate:
                 ids.append(blank_id)
+        arr = np.asarray(ids)
         mat = rng.randn(len(ids), len(labels)).astype(np.float32) * noise
-        mat[np.arange(len(ids)), ids] += peak
+        mat[np.arange(len(ids)), arr] += peak
+        if b_peak != peak:
+            mat[arr == blank_id, blank_id] += b_peak - peak
         mats.append(mat)
     return Corpus(references=refs, logits=mats, labels=list(labels))
 
