@@ -50,7 +50,7 @@ FRAME_SEC = 0.02
 BEAM_WIDTH = 100
 # 384 is the measured single-chip sweet spot at the parity config
 BATCH = int(os.environ.get("BENCH_BATCH", 384))
-K_TOKENS = 32  # top-K token preselect; exact: the hard corpus admits <= 22
+K_TOKENS = "auto"  # exact power-of-two preselect measured per batch
 BASELINE_N = int(os.environ.get("BENCH_BASELINE_N", 64))
 SAMPLE = "/root/reference/pyctcdecode/tests/sample_data/libri_logits.json"
 LIBRI_LABELS = [" "] + list("abcdefghijklmnopqrstuvwxyz") + ["'"] + [""]

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -52,6 +52,22 @@ _T_BUCKET = 64
 
 def _bucket(t: int) -> int:
     return max(_T_BUCKET, ((t + _T_BUCKET - 1) // _T_BUCKET) * _T_BUCKET)
+
+
+def _auto_k(counts: np.ndarray, v: int) -> int:
+    """Smallest power-of-two token preselect covering every frame's admission.
+
+    ``counts`` holds per-frame admitted-token counts (tokens at or above the
+    call's ``token_min_logp``; the argmax-inclusion rule never adds a token
+    beyond that set when it is non-empty, ref decoder.py:444-445, so
+    ``max(counts, 1)`` is the exact candidate-set width). Power-of-two
+    bucketing keeps the number of distinct compiled programs small.
+    """
+    need = int(max(counts.max(initial=1), 1)) if counts.size else 1
+    k = 4
+    while k < need:
+        k *= 2
+    return min(k, v)
 
 
 def replay_token_path(
@@ -406,7 +422,7 @@ class TPUBeamSearchDecoderCTC:
         self,
         beam_width: int = DEFAULT_BEAM_WIDTH,
         prune_history: bool = DEFAULT_PRUNE_BEAMS,
-        max_tokens_per_frame: Optional[int] = None,
+        max_tokens_per_frame: Optional[Union[int, str]] = None,
         lm_start_state: Optional[AbstractLMState] = None,
         hotwords_enabled: bool = False,
     ) -> DeviceStreamState:
@@ -419,6 +435,12 @@ class TPUBeamSearchDecoderCTC:
         compiled program.
         """
         v = len(self._labels)
+        if max_tokens_per_frame == "auto":
+            raise ValueError(
+                "streaming decode geometry is fixed before any logits are "
+                "seen; pass an integer max_tokens_per_frame (or None for "
+                "the exact full-vocabulary preselect)"
+            )
         k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
         init_fn, _, _ = self._get_stream_fns(
             beam_width, k, prune_history, hotwords_enabled
@@ -753,7 +775,7 @@ class TPUBeamSearchDecoderCTC:
         hotwords: Optional[Iterable[str]] = None,
         hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
         lm_start_state: Optional[AbstractLMState] = None,
-        max_tokens_per_frame: Optional[int] = None,
+        max_tokens_per_frame: Optional[Union[int, str]] = None,
         top_n: Optional[int] = None,
         blank_collapse: bool = False,
     ) -> List[OutputBeam]:
@@ -764,6 +786,12 @@ class TPUBeamSearchDecoderCTC:
         ``blank_collapse`` drops blank-certain frames before decoding
         (exactness-preserving at this call's ``token_min_logp``; see
         :func:`~pyctcdecode_tpu.utils.logits.blank_collapse`).
+        ``max_tokens_per_frame``: ``None`` expands every vocabulary token
+        per frame (always exact); an integer caps the per-frame top-K
+        preselect (exact only when no frame admits more than K tokens at
+        ``token_min_logp``); the string ``"auto"`` measures this call's
+        admission host-side and picks the smallest sufficient power-of-two
+        K — exact like ``None``, priced like the data.
         """
         if logits.ndim != 2 or logits.shape[1] != len(self._labels):
             raise ValueError(
@@ -772,7 +800,6 @@ class TPUBeamSearchDecoderCTC:
             )
         hot, weight, _ = self._hot_tables(hotwords, hotword_weight)
         v = len(self._labels)
-        k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
         logp = normalize_host(logits)
         frame_ids = None
         score_offset = 0.0
@@ -782,6 +809,10 @@ class TPUBeamSearchDecoderCTC:
             )
             logp = logp[keep_idx]
             frame_ids = keep_idx
+        if max_tokens_per_frame == "auto":
+            k = _auto_k((logp >= token_min_logp).sum(-1), v)
+        else:
+            k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
         t = logp.shape[0]
         t_pad = _bucket(t)
         logp_pad = np.full((t_pad, v), 0.0, dtype=np.float32)
@@ -819,7 +850,7 @@ class TPUBeamSearchDecoderCTC:
         hotwords: Optional[Iterable[str]] = None,
         hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
         lm_start_state: Optional[AbstractLMState] = None,
-        max_tokens_per_frame: Optional[int] = None,
+        max_tokens_per_frame: Optional[Union[int, str]] = None,
         blank_collapse: bool = False,
     ) -> str:
         """Top transcript for one utterance."""
@@ -865,7 +896,7 @@ class TPUBeamSearchDecoderCTC:
         prune_history: bool = DEFAULT_PRUNE_BEAMS,
         hotwords: Optional[Iterable[str]] = None,
         hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
-        max_tokens_per_frame: Optional[int] = None,
+        max_tokens_per_frame: Optional[Union[int, str]] = None,
         batch_pad: int = 8,
         top_n: Optional[int] = None,
         collect_stats: bool = False,
@@ -927,7 +958,7 @@ class TPUBeamSearchDecoderCTC:
         prune_history: bool,
         hotwords,
         hotword_weight: float,
-        max_tokens_per_frame: Optional[int],
+        max_tokens_per_frame: Optional[Union[int, str]],
         batch_pad: int,
         top_n: Optional[int],
         collect_stats: bool = False,
@@ -943,7 +974,6 @@ class TPUBeamSearchDecoderCTC:
             return None
         hot, weight, _ = self._hot_tables(hotwords, hotword_weight)
         v = len(self._labels)
-        k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
         n = len(logits_list)
         n_pad = ((n + batch_pad - 1) // batch_pad) * batch_pad
         for mat in logits_list:
@@ -979,6 +1009,12 @@ class TPUBeamSearchDecoderCTC:
             logp[:n] = normalize_host_batch(logits_list, t_pad, v)
         n_frames = np.zeros(n_pad, dtype=np.int32)
         n_frames[:n] = lens
+        if max_tokens_per_frame == "auto":
+            counts = (logp >= token_min_logp).sum(-1)  # [n_pad, t_pad]
+            valid = np.arange(t_pad)[None, :] < n_frames[:, None]
+            k = _auto_k(np.where(valid, counts, 1), v)
+        else:
+            k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
         emit_paths = min(top_n, beam_width) if top_n is not None else None
         params = self._params_vector(token_min_logp, beam_prune_logp, weight)
         start = self._start_ctx(None)
@@ -1160,7 +1196,7 @@ class TPUBeamSearchDecoderCTC:
         token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP,
         hotwords: Optional[Iterable[str]] = None,
         hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
-        max_tokens_per_frame: Optional[int] = None,
+        max_tokens_per_frame: Optional[Union[int, str]] = None,
         blank_collapse: bool = False,
     ) -> List[str]:
         """Batch top-1 transcripts (leading pool argument accepted, unused)."""

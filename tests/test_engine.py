@@ -551,3 +551,38 @@ class TestFastTopK(unittest.TestCase):
         self.assertEqual(
             seg.decode_batch([logits], beam_width=25)[0], want
         )
+
+
+class TestAutoKPreselect(unittest.TestCase):
+    """max_tokens_per_frame="auto" measures the call's admission and picks
+    the smallest sufficient power-of-two K — decode must equal the exact
+    (K = V) preselect everywhere, one-shot and batch."""
+
+    def test_auto_matches_exact_on_libri(self):
+        path = os.path.join(SAMPLE_DATA, "libri_logits.json")
+        if not os.path.exists(path):
+            self.skipTest("reference fixture not present")
+        with open(path) as fh:
+            logits = np.array(json.load(fh), dtype=np.float32)
+        alphabet = Alphabet.build_alphabet(LIBRI_LABELS)
+        dev = TPUBeamSearchDecoderCTC(alphabet)
+        want = dev.decode(logits, beam_width=25)
+        got = dev.decode(logits, beam_width=25, max_tokens_per_frame="auto")
+        self.assertEqual(got, want)
+
+    def test_auto_matches_exact_on_noisy_batch(self):
+        rng = np.random.RandomState(3)
+        labels = [" ", "b", "g", "n", "s", "u", "y", ""]
+        alphabet = Alphabet.build_alphabet(labels)
+        dev = TPUBeamSearchDecoderCTC(alphabet)
+        mats = [rng.randn(24, len(labels)).astype(np.float32) * 2.5
+                for _ in range(4)]
+        want = dev.decode_batch(mats, beam_width=12)
+        got = dev.decode_batch(mats, beam_width=12, max_tokens_per_frame="auto")
+        self.assertEqual(got, want)
+
+    def test_auto_rejected_for_streaming(self):
+        alphabet = Alphabet.build_alphabet([" ", "b", "g", ""])
+        dev = TPUBeamSearchDecoderCTC(alphabet)
+        with self.assertRaises(ValueError):
+            dev.get_starting_state(max_tokens_per_frame="auto")
