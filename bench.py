@@ -65,18 +65,15 @@ TRANSCRIPT = (
     "no doubt i shall some day achieve"
 )
 
-# shared corpus shape (utterances ~350 frames / 7 s, real blank cadence)
-_CORPUS_SHAPE = dict(
-    words_per_utterance=(14, 20),
-    frames_per_char=(1, 2),
-    blank_frames=(1, 2),
-    peak=8.0,
-    seed=3,
+# corpus difficulty presets (calibration documented in
+# pyctcdecode_tpu/evaluation.py): headline = dev-other, detail = fixture
+from pyctcdecode_tpu.evaluation import (  # noqa: E402
+    DEV_OTHER_DIFFICULTY,
+    FIXTURE_DIFFICULTY,
 )
-# headline: dev-other difficulty (greedy WER ~10%, see module docstring)
-HARD_KW = dict(_CORPUS_SHAPE, noise=1.7, blank_peak=12.5)
-# detail: libri-fixture difficulty (1.1 tokens/frame admitted)
-EASY_KW = dict(_CORPUS_SHAPE, noise=0.8, blank_peak=11.0)
+
+HARD_KW = dict(DEV_OTHER_DIFFICULTY, seed=3)
+EASY_KW = dict(FIXTURE_DIFFICULTY, seed=3)
 
 
 def _vocab(rng, n: int) -> list:

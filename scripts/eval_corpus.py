@@ -46,15 +46,56 @@ def _synth_arpa(path: str, n_words: int, seed: int) -> list:
     return vocab
 
 
+def _time_reference(arpa, corpus, beam, alpha, beta, host_hyps):
+    """Single-core reference-package timing on the same corpus."""
+    import time
+
+    import ref_baseline
+
+    from pyctcdecode_tpu.utils.metrics import word_error_rate
+
+    ref = ref_baseline.load_reference()
+    if ref is None:
+        return "unavailable"
+    dec = ref_baseline.build_reference_decoder(
+        ref, LIBRI_LABELS, arpa, alpha=alpha, beta=beta
+    )
+    dec.decode(corpus.logits[0], beam_width=beam)  # warm lazy setup
+    t0 = time.perf_counter()
+    hyps = [dec.decode(m, beam_width=beam) for m in corpus.logits]
+    wall = time.perf_counter() - t0
+    out = {
+        "audio_sec_per_sec": round(corpus.audio_seconds / wall, 2),
+        "wer": round(word_error_rate(corpus.references, hyps), 4),
+    }
+    if host_hyps is not None:
+        out["matches_host"] = hyps == host_hyps
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--n", type=int, default=128, help="utterances")
     ap.add_argument("--beam", type=int, default=100)
     ap.add_argument("--alpha", type=float, default=0.5)
     ap.add_argument("--beta", type=float, default=1.5)
-    ap.add_argument("--k", type=int, default=None, help="device token preselect")
+    ap.add_argument(
+        "--k", default=None,
+        help="device token preselect: an integer or 'auto' (measured exact)",
+    )
     ap.add_argument("--arpa", default=None, help="n-gram LM (synthesized if absent)")
     ap.add_argument("--vocab-words", type=int, default=2000)
+    ap.add_argument(
+        "--difficulty", choices=["legacy", "dev-other", "fixture"],
+        default="legacy",
+        help="corpus difficulty preset (calibrations in evaluation.py); "
+        "'legacy' keeps this script's original noisier generator settings",
+    )
+    ap.add_argument(
+        "--reference", action="store_true",
+        help="also time the reference package single-core (kenlm-API shim "
+        "over the C++ ctclm engine; see scripts/ref_baseline.py)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
         "--engine", choices=["both", "host", "device"], default="both",
@@ -77,6 +118,8 @@ def main() -> None:
 
     from pyctcdecode_tpu import build_ctcdecoder
     from pyctcdecode_tpu.evaluation import (
+        DEV_OTHER_DIFFICULTY,
+        FIXTURE_DIFFICULTY,
         compare_engines,
         evaluate_corpus,
         synthesize_corpus,
@@ -90,12 +133,20 @@ def main() -> None:
             vocab = _synth_arpa(arpa, args.vocab_words, args.seed)
         else:
             vocab = sorted(load_unigram_set_from_arpa(arpa))
+        difficulty = {
+            "legacy": {},
+            "dev-other": DEV_OTHER_DIFFICULTY,
+            "fixture": FIXTURE_DIFFICULTY,
+        }[args.difficulty]
         corpus = synthesize_corpus(
-            LIBRI_LABELS, vocab, n_utterances=args.n, seed=args.seed
+            LIBRI_LABELS, vocab, n_utterances=args.n, seed=args.seed,
+            **difficulty,
         )
         kwargs = {}
         if args.k is not None:
-            kwargs["max_tokens_per_frame"] = args.k
+            kwargs["max_tokens_per_frame"] = (
+                "auto" if args.k == "auto" else int(args.k)
+            )
         if args.blank_collapse:
             kwargs["blank_collapse"] = True
         build = dict(alpha=args.alpha, beta=args.beta)
@@ -103,7 +154,7 @@ def main() -> None:
             host = build_ctcdecoder(LIBRI_LABELS, arpa, engine="host", **build)
             dev = build_ctcdecoder(LIBRI_LABELS, arpa, engine="tpu", **build)
             report = compare_engines(host, dev, corpus, args.beam, **kwargs)
-            report.pop("host_hypotheses")
+            host_hyps = report.pop("host_hypotheses")
             report.pop("device_hypotheses")
         else:
             engine = "host" if args.engine == "host" else "tpu"
@@ -113,6 +164,11 @@ def main() -> None:
             report = evaluate_corpus(dec, corpus, args.beam, **kwargs)
             report.pop("hypotheses")
             report["engine"] = args.engine
+            host_hyps = None
+        if args.reference:
+            report["reference"] = _time_reference(
+                arpa, corpus, args.beam, args.alpha, args.beta, host_hyps
+            )
     print(json.dumps(report))
 
 
