@@ -151,15 +151,21 @@ def _time_device(dev, batch, audio_sec, reps=3, **kwargs):
     return texts, dt, audio_sec / dt
 
 
-def _time_single_core(decode_fn, mats, audio_secs):
-    """Sequential single-process corpus decode (the ref notebook's loop)."""
+def _time_single_core(decode_fn, mats, audio_secs, reps=2):
+    """Sequential single-process corpus decode (the ref notebook's loop).
+
+    Best-of-``reps`` wall time: the shared host fluctuates, and crediting
+    the baseline its best run keeps ``vs_baseline`` conservative.
+    """
     decode_fn(mats[0])  # warm any lazy setup outside the timed region
-    texts = []
-    t0 = time.perf_counter()
-    for mat in mats:
-        texts.append(decode_fn(mat))
-    wall = time.perf_counter() - t0
-    return texts, sum(audio_secs) / wall
+    best = float("inf")
+    for _ in range(reps):
+        texts = []
+        t0 = time.perf_counter()
+        for mat in mats:
+            texts.append(decode_fn(mat))
+        best = min(best, time.perf_counter() - t0)
+    return texts, sum(audio_secs) / best
 
 
 def main() -> None:
