@@ -55,18 +55,20 @@ def _bucket(t: int) -> int:
 
 
 def _auto_k(counts: np.ndarray, v: int) -> int:
-    """Smallest power-of-two token preselect covering every frame's admission.
+    """Smallest bucketed token preselect covering every frame's admission.
 
     ``counts`` holds per-frame admitted-token counts (tokens at or above the
     call's ``token_min_logp``; the argmax-inclusion rule never adds a token
     beyond that set when it is non-empty, ref decoder.py:444-445, so
-    ``max(counts, 1)`` is the exact candidate-set width). Power-of-two
-    bucketing keeps the number of distinct compiled programs small.
+    ``max(counts, 1)`` is the exact candidate-set width). Buckets step by
+    ~1.5x (4, 6, 8, 12, 16, 24, 32, ...): engine cost scales with K, so a
+    tighter ladder prices K closer to the data while still bounding the
+    number of distinct compiled programs.
     """
     need = int(max(counts.max(initial=1), 1)) if counts.size else 1
     k = 4
     while k < need:
-        k *= 2
+        k = k * 3 // 2 if (k & (k - 1)) == 0 else k * 4 // 3
     return min(k, v)
 
 
