@@ -46,15 +46,34 @@ def _merge_block() -> int:
     return max(int(os.environ.get("PYCTCDECODE_TPU_MERGE_BLOCK", "8")), 1)
 
 
-def _merge_math(jax, jnp, kl, kh, valid_i, logit, extra, prune):
-    """One utterance's merge + window prune on [K, B] values (VMEM-resident).
+def _k_chunk(k: int, b: int) -> int:
+    """Token columns per merge sweep: bounds the [kc, B, B] temporaries.
+
+    Columns are independent (the collision matrix is block-diagonal per
+    token), so the merge can sweep K in chunks; ~3 [kc, B, B] f32/i32
+    temporaries are live at once, and VMEM is ~16 MiB, so kc is capped so a
+    temporary stays under ~2 MiB (env ``PYCTCDECODE_TPU_MERGE_KCHUNK``
+    overrides). Returns a divisor of ``k`` so chunk starts stay static.
+    """
+    env = int(os.environ.get("PYCTCDECODE_TPU_MERGE_KCHUNK", "0"))
+    cap = env if env > 0 else max(1, (2 << 20) // (b * b * 4))
+    if cap >= k:
+        return k
+    kc = cap
+    while k % kc:
+        kc -= 1
+    return kc
+
+
+def _merge_core(jax, jnp, kl, kh, valid_i, logit, extra):
+    """Merge one token-column chunk: raw score / logsumexp / donor [kc, B].
 
     ``valid_i`` is int32 (Mosaic: pairwise bool logic broadcasts in 32-bit
     space; minor-dim insertion of 1-bit types is unsupported).
     """
     k, b = kl.shape
     valid = valid_i != 0
-    # block-diagonal collision matrix [K, B, B]
+    # block-diagonal collision matrix [kc, B, B]
     eq = (valid_i[:, :, None] * valid_i[:, None, :]) != 0
     eq &= kl[:, :, None] == kl[:, None, :]
     eq &= kh[:, :, None] == kh[:, None, :]
@@ -77,6 +96,45 @@ def _merge_math(jax, jnp, kl, kh, valid_i, logit, extra, prune):
     # group logsumexp (engine selects it positionally at the top-k index)
     rep = valid & ~dup
     score = jnp.where(rep, merged + extra, DEAD)
+    return score, merged, donor
+
+
+def _merge_math(jax, jnp, kl, kh, valid_i, logit, extra, prune):
+    """One utterance's merge + window prune on [K, B] values (VMEM-resident).
+
+    Sweeps token columns in :func:`_k_chunk`-sized chunks so the [kc, B, B]
+    collision temporaries stay within VMEM at large K*B^2; the score window
+    prune is global over [K, B] and is applied after the sweep.
+    """
+    k, b = kl.shape
+    kc = _k_chunk(k, b)
+    if kc == k:
+        score, merged, donor = _merge_core(jax, jnp, kl, kh, valid_i, logit, extra)
+    else:
+        dsl = jax.lax.dynamic_slice_in_dim
+        dus = jax.lax.dynamic_update_slice_in_dim
+
+        def body(i, carry):
+            score_a, merged_a, donor_a = carry
+            c0 = i * kc
+            s, m, d = _merge_core(
+                jax, jnp,
+                dsl(kl, c0, kc, 0), dsl(kh, c0, kc, 0),
+                dsl(valid_i, c0, kc, 0), dsl(logit, c0, kc, 0),
+                dsl(extra, c0, kc, 0),
+            )
+            return (
+                dus(score_a, s, c0, 0),
+                dus(merged_a, m, c0, 0),
+                dus(donor_a, d, c0, 0),
+            )
+
+        init = (
+            jnp.full((k, b), DEAD, jnp.float32),
+            jnp.full((k, b), DEAD, jnp.float32),
+            jnp.zeros((k, b), jnp.int32),
+        )
+        score, merged, donor = jax.lax.fori_loop(0, k // kc, body, init)
     mx = jnp.max(score)
     score = jnp.where(score >= mx + prune, score, DEAD)
     src = jax.lax.broadcasted_iota(jnp.int32, (k, b), 0) * b + donor

@@ -111,3 +111,48 @@ class TestPallasMerge(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestKChunkedMerge(unittest.TestCase):
+    """Forced token-column chunking must match the unchunked sweep."""
+
+    def test_forced_chunk_matches(self):
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from pyctcdecode_tpu.engine import DEAD, _merge_dense
+        from pyctcdecode_tpu.ops import pallas_merge as pm
+
+        rng = np.random.RandomState(7)
+        k, b = 12, 32
+        kl = rng.randint(0, 5, size=(k, b)).astype(np.uint32)
+        kh = kl * np.uint32(2654435761)
+        valid = rng.rand(k, b) < 0.7
+        logit = np.where(valid, rng.randn(k, b), DEAD).astype(np.float32)
+        extra = rng.randn(k, b).astype(np.float32)
+        args = (
+            jnp.asarray(kl), jnp.asarray(kh),
+            jnp.asarray(valid.astype(np.int32)),
+            jnp.asarray(logit), jnp.asarray(extra), jnp.float32(-10.0),
+        )
+        old = os.environ.get("PYCTCDECODE_TPU_MERGE_KCHUNK")
+        try:
+            os.environ["PYCTCDECODE_TPU_MERGE_KCHUNK"] = "4"
+            self.assertEqual(pm._k_chunk(k, b), 4)
+            s_c, m_c, src_c = pm.merge_score_pallas(*args, interpret=True)
+        finally:
+            if old is None:
+                os.environ.pop("PYCTCDECODE_TPU_MERGE_KCHUNK", None)
+            else:
+                os.environ["PYCTCDECODE_TPU_MERGE_KCHUNK"] = old
+        merged, dup, donor = _merge_dense(
+            jnp, (args[0], args[1]), jnp.asarray(valid), args[3]
+        )
+        rep = jnp.asarray(valid) & ~dup
+        score = jnp.where(rep, merged + args[4], DEAD)
+        score = jnp.where(score >= jnp.max(score) - 10.0, score, DEAD)
+        np.testing.assert_allclose(
+            np.asarray(s_c), np.asarray(score), atol=1e-5
+        )
