@@ -53,7 +53,9 @@ def _k_chunk(k: int, b: int) -> int:
     token), so the merge can sweep K in chunks; ~3 [kc, B, B] f32/i32
     temporaries are live at once, and VMEM is ~16 MiB, so kc is capped so a
     temporary stays under ~2 MiB (env ``PYCTCDECODE_TPU_MERGE_KCHUNK``
-    overrides). Returns a divisor of ``k`` so chunk starts stay static.
+    overrides). Returns a divisor of ``k`` so every sweep is full-width
+    (chunk starts are loop-carried and traced; slices are dynamic on the
+    majormost dim).
     """
     env = int(os.environ.get("PYCTCDECODE_TPU_MERGE_KCHUNK", "0"))
     cap = env if env > 0 else max(1, (2 << 20) // (b * b * 4))
@@ -448,11 +450,13 @@ def expand_merge_score_pallas(
 
     k = tok["tok"].shape[0]
     b = beam["logit"].shape[0]
-    if 3 * k * b * b * 4 > 12 * 1024 * 1024:
+    kc = _k_chunk(k, b)
+    if 3 * kc * b * b * 4 > 12 * 1024 * 1024:
         raise ValueError(
-            f"use_pallas_merge: K*B*B too large for VMEM "
-            f"(K={k}, B={b}; need 3*K*B*B*4 <= 12MiB). Reduce beam_width or "
-            f"max_tokens_per_frame, or use the default XLA merge path."
+            f"use_pallas_merge: merge temporaries exceed VMEM even chunked "
+            f"(K={k}, B={b}, chunk={kc}; need 3*kc*B*B*4 <= 12MiB). Reduce "
+            f"beam_width, lower PYCTCDECODE_TPU_MERGE_KCHUNK, or use the "
+            f"default XLA merge path."
         )
     flat = [jnp.reshape(beam[name], (1, b)) for name in _X_BEAM]
     flat += [jnp.reshape(tok[name], (k, 1)) for name in _X_TOK]
@@ -484,13 +488,15 @@ def merge_score_pallas(
     import jax.numpy as jnp
 
     k, b = kl.shape
-    # the kernel materializes a few [K, B, B] f32/i32 intermediates in
+    # the kernel materializes a few [kc, B, B] f32/i32 intermediates in
     # VMEM; guard with a clear error instead of a Mosaic compile failure.
-    if 3 * k * b * b * 4 > 12 * 1024 * 1024:
+    kc = _k_chunk(k, b)
+    if 3 * kc * b * b * 4 > 12 * 1024 * 1024:
         raise ValueError(
-            f"use_pallas_merge: K*B*B too large for VMEM "
-            f"(K={k}, B={b}; need 3*K*B*B*4 <= 12MiB). Reduce beam_width or "
-            f"max_tokens_per_frame, or use the default XLA merge path."
+            f"use_pallas_merge: merge temporaries exceed VMEM even chunked "
+            f"(K={k}, B={b}, chunk={kc}; need 3*kc*B*B*4 <= 12MiB). Reduce "
+            f"beam_width, lower PYCTCDECODE_TPU_MERGE_KCHUNK, or use the "
+            f"default XLA merge path."
         )
     prune = jnp.reshape(beam_prune_logp.astype(jnp.float32), (1, 1))
     run = _build_runner(k, b, interpret)

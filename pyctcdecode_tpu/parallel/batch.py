@@ -19,7 +19,7 @@ initialized by the launcher; each host feeds its local shard of the batch
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -33,6 +33,7 @@ from ..constants import (
 from ..engine import make_decode_fn
 from ..tpu_decoder import (
     TPUBeamSearchDecoderCTC,
+    _auto_k,
     _bucket,
     normalize_host_batch,
 )
@@ -215,7 +216,7 @@ class ShardedCTCDecoder:
         prune_history: bool = DEFAULT_PRUNE_BEAMS,
         hotwords: "object" = None,
         hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
-        max_tokens_per_frame: Optional[int] = None,
+        max_tokens_per_frame: Optional[Union[int, str]] = None,
         top_n: Optional[int] = None,
         collect_stats: bool = False,
         blank_collapse: bool = False,
@@ -233,7 +234,6 @@ class ShardedCTCDecoder:
         d = self._decoder
         hot, weight, _ = d._hot_tables(hotwords, hotword_weight)
         v = len(d._labels)
-        k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
         frame_ids_list = offsets = None
         if blank_collapse:
             from ..utils.logits import blank_collapse as bc
@@ -262,6 +262,12 @@ class ShardedCTCDecoder:
             logp[:n] = normalize_host_batch(logits_list, t_pad, v)
         n_frames = np.zeros(n_pad, dtype=np.int32)
         n_frames[:n] = lens
+        if max_tokens_per_frame == "auto":
+            counts = (logp >= token_min_logp).sum(-1)
+            alive = np.arange(t_pad)[None, :] < n_frames[:, None]
+            k = _auto_k(np.where(alive, counts, 1), v)
+        else:
+            k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
         fn = self._get_fn(
             t_pad,
             beam_width,
@@ -330,7 +336,7 @@ class ShardedCTCDecoder:
         beam_prune_logp: float = DEFAULT_PRUNE_LOGP,
         token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP,
         prune_history: bool = DEFAULT_PRUNE_BEAMS,
-        max_tokens_per_frame: Optional[int] = None,
+        max_tokens_per_frame: Optional[Union[int, str]] = None,
         top_n: Optional[int] = None,
     ) -> "object":
         """SPMD decode across a multi-process (multi-host) global mesh.
@@ -365,6 +371,12 @@ class ShardedCTCDecoder:
 
         d = self._decoder
         v = len(d._labels)
+        if max_tokens_per_frame == "auto":
+            raise ValueError(
+                "the multi-process SPMD path compiles one program on every "
+                "host before any local normalization; measure the corpus "
+                "and pass an integer max_tokens_per_frame instead of 'auto'"
+            )
         k = v if max_tokens_per_frame is None else min(max_tokens_per_frame, v)
         lens = [m.shape[0] for m in global_logits_list]
         t_pad = _bucket(max(lens))
@@ -435,7 +447,7 @@ class ShardedCTCDecoder:
         token_min_logp: float = DEFAULT_MIN_TOKEN_LOGP,
         hotwords: "object" = None,
         hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
-        max_tokens_per_frame: Optional[int] = None,
+        max_tokens_per_frame: Optional[Union[int, str]] = None,
     ) -> List[str]:
         """Sharded batch top-1 transcripts."""
         beams = self.decode_beams_batch(

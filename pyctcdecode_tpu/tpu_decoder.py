@@ -792,8 +792,9 @@ class TPUBeamSearchDecoderCTC:
         per frame (always exact); an integer caps the per-frame top-K
         preselect (exact only when no frame admits more than K tokens at
         ``token_min_logp``); the string ``"auto"`` measures this call's
-        admission host-side and picks the smallest sufficient power-of-two
-        K — exact like ``None``, priced like the data.
+        admission host-side and picks the smallest sufficient bucketed K
+        (1.5x ladder: 4, 6, 8, 12, 16, 24, ...) — exact like ``None``,
+        priced like the data.
         """
         if logits.ndim != 2 or logits.shape[1] != len(self._labels):
             raise ValueError(

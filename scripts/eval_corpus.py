@@ -46,6 +46,18 @@ def _synth_arpa(path: str, n_words: int, seed: int) -> list:
     return vocab
 
 
+def _k_value(text: str):
+    """argparse type for --k: an integer or the literal 'auto'."""
+    if text == "auto":
+        return text
+    try:
+        return int(text)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected an integer or 'auto', got {text!r}"
+        ) from None
+
+
 def _time_reference(arpa, corpus, beam, alpha, beta, host_hyps):
     """Single-core reference-package timing on the same corpus."""
     import time
@@ -80,7 +92,7 @@ def main() -> None:
     ap.add_argument("--alpha", type=float, default=0.5)
     ap.add_argument("--beta", type=float, default=1.5)
     ap.add_argument(
-        "--k", default=None,
+        "--k", type=_k_value, default=None,
         help="device token preselect: an integer or 'auto' (measured exact)",
     )
     ap.add_argument("--arpa", default=None, help="n-gram LM (synthesized if absent)")
@@ -144,9 +156,7 @@ def main() -> None:
         )
         kwargs = {}
         if args.k is not None:
-            kwargs["max_tokens_per_frame"] = (
-                "auto" if args.k == "auto" else int(args.k)
-            )
+            kwargs["max_tokens_per_frame"] = args.k
         if args.blank_collapse:
             kwargs["blank_collapse"] = True
         build = dict(alpha=args.alpha, beta=args.beta)

@@ -26,6 +26,7 @@ or import :func:`time_reference` from ``bench.py``.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -83,26 +84,40 @@ class _CharTrie:
         return node is not None and self._LEAF in node
 
     def iterkeys(self, prefix: str = "", shallow: bool = False):
-        """Words under ``prefix`` (HotwordScorer's completion enumeration)."""
+        """Words under ``prefix``, pre-order in child-insertion order.
+
+        Matches pygtrie's traversal contract: the prefix's own key is
+        yielded first when present, and ``shallow=True`` stops descending
+        below any node that holds a key (the reference's HotwordScorer
+        takes ``next(iterkeys(token, shallow=True))`` as the first/shortest
+        completion, ref language_model.py:145).
+        """
         node = self._node(prefix)
         if node is None:
             return
-        stack = [(prefix, node)]
-        while stack:
-            text, cur = stack.pop()
+
+        def walk(text, cur):
+            if self._LEAF in cur:
+                yield text
+                if shallow:
+                    return
             for ch, nxt in cur.items():
-                if ch == self._LEAF:
-                    yield text
-                else:
-                    stack.append((text + ch, nxt))
+                if ch != self._LEAF:
+                    yield from walk(text + ch, nxt)
+
+        yield from walk(prefix, node)
+
+
+@functools.lru_cache(maxsize=8)
+def _load_native(path: str):
+    """One parsed ctclm model per ARPA path (shared by Model + unigrams)."""
+    from pyctcdecode_tpu.csrc import NativeNGram
+
+    return NativeNGram(os.path.abspath(path))
 
 
 def _make_stub_modules() -> Tuple[types.ModuleType, types.ModuleType]:
     """Build fake ``kenlm`` and ``pygtrie`` modules backed by ctclm."""
-    import ctypes
-
-    from pyctcdecode_tpu.csrc import NativeNGram
-
     kenlm_mod = types.ModuleType("kenlm")
 
     class State:
@@ -122,9 +137,11 @@ def _make_stub_modules() -> Tuple[types.ModuleType, types.ModuleType]:
         """kenlm.Model call surface over the native ctclm engine."""
 
         def __init__(self, path: str) -> None:
-            self._n = NativeNGram(path)
+            self._n = _load_native(path)
             self.order = self._n.order
-            self.path = os.path.abspath(path)
+            # kenlm exposes .path as bytes (the reference decodes it when
+            # serializing, ref language_model.py:387)
+            self.path = os.path.abspath(path).encode("utf-8")
             # preallocated ctypes-visible buffers: BaseScore is the
             # reference's hottest call, keep per-call overhead at the
             # binding level (one C call, no numpy allocation)
@@ -207,9 +224,7 @@ def build_reference_decoder(ref, labels: List[str], arpa: Optional[str],
     """Reference ``BeamSearchDecoderCTC`` over the shimmed C++ LM."""
     unigrams = None
     if arpa is not None:
-        from pyctcdecode_tpu.csrc import NativeNGram
-
-        model = NativeNGram(arpa)
+        model = _load_native(arpa)
         unigrams = [w for w in model.vocab_list()
                     if w not in ("<s>", "</s>", "<unk>")]
     kwargs = {}

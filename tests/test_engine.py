@@ -525,8 +525,6 @@ class TestDeviceBatch(unittest.TestCase):
             self.assertEqual(dev.decode(m), t)
 
 
-if __name__ == "__main__":
-    unittest.main()
 
 
 class TestFastTopK(unittest.TestCase):
@@ -555,7 +553,7 @@ class TestFastTopK(unittest.TestCase):
 
 class TestAutoKPreselect(unittest.TestCase):
     """max_tokens_per_frame="auto" measures the call's admission and picks
-    the smallest sufficient power-of-two K — decode must equal the exact
+    the smallest sufficient bucketed K — decode must equal the exact
     (K = V) preselect everywhere, one-shot and batch."""
 
     def test_auto_matches_exact_on_libri(self):
@@ -586,3 +584,7 @@ class TestAutoKPreselect(unittest.TestCase):
         dev = TPUBeamSearchDecoderCTC(alphabet)
         with self.assertRaises(ValueError):
             dev.get_starting_state(max_tokens_per_frame="auto")
+
+
+if __name__ == "__main__":
+    unittest.main()

@@ -44,12 +44,15 @@ class TestPallasMerge(unittest.TestCase):
             self.assertEqual(host.decode(mat, beam_width=6), text)
 
     def test_vmem_guard(self):
-        """Oversized K*B*B raises a clear error instead of a Mosaic failure."""
+        """Guard fires only when even single-column chunks exceed VMEM."""
         import jax.numpy as jnp
 
-        from pyctcdecode_tpu.ops.pallas_merge import merge_score_pallas
+        from pyctcdecode_tpu.ops.pallas_merge import _k_chunk, merge_score_pallas
 
-        big = jnp.zeros((600, 100), dtype=jnp.uint32)
+        # large K alone is fine now: the sweep chunks token columns
+        self.assertEqual(_k_chunk(600, 100), 50)
+        # but B*B itself past VMEM cannot be chunked (kc floors at 1)
+        big = jnp.zeros((4, 2000), dtype=jnp.uint32)
         with self.assertRaisesRegex(ValueError, "use_pallas_merge"):
             merge_score_pallas(
                 big, big, big != 0, big.astype(jnp.float32),
@@ -109,8 +112,6 @@ class TestPallasMerge(unittest.TestCase):
         self.assertAlmostEqual(hb[0].lm_score, db[0].lm_score, delta=SCORE_TOL)
 
 
-if __name__ == "__main__":
-    unittest.main()
 
 
 class TestKChunkedMerge(unittest.TestCase):
@@ -156,3 +157,7 @@ class TestKChunkedMerge(unittest.TestCase):
         np.testing.assert_allclose(
             np.asarray(s_c), np.asarray(score), atol=1e-5
         )
+
+
+if __name__ == "__main__":
+    unittest.main()
