@@ -117,5 +117,49 @@ class TestDeviceFuzzLM(unittest.TestCase):
         self.assertEqual(hb[0].last_lm_state, db[0].last_lm_state)
 
 
+class TestDevOtherDifficultyParity(unittest.TestCase):
+    """Host-device parity on the bench headline workload shape.
+
+    Synthetic utterances at DEV_OTHER_DIFFICULTY (greedy WER ~10%, wide
+    admission tails) with the auto preselect and blank collapse — the exact
+    configuration bench.py's parity booleans rely on, pinned here in CI.
+    """
+
+    @classmethod
+    def setUpClass(cls):
+        lm = LanguageModel(
+            NGramModel.from_file(ARPA), TEST_UNIGRAMS, alpha=0.6, beta=1.0,
+        )
+        cls.host = BeamSearchDecoderCTC(_CHAR_ALPHABET, lm)
+        cls.dev = TPUBeamSearchDecoderCTC(_CHAR_ALPHABET, lm)
+
+    @classmethod
+    def tearDownClass(cls):
+        BeamSearchDecoderCTC.clear_class_models()
+
+    def test_auto_k_and_blank_collapse_parity(self):
+        from pyctcdecode_tpu.evaluation import (
+            DEV_OTHER_DIFFICULTY,
+            synthesize_corpus,
+        )
+
+        corpus = synthesize_corpus(
+            SAMPLE_LABELS, TEST_UNIGRAMS, n_utterances=6, seed=17,
+            **dict(DEV_OTHER_DIFFICULTY, words_per_utterance=(4, 8)),
+        )
+        want = [
+            self.host.decode(m, beam_width=25) for m in corpus.logits
+        ]
+        got = self.dev.decode_batch(
+            corpus.logits, beam_width=25, max_tokens_per_frame="auto"
+        )
+        self.assertEqual(got, want)
+        collapsed = self.dev.decode_batch(
+            corpus.logits, beam_width=25, max_tokens_per_frame="auto",
+            blank_collapse=True,
+        )
+        self.assertEqual(collapsed, want)
+
+
 if __name__ == "__main__":
     unittest.main()
