@@ -904,12 +904,20 @@ class TPUBeamSearchDecoderCTC:
         top_n: Optional[int] = None,
         collect_stats: bool = False,
         blank_collapse: bool = False,
+        length_bucketing: bool = False,
     ) -> "object":
         """Vectorized batch decode: one fused device program per batch.
 
         All utterances are padded to a shared frame bucket and vmapped; the
         batch dimension is padded to a multiple of ``batch_pad`` so repeated
         calls reuse compiled executables.
+
+        ``length_bucketing=True`` groups utterances by padded-frame bucket
+        and dispatches one program per group (all launched before any is
+        collected, so they pipeline on device): mixed-length batches stop
+        paying the longest utterance's scan length for every row. Results
+        come back in input order; with the auto preselect each group also
+        measures its own K.
 
         With ``collect_stats=True`` the engine additionally accumulates
         per-utterance decode counters on device (beams alive, merge/prune
@@ -926,8 +934,7 @@ class TPUBeamSearchDecoderCTC:
         count 1.3-2x at zero accuracy cost.
         """
         logits_list = self._without_pool_arg(logits_list, _pool_compat)
-        handle = self._dispatch_batch(
-            logits_list,
+        dispatch_kw = dict(
             beam_width=beam_width,
             beam_prune_logp=beam_prune_logp,
             token_min_logp=token_min_logp,
@@ -940,6 +947,13 @@ class TPUBeamSearchDecoderCTC:
             collect_stats=collect_stats,
             blank_collapse=blank_collapse,
         )
+        if length_bucketing and len(logits_list) > 1:
+            groups: Dict[int, List[int]] = {}
+            for i, mat in enumerate(logits_list):
+                groups.setdefault(_bucket(max(mat.shape[0], 1)), []).append(i)
+            if len(groups) > 1:
+                return self._decode_bucketed(logits_list, groups, dispatch_kw)
+        handle = self._dispatch_batch(logits_list, **dispatch_kw)
         results = self._collect_batch(handle)
         if collect_stats:
             if handle is None:
@@ -949,6 +963,38 @@ class TPUBeamSearchDecoderCTC:
                 dict(zip(handle["stats_names"], row.tolist()))
                 for row in per_utt
             ]
+            return results, stats
+        return results
+
+    def _decode_bucketed(
+        self,
+        logits_list: Sequence[np.ndarray],
+        groups: Dict[int, List[int]],
+        dispatch_kw: Dict[str, Any],
+    ) -> "object":
+        """Per-frame-bucket dispatch (all launched async), input order out."""
+        collect_stats = dispatch_kw["collect_stats"]
+        handles = []
+        for t_pad in sorted(groups):
+            idx = groups[t_pad]
+            handles.append(
+                (idx, self._dispatch_batch(
+                    [logits_list[i] for i in idx], **dispatch_kw
+                ))
+            )
+        results: List[Any] = [None] * len(logits_list)
+        stats: List[Any] = [None] * len(logits_list)
+        for idx, handle in handles:
+            group_res = self._collect_batch(handle)
+            for j, i in enumerate(idx):
+                results[i] = group_res[j]
+            if collect_stats and handle is not None:
+                per_utt = np.asarray(handle["stats_dev"])[: handle["n"]]
+                for j, i in enumerate(idx):
+                    stats[i] = dict(
+                        zip(handle["stats_names"], per_utt[j].tolist())
+                    )
+        if collect_stats:
             return results, stats
         return results
 
@@ -1180,6 +1226,7 @@ class TPUBeamSearchDecoderCTC:
             top_n=kwargs.pop("top_n", None),
             blank_collapse=kwargs.pop("blank_collapse", False),
         )
+        kwargs.pop("length_bucketing", None)  # one program per batch here
         if kwargs:
             raise TypeError(f"unknown decode arguments: {sorted(kwargs)}")
         for logits_list in batches:
@@ -1201,6 +1248,7 @@ class TPUBeamSearchDecoderCTC:
         hotword_weight: float = DEFAULT_HOTWORD_WEIGHT,
         max_tokens_per_frame: Optional[Union[int, str]] = None,
         blank_collapse: bool = False,
+        length_bucketing: bool = False,
     ) -> List[str]:
         """Batch top-1 transcripts (leading pool argument accepted, unused)."""
         logits_list = self._without_pool_arg(logits_list, _pool_compat)
@@ -1215,6 +1263,7 @@ class TPUBeamSearchDecoderCTC:
             max_tokens_per_frame=max_tokens_per_frame,
             top_n=1,
             blank_collapse=blank_collapse,
+            length_bucketing=length_bucketing,
         )
         return [b[0].text if b else "" for b in beams]
 

@@ -588,3 +588,24 @@ class TestAutoKPreselect(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestLengthBucketing(unittest.TestCase):
+    """length_bucketing groups utterances by frame bucket; results must be
+    in input order and identical to the single-program batch."""
+
+    def test_mixed_lengths_match(self):
+        rng = np.random.RandomState(5)
+        labels = [" ", "b", "g", "n", "s", "u", "y", ""]
+        alphabet = Alphabet.build_alphabet(labels)
+        dev = TPUBeamSearchDecoderCTC(alphabet)
+        mats = [rng.randn(t, len(labels)).astype(np.float32) * 2.0
+                for t in (10, 90, 140, 30, 70)]
+        want = dev.decode_batch(mats, beam_width=8)
+        got = dev.decode_batch(mats, beam_width=8, length_bucketing=True)
+        self.assertEqual(got, want)
+        beams_b = dev.decode_beams_batch(mats, beam_width=8,
+                                         length_bucketing=True)
+        beams_n = dev.decode_beams_batch(mats, beam_width=8)
+        self.assertEqual([b[0].text_frames for b in beams_b],
+                         [b[0].text_frames for b in beams_n])
