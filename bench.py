@@ -240,7 +240,10 @@ def main() -> None:
         print(f"reference baseline failed: {err!r}", file=sys.stderr)
 
     # --- device batch decode at the parity config --------------------------
-    kwargs = dict(beam_width=BEAM_WIDTH, max_tokens_per_frame=K_TOKENS)
+    kwargs = dict(
+        beam_width=BEAM_WIDTH, max_tokens_per_frame=K_TOKENS,
+        length_bucketing=True,
+    )
     texts, dev_dt, dev_tput = _time_device(
         dev, corpus.logits, audio_total, **kwargs
     )

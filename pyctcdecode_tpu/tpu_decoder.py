@@ -948,9 +948,7 @@ class TPUBeamSearchDecoderCTC:
             blank_collapse=blank_collapse,
         )
         if length_bucketing and len(logits_list) > 1:
-            groups: Dict[int, List[int]] = {}
-            for i, mat in enumerate(logits_list):
-                groups.setdefault(_bucket(max(mat.shape[0], 1)), []).append(i)
+            groups = self._length_groups(logits_list)
             if len(groups) > 1:
                 return self._decode_bucketed(logits_list, groups, dispatch_kw)
         handle = self._dispatch_batch(logits_list, **dispatch_kw)
@@ -966,24 +964,29 @@ class TPUBeamSearchDecoderCTC:
             return results, stats
         return results
 
-    def _decode_bucketed(
+    def _dispatch_bucketed(
         self,
         logits_list: Sequence[np.ndarray],
         groups: Dict[int, List[int]],
         dispatch_kw: Dict[str, Any],
+    ) -> List[Tuple[List[int], Optional[Dict[str, Any]]]]:
+        """Launch one async program per frame bucket; nothing is collected."""
+        return [
+            (groups[t_pad], self._dispatch_batch(
+                [logits_list[i] for i in groups[t_pad]], **dispatch_kw
+            ))
+            for t_pad in sorted(groups)
+        ]
+
+    def _collect_bucketed(
+        self,
+        handles: List[Tuple[List[int], Optional[Dict[str, Any]]]],
+        n: int,
+        collect_stats: bool,
     ) -> "object":
-        """Per-frame-bucket dispatch (all launched async), input order out."""
-        collect_stats = dispatch_kw["collect_stats"]
-        handles = []
-        for t_pad in sorted(groups):
-            idx = groups[t_pad]
-            handles.append(
-                (idx, self._dispatch_batch(
-                    [logits_list[i] for i in idx], **dispatch_kw
-                ))
-            )
-        results: List[Any] = [None] * len(logits_list)
-        stats: List[Any] = [None] * len(logits_list)
+        """Block on bucketed dispatches; reassemble results in input order."""
+        results: List[Any] = [None] * n
+        stats: List[Any] = [None] * n
         for idx, handle in handles:
             group_res = self._collect_batch(handle)
             for j, i in enumerate(idx):
@@ -997,6 +1000,26 @@ class TPUBeamSearchDecoderCTC:
         if collect_stats:
             return results, stats
         return results
+
+    def _decode_bucketed(
+        self,
+        logits_list: Sequence[np.ndarray],
+        groups: Dict[int, List[int]],
+        dispatch_kw: Dict[str, Any],
+    ) -> "object":
+        """Per-frame-bucket dispatch (all launched async), input order out."""
+        handles = self._dispatch_bucketed(logits_list, groups, dispatch_kw)
+        return self._collect_bucketed(
+            handles, len(logits_list), dispatch_kw["collect_stats"]
+        )
+
+    @staticmethod
+    def _length_groups(logits_list: Sequence[np.ndarray]) -> Dict[int, List[int]]:
+        """Utterance indices grouped by padded-frame bucket."""
+        groups: Dict[int, List[int]] = {}
+        for i, mat in enumerate(logits_list):
+            groups.setdefault(_bucket(max(mat.shape[0], 1)), []).append(i)
+        return groups
 
     def _dispatch_batch(
         self,
@@ -1210,10 +1233,11 @@ class TPUBeamSearchDecoderCTC:
         ``i-1``, hiding the host<->device transfer time that a synchronous
         per-batch loop pays serially (measured ~0.7 s of a 2.5 s batch at
         the parity config). Accepts the same keyword arguments as
-        :meth:`decode_beams_batch`; yields one result list per batch, in
-        order.
+        :meth:`decode_beams_batch` (including ``length_bucketing``, which
+        splits each batch into per-frame-bucket programs that pipeline on
+        device); yields one result list per batch, in order.
         """
-        pending: List[Optional[Dict[str, Any]]] = []
+        pending: List[Tuple[List[Tuple[List[int], Optional[Dict[str, Any]]]], int]] = []
         defaults = dict(
             beam_width=kwargs.pop("beam_width", DEFAULT_BEAM_WIDTH),
             beam_prune_logp=kwargs.pop("beam_prune_logp", DEFAULT_PRUNE_LOGP),
@@ -1224,18 +1248,30 @@ class TPUBeamSearchDecoderCTC:
             max_tokens_per_frame=kwargs.pop("max_tokens_per_frame", None),
             batch_pad=kwargs.pop("batch_pad", 8),
             top_n=kwargs.pop("top_n", None),
+            collect_stats=False,
             blank_collapse=kwargs.pop("blank_collapse", False),
         )
-        kwargs.pop("length_bucketing", None)  # one program per batch here
+        bucketing = kwargs.pop("length_bucketing", False)
         if kwargs:
             raise TypeError(f"unknown decode arguments: {sorted(kwargs)}")
         for logits_list in batches:
-            handle = self._dispatch_batch(logits_list, **defaults)
+            groups = (
+                self._length_groups(logits_list)
+                if bucketing and len(logits_list) > 1
+                else {0: list(range(len(logits_list)))}
+            )
+            handles = self._dispatch_bucketed(logits_list, groups, defaults) \
+                if len(groups) > 1 else [
+                    (list(range(len(logits_list))),
+                     self._dispatch_batch(logits_list, **defaults))
+                ]
             if pending:
-                yield self._collect_batch(pending.pop())
-            pending.append(handle)
+                prev_handles, prev_n = pending.pop()
+                yield self._collect_bucketed(prev_handles, prev_n, False)
+            pending.append((handles, len(logits_list)))
         if pending:
-            yield self._collect_batch(pending.pop())
+            prev_handles, prev_n = pending.pop()
+            yield self._collect_bucketed(prev_handles, prev_n, False)
 
     def decode_batch(
         self,

@@ -586,10 +586,6 @@ class TestAutoKPreselect(unittest.TestCase):
             dev.get_starting_state(max_tokens_per_frame="auto")
 
 
-if __name__ == "__main__":
-    unittest.main()
-
-
 class TestLengthBucketing(unittest.TestCase):
     """length_bucketing groups utterances by frame bucket; results must be
     in input order and identical to the single-program batch."""
@@ -609,3 +605,29 @@ class TestLengthBucketing(unittest.TestCase):
         beams_n = dev.decode_beams_batch(mats, beam_width=8)
         self.assertEqual([b[0].text_frames for b in beams_b],
                          [b[0].text_frames for b in beams_n])
+
+    def test_pipelined_batches_with_bucketing(self):
+        """length_bucketing through decode_beams_batches: per-bucket
+        programs pipeline across batches, results stay in input order."""
+        rng = np.random.RandomState(7)
+        labels = [" ", "b", "g", "n", "s", "u", "y", ""]
+        alphabet = Alphabet.build_alphabet(labels)
+        dev = TPUBeamSearchDecoderCTC(alphabet)
+        batches = [
+            [rng.randn(t, len(labels)).astype(np.float32) * 2.0
+             for t in lengths]
+            for lengths in ((12, 80, 25), (140,), (60, 9))
+        ]
+        piped = list(dev.decode_beams_batches(
+            iter(batches), beam_width=8, length_bucketing=True))
+        self.assertEqual(len(piped), len(batches))
+        for batch, got in zip(batches, piped):
+            want = dev.decode_beams_batch(batch, beam_width=8)
+            self.assertEqual([b.text for b in got[0]],
+                             [b.text for b in want[0]])
+            self.assertEqual([b[0].text for b in got],
+                             [b[0].text for b in want])
+
+
+if __name__ == "__main__":
+    unittest.main()
