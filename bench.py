@@ -33,7 +33,12 @@ work. When the reference checkout is absent, the host parity engine stands
 in and ``detail.baseline`` says so.
 
 The metric is decoded audio-seconds per wall-clock second per chip
-(frame stride 0.02 s — the Wav2Vec2/QuartzNet CTC frame rate).
+(frame stride 0.02 s — the Wav2Vec2/QuartzNet CTC frame rate). The
+headline is the serving configuration: pipelined batches (one in flight),
+length bucketing (one program per frame bucket), and blank collapse —
+all output-exact, and the collapse is verified against the plain decode
+inside the run (on mismatch the headline falls back to the uncollapsed
+pipelined number and ``detail.headline_config`` says so).
 """
 import json
 import os
@@ -252,23 +257,34 @@ def main() -> None:
     # --- pipelined steady-state throughput (the serving pattern): keep one
     # batch in flight so host prep/post-process and the relay transfers
     # overlap the device run
-    for out in dev.decode_beams_batches([corpus.logits] * 2, top_n=1, **kwargs):
-        pass
-    n_stream = 5
-    stream = dev.decode_beams_batches([corpus.logits] * n_stream, top_n=1, **kwargs)
-    next(stream)  # spin-up: first batch has nothing to overlap with
-    t0 = time.perf_counter()
-    for out in stream:
-        pass
-    stream_dt = (time.perf_counter() - t0) / (n_stream - 1)
-    stream_tput = audio_total / stream_dt
+    def _time_stream(n_stream=5, **extra):
+        conf = dict(kwargs, top_n=1, **extra)
+        for out in dev.decode_beams_batches([corpus.logits] * 2, **conf):
+            pass  # warm every bucket's executable
+        stream = dev.decode_beams_batches([corpus.logits] * n_stream, **conf)
+        next(stream)  # spin-up: first batch has nothing to overlap with
+        t0 = time.perf_counter()
+        for out in stream:
+            pass
+        dt = (time.perf_counter() - t0) / (n_stream - 1)
+        return audio_total / dt, dt
 
-    # --- blank collapse (opt-in, exactness-preserving at the call's
+    stream_tput, stream_dt = _time_stream()
+
+    # --- blank collapse (exactness-preserving at the call's
     # token_min_logp): real CTC emissions are blank-dominated, so dropping
     # blank-certain frames multiplies throughput at identical output
     texts_bc, bc_dt, bc_tput = _time_device(
         dev, corpus.logits, audio_total, blank_collapse=True, **kwargs
     )
+    bc_exact = texts_bc == texts
+    # headline = the full serving configuration (pipelined + bucketed +
+    # collapsed) — but only while the collapse provably changed nothing
+    stream_bc_tput, stream_bc_dt = _time_stream(blank_collapse=True)
+    if bc_exact:
+        headline_tput, headline_dt = stream_bc_tput, stream_bc_dt
+    else:  # fall back to the plain pipelined number
+        headline_tput, headline_dt = stream_tput, stream_dt
 
     baseline_tput = ref_tput if ref_tput else host_tput
     detail = {
@@ -286,7 +302,7 @@ def main() -> None:
         "blank_collapse": {
             "audio_sec_per_s": round(bc_tput, 2),
             "batch_latency_s": round(bc_dt, 4),
-            "texts_match_full": texts_bc == texts,
+            "texts_match_full": bc_exact,
         },
         "corpus": {
             "n_utterances": BATCH,
@@ -314,6 +330,13 @@ def main() -> None:
         "oneshot_audio_sec_per_s": round(dev_tput, 2),
         "pipelined_batch_latency_s": round(stream_dt, 4),
         "pipelined_audio_sec_per_s": round(stream_tput, 2),
+        "pipelined_collapsed_audio_sec_per_s": round(stream_bc_tput, 2),
+        "headline_batch_latency_s": round(headline_dt, 4),
+        "headline_config": (
+            "pipelined + length bucketing + blank collapse (output-exact)"
+            if bc_exact
+            else "pipelined + length bucketing (collapse failed exactness)"
+        ),
         "backend": jax.devices()[0].platform,
     }
 
@@ -321,9 +344,9 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "decode_throughput",
-                "value": round(stream_tput, 2),
+                "value": round(headline_tput, 2),
                 "unit": "audio_sec/s/chip",
-                "vs_baseline": round(stream_tput / baseline_tput, 2),
+                "vs_baseline": round(headline_tput / baseline_tput, 2),
                 "detail": detail,
             }
         )

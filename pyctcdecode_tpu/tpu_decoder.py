@@ -947,36 +947,66 @@ class TPUBeamSearchDecoderCTC:
             collect_stats=collect_stats,
             blank_collapse=blank_collapse,
         )
-        if length_bucketing and len(logits_list) > 1:
+        handles = self._launch_batch(logits_list, dispatch_kw, length_bucketing)
+        return self._collect_bucketed(handles, len(logits_list), collect_stats)
+
+    def _launch_batch(
+        self,
+        logits_list: Sequence[np.ndarray],
+        dispatch_kw: Dict[str, Any],
+        bucketing: bool,
+    ) -> List[Tuple[List[int], Optional[Dict[str, Any]]]]:
+        """Dispatch one batch asynchronously, bucketed by length if asked.
+
+        With ``blank_collapse`` + bucketing the collapse runs batch-wide
+        FIRST so buckets reflect the frame counts the device will actually
+        scan, not the raw input lengths. Returns ``(indices, handle)``
+        pairs for :meth:`_collect_bucketed`.
+        """
+        kw = dict(dispatch_kw)
+        pre = None
+        if bucketing and len(logits_list) > 1:
+            if kw.get("blank_collapse"):
+                pre = self._collapse_all(logits_list, kw["token_min_logp"])
+                logits_list = pre[0]
+                kw["blank_collapse"] = False
             groups = self._length_groups(logits_list)
             if len(groups) > 1:
-                return self._decode_bucketed(logits_list, groups, dispatch_kw)
-        handle = self._dispatch_batch(logits_list, **dispatch_kw)
-        results = self._collect_batch(handle)
-        if collect_stats:
-            if handle is None:
-                return results, []
-            per_utt = np.asarray(handle["stats_dev"])[: handle["n"]]
-            stats = [
-                dict(zip(handle["stats_names"], row.tolist()))
-                for row in per_utt
-            ]
-            return results, stats
-        return results
+                return self._dispatch_bucketed(logits_list, groups, kw, pre)
+            if pre is not None:
+                kw["precollapsed"] = pre
+        return [(
+            list(range(len(logits_list))),
+            self._dispatch_batch(logits_list, **kw),
+        )]
 
     def _dispatch_bucketed(
         self,
         logits_list: Sequence[np.ndarray],
         groups: Dict[int, List[int]],
         dispatch_kw: Dict[str, Any],
+        pre: Optional[Tuple[List[np.ndarray], List[np.ndarray], List[float]]] = None,
     ) -> List[Tuple[List[int], Optional[Dict[str, Any]]]]:
-        """Launch one async program per frame bucket; nothing is collected."""
-        return [
-            (groups[t_pad], self._dispatch_batch(
-                [logits_list[i] for i in groups[t_pad]], **dispatch_kw
-            ))
-            for t_pad in sorted(groups)
-        ]
+        """Launch one async program per frame bucket; nothing is collected.
+
+        ``pre`` carries batch-level blank-collapse output (collapsed
+        log-probs, kept-frame ids, score offsets); each group receives its
+        slice so the collapse isn't recomputed per bucket.
+        """
+        handles = []
+        for t_pad in sorted(groups):
+            idx = groups[t_pad]
+            kw = dict(dispatch_kw)
+            if pre is not None:
+                kw["precollapsed"] = (
+                    [pre[0][i] for i in idx],
+                    [pre[1][i] for i in idx],
+                    [pre[2][i] for i in idx],
+                )
+            handles.append((idx, self._dispatch_batch(
+                [logits_list[i] for i in idx], **kw
+            )))
+        return handles
 
     def _collect_bucketed(
         self,
@@ -1006,9 +1036,10 @@ class TPUBeamSearchDecoderCTC:
         logits_list: Sequence[np.ndarray],
         groups: Dict[int, List[int]],
         dispatch_kw: Dict[str, Any],
+        pre: Optional[Tuple[List[np.ndarray], List[np.ndarray], List[float]]] = None,
     ) -> "object":
         """Per-frame-bucket dispatch (all launched async), input order out."""
-        handles = self._dispatch_bucketed(logits_list, groups, dispatch_kw)
+        handles = self._dispatch_bucketed(logits_list, groups, dispatch_kw, pre)
         return self._collect_bucketed(
             handles, len(logits_list), dispatch_kw["collect_stats"]
         )
@@ -1020,6 +1051,25 @@ class TPUBeamSearchDecoderCTC:
         for i, mat in enumerate(logits_list):
             groups.setdefault(_bucket(max(mat.shape[0], 1)), []).append(i)
         return groups
+
+    def _collapse_all(
+        self, logits_list: Sequence[np.ndarray], token_min_logp: float
+    ) -> Tuple[List[np.ndarray], List[np.ndarray], List[float]]:
+        """Normalize and blank-collapse every utterance in a batch.
+
+        Returns (collapsed log-prob matrices, kept original frame indices,
+        per-utterance score offsets to restore full-decode scores).
+        """
+        collapsed, frame_ids, offsets = [], [], []
+        for mat in logits_list:
+            lp = normalize_host(np.asarray(mat))
+            keep_idx, off = blank_collapse_frames(
+                lp, self._blank_id, token_min_logp
+            )
+            collapsed.append(lp[keep_idx])
+            frame_ids.append(keep_idx)
+            offsets.append(off)
+        return collapsed, frame_ids, offsets
 
     def _dispatch_batch(
         self,
@@ -1035,12 +1085,18 @@ class TPUBeamSearchDecoderCTC:
         top_n: Optional[int],
         collect_stats: bool = False,
         blank_collapse: bool = False,
+        precollapsed: Optional[
+            Tuple[List[np.ndarray], List[np.ndarray], List[float]]
+        ] = None,
     ) -> Optional[Dict[str, Any]]:
         """Normalize, upload and launch one batch; returns a result handle.
 
         The launch is asynchronous (JAX dispatch), so callers can overlap
         the next batch's host work with this batch's device run — see
-        :meth:`decode_beams_batches`.
+        :meth:`decode_beams_batches`. ``precollapsed`` supplies
+        already-normalized, blank-collapsed matrices (from
+        :meth:`_collapse_all`, computed batch-wide before length bucketing)
+        so the collapse isn't redone per bucket.
         """
         if not logits_list:
             return None
@@ -1055,26 +1111,21 @@ class TPUBeamSearchDecoderCTC:
                 )
         frame_ids_list: Optional[List[np.ndarray]] = None
         offsets: Optional[List[float]] = None
-        if blank_collapse:
-            collapsed: List[np.ndarray] = []
-            frame_ids_list, offsets = [], []
-            for mat in logits_list:
-                lp = normalize_host(np.asarray(mat))
-                keep_idx, off = blank_collapse_frames(
-                    lp, self._blank_id, token_min_logp
-                )
-                collapsed.append(lp[keep_idx])
-                frame_ids_list.append(keep_idx)
-                offsets.append(off)
-            lens = [c.shape[0] for c in collapsed]
-        else:
-            lens = [l.shape[0] for l in logits_list]
+        collapsed: Optional[List[np.ndarray]] = None
+        if precollapsed is not None:
+            collapsed, frame_ids_list, offsets = precollapsed
+        elif blank_collapse:
+            collapsed, frame_ids_list, offsets = self._collapse_all(
+                logits_list, token_min_logp
+            )
+        lens = [m.shape[0] for m in (collapsed if collapsed is not None
+                                     else logits_list)]
         t_pad = _bucket(max(max(lens), 1))
         seg = self._segment_frames_effective()
         if seg:
             t_pad = ((t_pad + seg - 1) // seg) * seg
         logp = np.zeros((n_pad, t_pad, v), dtype=np.float32)
-        if blank_collapse:
+        if collapsed is not None:
             for i, cl in enumerate(collapsed):
                 logp[i, : cl.shape[0]] = cl
         else:
@@ -1255,16 +1306,7 @@ class TPUBeamSearchDecoderCTC:
         if kwargs:
             raise TypeError(f"unknown decode arguments: {sorted(kwargs)}")
         for logits_list in batches:
-            groups = (
-                self._length_groups(logits_list)
-                if bucketing and len(logits_list) > 1
-                else {0: list(range(len(logits_list)))}
-            )
-            handles = self._dispatch_bucketed(logits_list, groups, defaults) \
-                if len(groups) > 1 else [
-                    (list(range(len(logits_list))),
-                     self._dispatch_batch(logits_list, **defaults))
-                ]
+            handles = self._launch_batch(logits_list, defaults, bucketing)
             if pending:
                 prev_handles, prev_n = pending.pop()
                 yield self._collect_bucketed(prev_handles, prev_n, False)

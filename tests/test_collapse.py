@@ -96,6 +96,32 @@ class TestBlankCollapseDecode(unittest.TestCase):
         ]
         self._assert_equal_decodes(dec, mats, beam_width=6)
 
+    def test_with_length_bucketing_collapses_before_grouping(self):
+        """blank_collapse + length_bucketing: buckets form over collapsed
+        lengths (a long blank-heavy utterance may share a short bucket) and
+        results still match the plain full decode exactly."""
+        alphabet = Alphabet.build_alphabet(SAMPLE_LABELS)
+        dec = TPUBeamSearchDecoderCTC(alphabet)
+        blank = SAMPLE_LABELS.index("")
+        rng = np.random.RandomState(13)
+        v = len(SAMPLE_LABELS)
+        # one long but blank-dominated utterance, several short loud ones
+        mats = [_blanky_logits(rng, 160, v, blank, run_p=0.9)]
+        mats += [rng.randn(t, v).astype(np.float32) * 2.0
+                 for t in (12, 35, 70, 9)]
+        full = dec.decode_beams_batch(mats, beam_width=6)
+        fast = dec.decode_beams_batch(
+            mats, beam_width=6, blank_collapse=True, length_bucketing=True
+        )
+        for fu, fa in zip(full, fast):
+            self.assertEqual([b.text for b in fu], [b.text for b in fa])
+            self.assertEqual(fu[0].text_frames, fa[0].text_frames)
+            self.assertAlmostEqual(fu[0].logit_score, fa[0].logit_score,
+                                   places=2)
+        # the long utterance must actually land in a smaller bucket
+        pre = dec._collapse_all(mats, -5.0)
+        self.assertLess(pre[0][0].shape[0], 96)
+
     def test_single_utterance_api(self):
         alphabet = Alphabet.build_alphabet(SAMPLE_LABELS)
         dec = TPUBeamSearchDecoderCTC(alphabet)
