@@ -159,6 +159,11 @@ class TestDevOtherDifficultyParity(unittest.TestCase):
             blank_collapse=True,
         )
         self.assertEqual(collapsed, want)
+        serving = self.dev.decode_batch(
+            corpus.logits, beam_width=25, max_tokens_per_frame="auto",
+            blank_collapse=True, length_bucketing=True,
+        )
+        self.assertEqual(serving, want)
 
 
 if __name__ == "__main__":
