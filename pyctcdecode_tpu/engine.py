@@ -615,6 +615,31 @@ def _select_fields_mxu(
     return out
 
 
+def _token_cols(jnp, tables: Dict, tok_col, k: int) -> Dict:
+    """Winner-indexed token-plane lookups without gathers.
+
+    ``tables`` maps name -> [K]-shaped per-token array; ``tok_col`` is the
+    [B] winner token-column vector. Indexing a tiny [K] table with per-beam
+    indices (``tab[tok_col]``) lowers on TPU to a scalar-core gather at
+    ~0.4 ms per lookup per step at decode shapes — ~10 such lookups made
+    the transition replay over half of the whole step's device time. A
+    shared [B, K] one-hot mask with a where/sum (or any) reduction is pure
+    VPU work and bit-exact: exactly one mask lane is set per row, so the
+    sum touches a single addend and booleans reduce by ``any``.
+    """
+    mask = tok_col[:, None] == jnp.arange(k, dtype=tok_col.dtype)[None, :]
+    out = {}
+    for name, tab in tables.items():
+        if tab.dtype == jnp.bool_:
+            out[name] = jnp.any(mask & tab[None, :], axis=1)
+        else:
+            zero = jnp.zeros((), dtype=tab.dtype)
+            out[name] = jnp.sum(
+                jnp.where(mask, tab[None, :], zero), axis=1, dtype=tab.dtype
+            )
+    return out
+
+
 def _rank(jnp, cfg, lm_score_flat, logit_flat, src_flat, beam_prune_logp):
     """Window prune relative to the best, then top-k (ref decoder.py:536-554)."""
     import jax
@@ -1018,16 +1043,37 @@ def _make_step(
         )
         # ---- transition replay for the winners (parity-exact: the same
         # 4-way rules as the [B, K] expansion above, applied to the same
-        # (parent, token) pair the top-ranked group member came from)
-        tok_w = toks[tok_col]
-        stay_w = blank[tok_col] | (bsel["c_last"] == tok_w)
+        # (parent, token) pair the top-ranked group member came from).
+        # All per-token quantities resolve through one shared one-hot mask
+        # (_token_cols) — tab[tok_col] gathers were over half the step.
+        tcols = _token_cols(
+            jnp,
+            {
+                "tok": toks,
+                "blank": blank,
+                "boundary": boundary_kind,
+                "right": tok_right,
+                "seed_lo": seed_lo_k,
+                "seed_hi": seed_hi_k,
+                "plen": tok_plen,
+                "rlen": tok_rlen,
+                **{
+                    f"cid{l}": tok_dev["raw_chars"][toks, l]
+                    for l in range(lmax)
+                },
+            },
+            tok_col,
+            k,
+        )
+        tok_w = tcols["tok"]
+        stay_w = tcols["blank"] | (bsel["c_last"] == tok_w)
         if cfg.is_bpe:
-            bnd_w = ~stay_w & (boundary_kind[tok_col] | bsel["c_force"])
+            bnd_w = ~stay_w & (tcols["boundary"] | bsel["c_force"])
         else:
-            bnd_w = ~stay_w & boundary_kind[tok_col]
+            bnd_w = ~stay_w & tcols["boundary"]
         ext_lo_w, ext_hi_w = bsel["c_p_lo"], bsel["c_p_hi"]
         for l in range(lmax):
-            cid_w = tok_dev["raw_chars"][toks, l][tok_col]
+            cid_w = tcols[f"cid{l}"]
             has_w = cid_w >= 0
             nlo_w, nhi_w = hash_extend_char(
                 jnp, ext_lo_w, ext_hi_w, jnp.maximum(cid_w, 0)
@@ -1035,23 +1081,23 @@ def _make_step(
             ext_lo_w = jnp.where(has_w, nlo_w, ext_lo_w)
             ext_hi_w = jnp.where(has_w, nhi_w, ext_hi_w)
         new_state["p_lo"] = jnp.where(
-            stay_w, bsel["c_p_lo"], jnp.where(bnd_w, seed_lo_k[tok_col], ext_lo_w)
+            stay_w, bsel["c_p_lo"], jnp.where(bnd_w, tcols["seed_lo"], ext_lo_w)
         )
         new_state["p_hi"] = jnp.where(
-            stay_w, bsel["c_p_hi"], jnp.where(bnd_w, seed_hi_k[tok_col], ext_hi_w)
+            stay_w, bsel["c_p_hi"], jnp.where(bnd_w, tcols["seed_hi"], ext_hi_w)
         )
         new_state["p_len"] = jnp.where(
             stay_w,
             bsel["c_p_len"],
             jnp.where(
-                bnd_w, tok_plen[tok_col], bsel["c_p_len"] + tok_rlen[tok_col]
+                bnd_w, tcols["plen"], bsel["c_p_len"] + tcols["rlen"]
             ),
         )
         new_state["text_lo"] = jnp.where(bnd_w, bsel["m_text_lo"], bsel["c_text_lo"])
         new_state["text_hi"] = jnp.where(bnd_w, bsel["m_text_hi"], bsel["c_text_hi"])
         new_state["fused"] = bsel["c_fused"] + jnp.where(bnd_w, bsel["m_wfused"], 0.0)
         new_state["n_words"] = jnp.where(bnd_w, bsel["m_nw"], bsel["c_nw"])
-        new_state["force"] = jnp.where(bnd_w, tok_right[tok_col], bsel["c_force"])
+        new_state["force"] = jnp.where(bnd_w, tcols["right"], bsel["c_force"])
         new_state["last_tok"] = tok_w
         bnd2 = bnd_w[:, None]
         new_state["ring_lo"] = jnp.where(
