@@ -257,11 +257,12 @@ def main() -> None:
     # --- pipelined steady-state throughput (the serving pattern): keep one
     # batch in flight so host prep/post-process and the relay transfers
     # overlap the device run
-    def _time_stream(n_stream=5, **extra):
+    def _time_stream(n_stream=5, dec=None, **extra):
+        dec = dec if dec is not None else dev
         conf = dict(kwargs, top_n=1, **extra)
-        for out in dev.decode_beams_batches([corpus.logits] * 2, **conf):
+        for out in dec.decode_beams_batches([corpus.logits] * 2, **conf):
             pass  # warm every bucket's executable
-        stream = dev.decode_beams_batches([corpus.logits] * n_stream, **conf)
+        stream = dec.decode_beams_batches([corpus.logits] * n_stream, **conf)
         next(stream)  # spin-up: first batch has nothing to overlap with
         t0 = time.perf_counter()
         for out in stream:
@@ -283,8 +284,35 @@ def main() -> None:
     stream_bc_tput, stream_bc_dt = _time_stream(blank_collapse=True)
     if bc_exact:
         headline_tput, headline_dt = stream_bc_tput, stream_bc_dt
+        headline_config = (
+            "pipelined + length bucketing + blank collapse (output-exact)"
+        )
     else:  # fall back to the plain pipelined number
         headline_tput, headline_dt = stream_tput, stream_dt
+        headline_config = (
+            "pipelined + length bucketing (collapse failed exactness)"
+        )
+
+    # --- fast_topk ranking (exact top-k SET, enumeration tie order
+    # restored within it; only equal-score ties across the selection
+    # boundary may resolve differently): promote to the headline only
+    # when the whole corpus decodes to the very same transcripts
+    dev_fast = dev.with_options(fast_topk=True)
+    texts_ft, _, ft_tput = _time_device(
+        dev_fast, corpus.logits, audio_total, blank_collapse=True, **kwargs
+    )
+    ft_exact = texts_ft == texts
+    stream_ft_tput = None
+    if bc_exact and ft_exact:
+        stream_ft_tput, stream_ft_dt = _time_stream(
+            dec=dev_fast, blank_collapse=True
+        )
+        if stream_ft_tput > headline_tput:
+            headline_tput, headline_dt = stream_ft_tput, stream_ft_dt
+            headline_config = (
+                "pipelined + length bucketing + blank collapse + fast_topk "
+                "(output-exact on this corpus)"
+            )
 
     baseline_tput = ref_tput if ref_tput else host_tput
     detail = {
@@ -331,12 +359,15 @@ def main() -> None:
         "pipelined_batch_latency_s": round(stream_dt, 4),
         "pipelined_audio_sec_per_s": round(stream_tput, 2),
         "pipelined_collapsed_audio_sec_per_s": round(stream_bc_tput, 2),
+        "fast_topk": {
+            "oneshot_collapsed_audio_sec_per_s": round(ft_tput, 2),
+            "pipelined_collapsed_audio_sec_per_s": (
+                round(stream_ft_tput, 2) if stream_ft_tput else None
+            ),
+            "texts_match_full": ft_exact,
+        },
         "headline_batch_latency_s": round(headline_dt, 4),
-        "headline_config": (
-            "pipelined + length bucketing + blank collapse (output-exact)"
-            if bc_exact
-            else "pipelined + length bucketing (collapse failed exactness)"
-        ),
+        "headline_config": headline_config,
         "backend": jax.devices()[0].platform,
     }
 

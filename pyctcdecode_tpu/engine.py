@@ -492,18 +492,37 @@ def _merge_dense(jnp, keys, valid, logit):
     newest member's index within the block (metadata source, matching the
     reference's newest-wins dict update).
     """
+    import jax
+
     b = keys[0].shape[-1]
     eq = valid[..., :, None] & valid[..., None, :]
     for f in keys:
         eq = eq & (f[..., :, None] == f[..., None, :])
     idx = jnp.arange(b, dtype=jnp.int32)
-    earlier = idx[None, :] < idx[:, None]  # j < i
-    dup = jnp.any(eq & earlier, axis=-1)
-    lj = logit[..., None, :]
-    m = jnp.max(jnp.where(eq, lj, -jnp.inf), axis=-1)
+    lj = jnp.broadcast_to(logit[..., None, :], eq.shape)
+    ij = jnp.broadcast_to(idx, eq.shape)
+    # one variadic reduce computes the group max logit, the newest member
+    # (donor) and the oldest member in a single [.., B, B] sweep — XLA
+    # re-derives the fused eq mask per reduction, so collapsing three
+    # passes into one cuts the merge's VPU work roughly in half. A
+    # second pass (which needs the max first) finishes the logsumexp.
+    m, donor, first = jax.lax.reduce(
+        (
+            jnp.where(eq, lj, -jnp.inf),
+            jnp.where(eq, ij, -1),
+            jnp.where(eq, ij, b),
+        ),
+        (jnp.float32(-jnp.inf), jnp.int32(-1), jnp.int32(b)),
+        lambda acc, x: (
+            jnp.maximum(acc[0], x[0]),
+            jnp.maximum(acc[1], x[1]),
+            jnp.minimum(acc[2], x[2]),
+        ),
+        (eq.ndim - 1,),
+    )
+    dup = first < idx  # an older (j < i) member of my group exists
     tot = jnp.sum(jnp.where(eq, jnp.exp(lj - m[..., None]), 0.0), axis=-1)
     merged = m + jnp.log(tot)
-    donor = jnp.max(jnp.where(eq, idx[None, :], -1), axis=-1)
     return merged, dup, jnp.maximum(donor, 0)
 
 

@@ -251,6 +251,35 @@ class TPUBeamSearchDecoderCTC:
     def language_model(self) -> Optional[LanguageModel]:
         return self._lm
 
+    def with_options(self, **overrides: Any) -> "TPUBeamSearchDecoderCTC":
+        """A decoder sharing this one's device LM tables under different
+        engine options.
+
+        ``overrides`` may set any of ``fast_topk``, ``segment_frames``,
+        ``use_pallas_merge``. Building the device tables is the expensive
+        part of construction (seconds for a production-scale n-gram LM),
+        while the options only select which programs get compiled — so
+        serving setups that want both a parity decoder and a throughput
+        decoder (e.g. ``fast_topk=True``) should derive the second from
+        the first instead of paying the table build twice. The clone
+        starts with an empty compiled-function cache; the original is
+        unchanged.
+        """
+        import copy
+
+        allowed = ("fast_topk", "segment_frames", "use_pallas_merge")
+        bad = sorted(set(overrides) - set(allowed))
+        if bad:
+            raise ValueError(
+                f"unknown engine option(s) {bad}; with_options accepts "
+                f"{list(allowed)}"
+            )
+        clone = copy.copy(self)
+        clone._fn_cache = {}
+        for name, value in overrides.items():
+            setattr(clone, f"_{name}", value)
+        return clone
+
     def reset_params(self, **kwargs: Any) -> None:
         """Re-tune LM fusion knobs in place (no recompilation)."""
         if self._lm is not None:

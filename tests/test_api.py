@@ -106,3 +106,27 @@ class TestEngineOptions(unittest.TestCase):
             build_ctcdecoder(
                 [" ", "a", "b", ""], engine="host", fast_topk=True
             )
+
+    def test_with_options_clone_shares_tables_and_decodes_equal(self):
+        import numpy as np
+
+        from pyctcdecode_tpu import build_ctcdecoder
+
+        dec = build_ctcdecoder([" ", "a", "b", ""], engine="tpu")
+        clone = dec.with_options(fast_topk=True, segment_frames=0)
+        self.assertTrue(clone._fast_topk)
+        self.assertFalse(dec._fast_topk)
+        self.assertIs(clone._tabs, dec._tabs)  # no table rebuild
+        rng = np.random.RandomState(0)
+        logits = rng.randn(40, 4).astype(np.float32) * 3.0
+        self.assertEqual(dec.decode(logits), clone.decode(logits))
+        # compiled programs are per-instance (the options are compile-time
+        # and absent from the cache key, so sharing would alias programs)
+        self.assertIsNot(clone._fn_cache, dec._fn_cache)
+
+    def test_with_options_rejects_unknown_option(self):
+        from pyctcdecode_tpu import build_ctcdecoder
+
+        dec = build_ctcdecoder([" ", "a", "b", ""], engine="tpu")
+        with self.assertRaisesRegex(ValueError, "beam_width"):
+            dec.with_options(beam_width=10)
