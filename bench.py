@@ -42,6 +42,7 @@ pipelined number and ``detail.headline_config`` says so).
 """
 import json
 import os
+import signal
 import sys
 import time
 
@@ -147,6 +148,69 @@ def _cached_arpa(name: str, maker) -> str:
     return path
 
 
+# --- wall-clock budget + crash/timeout-safe emission -----------------------
+#
+# The driver runs this script under a timeout; round 2's run was killed
+# before the single JSON line was printed and the round recorded no number.
+# Measurements therefore land in _RESULT incrementally, phases are ordered
+# most-important-first and gated on the remaining budget, and a SIGTERM /
+# SIGINT emits the best result so far before exiting — a timeout now
+# degrades the measurement instead of erasing it.
+_T0 = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 420))
+_RESULT = {
+    "metric": "decode_throughput",
+    "value": None,
+    "unit": "audio_sec/s/chip",
+    "vs_baseline": None,
+    "detail": {},
+}
+_EMITTED = False
+
+
+def _elapsed() -> float:
+    return time.monotonic() - _T0
+
+
+def _left() -> float:
+    return BUDGET_S - _elapsed()
+
+
+def _note(msg: str) -> None:
+    print(f"[bench {_elapsed():6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _set_headline(tput: float, latency_s: float, config: str,
+                  baseline: float = None) -> None:
+    _RESULT["value"] = round(tput, 2)
+    _RESULT["detail"]["headline_batch_latency_s"] = round(latency_s, 4)
+    _RESULT["detail"]["headline_config"] = config
+    if baseline:
+        _RESULT["vs_baseline"] = round(tput / baseline, 2)
+
+
+def _emit(partial: bool = False) -> None:
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    if partial:
+        _RESULT["detail"]["partial"] = (
+            f"budget/timeout hit at {_elapsed():.0f}s; later phases skipped"
+        )
+    print(json.dumps(_RESULT), flush=True)
+
+
+def _on_term(signum, frame):
+    _note(f"signal {signum}: emitting partial result")
+    _emit(partial=True)
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_term)
+signal.signal(signal.SIGINT, _on_term)
+
+
 def _time_device(dev, batch, audio_sec, reps=3, **kwargs):
     texts = dev.decode_batch(batch, **kwargs)  # compile + warm
     t0 = time.perf_counter()
@@ -189,8 +253,21 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", jax_cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    detail = _RESULT["detail"]
+    detail.update(
+        beam_width=BEAM_WIDTH,
+        k_tokens=K_TOKENS,
+        lm=(
+            f"3-gram, {LM_VOCAB} vocab, ~{LM_BIGRAMS} bigrams + "
+            f"{LM_TRIGRAMS} trigrams"
+        ),
+        backend=jax.devices()[0].platform,
+    )
+
+    # --- setup -------------------------------------------------------------
     alphabet = Alphabet.build_alphabet(LIBRI_LABELS)
     arpa = _cached_arpa("bench_parity_3gram.arpa", _make_parity_arpa)
+    _note("parity ARPA ready")
 
     # one ARPA parse shared by host + device; the same unigram vocabulary
     # goes to every engine, the reference included
@@ -198,6 +275,7 @@ def main() -> None:
     unigrams = [w for w in model.native.vocab_list()
                 if w not in ("<s>", "</s>", "<unk>")]
     lm = LanguageModel(model, unigrams)
+    _note("LM parsed")
 
     # corpora: BATCH distinct utterances over LM vocabulary words
     rng = np.random.RandomState(11)
@@ -206,24 +284,41 @@ def main() -> None:
     corpus = synthesize_corpus(
         LIBRI_LABELS, corpus_vocab, n_utterances=BATCH, **HARD_KW
     )
-    easy = synthesize_corpus(
-        LIBRI_LABELS, corpus_vocab, n_utterances=BATCH, **EASY_KW
-    )
     audio_secs = [m.shape[0] * FRAME_SEC for m in corpus.logits]
     audio_total = sum(audio_secs)
-    easy_total = sum(m.shape[0] * FRAME_SEC for m in easy.logits)
     n_base = min(BASELINE_N, BATCH)
+    detail["corpus"] = {
+        "n_utterances": BATCH,
+        "audio_seconds": round(audio_total, 1),
+        "distinct": True,
+        "difficulty": "dev-other (greedy WER calibrated to ~10%)",
+    }
+    detail["baseline_n"] = n_base
 
     host = BeamSearchDecoderCTC(alphabet, lm)
     dev = TPUBeamSearchDecoderCTC(alphabet, lm)
+    _note("corpus synthesized; decoders built")
 
-    # --- single-core baselines on the first n_base utterances -------------
+    # --- single-core baselines on the first n_base utterances --------------
+    # The host parity engine is a cross-check and the fallback baseline
+    # (1 rep); the REAL baseline is the reference package, credited its
+    # best-of-2 wall time so vs_baseline stays conservative.
     host_texts, host_tput = _time_single_core(
         lambda m: host.decode(m, beam_width=BEAM_WIDTH),
-        corpus.logits[:n_base], audio_secs[:n_base],
+        corpus.logits[:n_base], audio_secs[:n_base], reps=1,
     )
+    baseline_tput = host_tput
+    detail["host_engine_audio_sec_per_s"] = round(host_tput, 2)
+    detail["baseline"] = (
+        "host parity engine, single core (reference unavailable)"
+    )
+    detail["baseline_audio_sec_per_s"] = round(host_tput, 2)
+    detail["corpus"]["wer_host_subset"] = round(
+        word_error_rate(corpus.references[:n_base], host_texts), 4
+    )
+    _note(f"host baseline: {host_tput:.1f} audio_s/s")
 
-    ref_texts = ref_tput = ref_easy_tput = None
+    ref_dec = None
     try:
         import ref_baseline
 
@@ -236,31 +331,89 @@ def main() -> None:
                 lambda m: ref_dec.decode(m, beam_width=BEAM_WIDTH),
                 corpus.logits[:n_base], audio_secs[:n_base],
             )
-            _, ref_easy_tput = _time_single_core(
-                lambda m: ref_dec.decode(m, beam_width=BEAM_WIDTH),
-                easy.logits[:n_base],
-                [m.shape[0] * FRAME_SEC for m in easy.logits[:n_base]],
+            baseline_tput = ref_tput
+            detail["baseline"] = (
+                "reference package, single core, C++ (ctclm) LM backend"
             )
+            detail["baseline_audio_sec_per_s"] = round(ref_tput, 2)
+            detail["reference_matches_host"] = ref_texts == host_texts
+            _note(f"reference baseline: {ref_tput:.1f} audio_s/s")
     except Exception as err:  # keep the bench runnable, but say what broke
         print(f"reference baseline failed: {err!r}", file=sys.stderr)
 
-    # --- device batch decode at the parity config --------------------------
+    # --- device batch decode at the parity config ---------------------------
     kwargs = dict(
         beam_width=BEAM_WIDTH, max_tokens_per_frame=K_TOKENS,
         length_bucketing=True,
     )
     texts, dev_dt, dev_tput = _time_device(
-        dev, corpus.logits, audio_total, **kwargs
+        dev, corpus.logits, audio_total, reps=2, **kwargs
     )
-    easy_texts, _, easy_tput = _time_device(dev, easy.logits, easy_total, **kwargs)
+    detail["oneshot_batch_latency_s"] = round(dev_dt, 4)
+    detail["oneshot_audio_sec_per_s"] = round(dev_tput, 2)
+    detail["device_matches_host"] = texts[:n_base] == host_texts
+    detail["corpus"]["wer_device"] = round(
+        word_error_rate(corpus.references, texts), 4
+    )
+    _set_headline(dev_tput, dev_dt, "oneshot + length bucketing",
+                  baseline_tput)
+    _note(f"device oneshot: {dev_tput:.1f} audio_s/s")
+
+    # --- blank collapse (exactness-preserving at the call's
+    # token_min_logp): real CTC emissions are blank-dominated, so dropping
+    # blank-certain frames multiplies throughput at identical output
+    texts_bc, bc_dt, bc_tput = _time_device(
+        dev, corpus.logits, audio_total, reps=2, blank_collapse=True, **kwargs
+    )
+    bc_exact = texts_bc == texts
+    detail["blank_collapse"] = {
+        "audio_sec_per_s": round(bc_tput, 2),
+        "batch_latency_s": round(bc_dt, 4),
+        "texts_match_full": bc_exact,
+    }
+    if bc_exact:
+        _set_headline(bc_tput, bc_dt,
+                      "oneshot + length bucketing + blank collapse",
+                      baseline_tput)
+    _note(f"blank collapse: {bc_tput:.1f} audio_s/s, exact={bc_exact}")
+
+    # --- fast_topk ranking (exact top-k SET, enumeration tie order
+    # restored within it; only equal-score ties across the selection
+    # boundary may resolve differently): promote to the headline only
+    # when the whole corpus decodes to the very same transcripts. Timed
+    # only when the collapse already proved exact (it can only be promoted
+    # then), and compared against the collapsed transcripts so the flag
+    # isolates the ranking change from the collapse.
+    ft_exact = None
+    dev_fast = None
+    if bc_exact and _left() > 60:
+        dev_fast = dev.with_options(fast_topk=True)
+        texts_ft, ft_dt, ft_tput = _time_device(
+            dev_fast, corpus.logits, audio_total, reps=2,
+            blank_collapse=True, **kwargs
+        )
+        ft_exact = texts_ft == texts_bc
+        detail["fast_topk"] = {
+            "oneshot_collapsed_audio_sec_per_s": round(ft_tput, 2),
+            "texts_match_full": ft_exact,
+        }
+        if ft_exact:
+            _set_headline(
+                ft_tput, ft_dt,
+                "oneshot + length bucketing + blank collapse + fast_topk "
+                "(output-exact on this corpus)",
+                baseline_tput,
+            )
+        _note(f"fast_topk: {ft_tput:.1f} audio_s/s, exact={ft_exact}")
 
     # --- pipelined steady-state throughput (the serving pattern): keep one
     # batch in flight so host prep/post-process and the relay transfers
-    # overlap the device run
-    def _time_stream(n_stream=5, dec=None, **extra):
+    # overlap the device run. Timed once, at the fastest output-exact
+    # combination established above.
+    def _time_stream(n_stream=4, dec=None, **extra):
         dec = dec if dec is not None else dev
         conf = dict(kwargs, top_n=1, **extra)
-        for out in dec.decode_beams_batches([corpus.logits] * 2, **conf):
+        for out in dec.decode_beams_batches([corpus.logits], **conf):
             pass  # warm every bucket's executable
         stream = dec.decode_beams_batches([corpus.logits] * n_stream, **conf)
         next(stream)  # spin-up: first batch has nothing to overlap with
@@ -270,118 +423,57 @@ def main() -> None:
         dt = (time.perf_counter() - t0) / (n_stream - 1)
         return audio_total / dt, dt
 
-    stream_tput, stream_dt = _time_stream()
-
-    # --- blank collapse (exactness-preserving at the call's
-    # token_min_logp): real CTC emissions are blank-dominated, so dropping
-    # blank-certain frames multiplies throughput at identical output
-    texts_bc, bc_dt, bc_tput = _time_device(
-        dev, corpus.logits, audio_total, blank_collapse=True, **kwargs
-    )
-    bc_exact = texts_bc == texts
-    # headline = the full serving configuration (pipelined + bucketed +
-    # collapsed) — but only while the collapse provably changed nothing
-    stream_bc_tput, stream_bc_dt = _time_stream(blank_collapse=True)
-    if bc_exact:
-        headline_tput, headline_dt = stream_bc_tput, stream_bc_dt
-        headline_config = (
-            "pipelined + length bucketing + blank collapse (output-exact)"
-        )
-    else:  # fall back to the plain pipelined number
-        headline_tput, headline_dt = stream_tput, stream_dt
-        headline_config = (
-            "pipelined + length bucketing (collapse failed exactness)"
-        )
-
-    # --- fast_topk ranking (exact top-k SET, enumeration tie order
-    # restored within it; only equal-score ties across the selection
-    # boundary may resolve differently): promote to the headline only
-    # when the whole corpus decodes to the very same transcripts
-    dev_fast = dev.with_options(fast_topk=True)
-    texts_ft, _, ft_tput = _time_device(
-        dev_fast, corpus.logits, audio_total, blank_collapse=True, **kwargs
-    )
-    ft_exact = texts_ft == texts
-    stream_ft_tput = None
-    if bc_exact and ft_exact:
-        stream_ft_tput, stream_ft_dt = _time_stream(
-            dec=dev_fast, blank_collapse=True
-        )
-        if stream_ft_tput > headline_tput:
-            headline_tput, headline_dt = stream_ft_tput, stream_ft_dt
-            headline_config = (
-                "pipelined + length bucketing + blank collapse + fast_topk "
-                "(output-exact on this corpus)"
+    if _left() > 45:
+        combo = {"blank_collapse": bc_exact}
+        combo_dec = dev_fast if (ft_exact and dev_fast is not None) else dev
+        combo_name = "length bucketing"
+        if bc_exact:
+            combo_name += " + blank collapse"
+        if combo_dec is dev_fast:
+            combo_name += " + fast_topk"
+        stream_tput, stream_dt = _time_stream(dec=combo_dec, **combo)
+        detail["pipelined_audio_sec_per_s"] = round(stream_tput, 2)
+        detail["pipelined_batch_latency_s"] = round(stream_dt, 4)
+        if stream_tput > (_RESULT["value"] or 0.0):
+            _set_headline(
+                stream_tput, stream_dt,
+                f"pipelined + {combo_name} (output-exact)", baseline_tput,
             )
+        _note(f"pipelined {combo_name}: {stream_tput:.1f} audio_s/s")
 
-    baseline_tput = ref_tput if ref_tput else host_tput
-    detail = {
-        "baseline": (
-            "reference package, single core, C++ (ctclm) LM backend"
-            if ref_tput
-            else "host parity engine, single core (reference unavailable)"
-        ),
-        "baseline_audio_sec_per_s": round(baseline_tput, 2),
-        "host_engine_audio_sec_per_s": round(host_tput, 2),
-        "reference_matches_host": (
-            ref_texts == host_texts if ref_texts is not None else None
-        ),
-        "device_matches_host": texts[:n_base] == host_texts,
-        "blank_collapse": {
-            "audio_sec_per_s": round(bc_tput, 2),
-            "batch_latency_s": round(bc_dt, 4),
-            "texts_match_full": bc_exact,
-        },
-        "corpus": {
-            "n_utterances": BATCH,
-            "audio_seconds": round(audio_total, 1),
-            "distinct": True,
-            "difficulty": "dev-other (greedy WER calibrated to ~10%)",
-            "wer_device": round(word_error_rate(corpus.references, texts), 4),
-            "wer_host_subset": round(
-                word_error_rate(corpus.references[:n_base], host_texts), 4
-            ),
-        },
-        "easy_corpus": {
+    # --- optional extras, budget permitting ---------------------------------
+    if _left() > 90:
+        # data-dependence shown both ways: a corpus calibrated to the easy
+        # libri fixture (1.1 tokens/frame admitted)
+        easy = synthesize_corpus(
+            LIBRI_LABELS, corpus_vocab, n_utterances=BATCH, **EASY_KW
+        )
+        easy_total = sum(m.shape[0] * FRAME_SEC for m in easy.logits)
+        easy_texts, _, easy_tput = _time_device(
+            dev, easy.logits, easy_total, reps=1, **kwargs
+        )
+        detail["easy_corpus"] = {
             "difficulty": "libri fixture (1.1 tokens/frame admitted)",
             "device_audio_sec_per_s": round(easy_tput, 2),
-            "reference_audio_sec_per_s": (
-                round(ref_easy_tput, 2) if ref_easy_tput else None
+            "wer_device": round(
+                word_error_rate(easy.references, easy_texts), 4
             ),
-            "wer_device": round(word_error_rate(easy.references, easy_texts), 4),
-        },
-        "beam_width": BEAM_WIDTH,
-        "k_tokens": K_TOKENS,
-        "baseline_n": n_base,
-        "lm": f"3-gram, {LM_VOCAB} vocab, ~{LM_BIGRAMS} bigrams + {LM_TRIGRAMS} trigrams",
-        "oneshot_batch_latency_s": round(dev_dt, 4),
-        "oneshot_audio_sec_per_s": round(dev_tput, 2),
-        "pipelined_batch_latency_s": round(stream_dt, 4),
-        "pipelined_audio_sec_per_s": round(stream_tput, 2),
-        "pipelined_collapsed_audio_sec_per_s": round(stream_bc_tput, 2),
-        "fast_topk": {
-            "oneshot_collapsed_audio_sec_per_s": round(ft_tput, 2),
-            "pipelined_collapsed_audio_sec_per_s": (
-                round(stream_ft_tput, 2) if stream_ft_tput else None
-            ),
-            "texts_match_full": ft_exact,
-        },
-        "headline_batch_latency_s": round(headline_dt, 4),
-        "headline_config": headline_config,
-        "backend": jax.devices()[0].platform,
-    }
+        }
+        _note(f"easy corpus device: {easy_tput:.1f} audio_s/s")
+        if ref_dec is not None and _left() > 30:
+            _, ref_easy_tput = _time_single_core(
+                lambda m: ref_dec.decode(m, beam_width=BEAM_WIDTH),
+                easy.logits[:n_base],
+                [m.shape[0] * FRAME_SEC for m in easy.logits[:n_base]],
+                reps=1,
+            )
+            detail["easy_corpus"]["reference_audio_sec_per_s"] = round(
+                ref_easy_tput, 2
+            )
+            _note(f"easy corpus reference: {ref_easy_tput:.1f} audio_s/s")
 
-    print(
-        json.dumps(
-            {
-                "metric": "decode_throughput",
-                "value": round(headline_tput, 2),
-                "unit": "audio_sec/s/chip",
-                "vs_baseline": round(headline_tput / baseline_tput, 2),
-                "detail": detail,
-            }
-        )
-    )
+    _note("done")
+    _emit()
 
 
 if __name__ == "__main__":

@@ -512,7 +512,9 @@ def _merge_dense(jnp, keys, valid, logit):
             jnp.where(eq, ij, -1),
             jnp.where(eq, ij, b),
         ),
-        (jnp.float32(-jnp.inf), jnp.int32(-1), jnp.int32(b)),
+        # init dtypes must match the operands exactly (variadic reduce does
+        # not promote): take the logit lane's dtype from the input
+        (jnp.array(-jnp.inf, logit.dtype), jnp.int32(-1), jnp.int32(b)),
         lambda acc, x: (
             jnp.maximum(acc[0], x[0]),
             jnp.maximum(acc[1], x[1]),

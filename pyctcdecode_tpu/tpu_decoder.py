@@ -263,9 +263,14 @@ class TPUBeamSearchDecoderCTC:
         decoder (e.g. ``fast_topk=True``) should derive the second from
         the first instead of paying the table build twice. The clone
         starts with an empty compiled-function cache; the original is
-        unchanged.
+        unchanged — including its LM fusion knobs: the clone gets its own
+        copies of the ``LanguageModel`` wrappers (the heavy n-gram model
+        and device tables stay shared), so ``reset_params`` on one
+        decoder never retunes the other.
         """
         import copy
+
+        from .models.language_model import MultiLanguageModel
 
         allowed = ("fast_topk", "segment_frames", "use_pallas_merge")
         bad = sorted(set(overrides) - set(allowed))
@@ -276,6 +281,18 @@ class TPUBeamSearchDecoderCTC:
             )
         clone = copy.copy(self)
         clone._fn_cache = {}
+        # per-clone knob containers: alpha/beta/unk/boundary live on the
+        # LanguageModel wrappers and are read per decode call, so sharing
+        # the wrapper objects would let reset_params on either decoder
+        # silently retune both (the knobs are traced scalars — copying the
+        # wrappers costs nothing and never recompiles)
+        if self._lm is not None:
+            clone._lm_members = [copy.copy(m) for m in self._lm_members]
+            if isinstance(self._lm, MultiLanguageModel):
+                clone._lm = copy.copy(self._lm)
+                clone._lm._language_models = list(clone._lm_members)
+            else:
+                clone._lm = clone._lm_members[0]
         for name, value in overrides.items():
             setattr(clone, f"_{name}", value)
         return clone

@@ -124,6 +124,51 @@ class TestEngineOptions(unittest.TestCase):
         # and absent from the cache key, so sharing would alias programs)
         self.assertIsNot(clone._fn_cache, dec._fn_cache)
 
+    def test_with_options_clone_has_independent_lm_knobs(self):
+        import tempfile
+        import textwrap
+
+        import numpy as np
+
+        from pyctcdecode_tpu import build_ctcdecoder
+
+        tiny = textwrap.dedent(
+            """\
+            \\data\\
+            ngram 1=5
+
+            \\1-grams:
+            -10\t<unk>\t0
+            -2\t<s>\t-0.5
+            -2\t</s>\t0
+            -1.0\tab\t-0.4
+            -1.2\tba\t-0.4
+
+            \\end\\
+            """
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            arpa = os.path.join(tmp, "tiny.arpa")
+            with open(arpa, "w") as fh:
+                fh.write(tiny)
+            dec = build_ctcdecoder(
+                [" ", "a", "b", ""], kenlm_model_path=arpa, engine="tpu"
+            )
+            clone = dec.with_options(fast_topk=True)
+            # heavy pieces stay shared; knob containers do not
+            self.assertIs(clone._tabs, dec._tabs)
+            self.assertIsNot(clone._lm, dec._lm)
+            clone.reset_params(alpha=0.123)
+            self.assertEqual(clone._lm_members[0].alpha, 0.123)
+            self.assertNotEqual(dec._lm_members[0].alpha, 0.123)
+            dec.reset_params(alpha=0.9)
+            self.assertEqual(clone._lm_members[0].alpha, 0.123)
+            # both decoders still decode (knobs ride as traced scalars)
+            rng = np.random.RandomState(0)
+            logits = rng.randn(20, 4).astype(np.float32) * 3.0
+            dec.decode(logits)
+            clone.decode(logits)
+
     def test_with_options_rejects_unknown_option(self):
         from pyctcdecode_tpu import build_ctcdecoder
 
