@@ -492,39 +492,44 @@ def _merge_dense(jnp, keys, valid, logit):
     newest member's index within the block (metadata source, matching the
     reference's newest-wins dict update).
     """
-    import jax
-
     b = keys[0].shape[-1]
+    lead = keys[0].shape[:-1]
     eq = valid[..., :, None] & valid[..., None, :]
     for f in keys:
         eq = eq & (f[..., :, None] == f[..., None, :])
+    # Flatten every leading dim (token columns x whatever vmap adds) into
+    # the reduction's sublane axis: reductions over [.., K, B, B] tempt
+    # XLA into laying the output out with the small K axis on the
+    # 128-wide lane dimension (measured: K=8 leaves 94% of the lanes
+    # idle and the merge fusion runs ~11x slower than the K=4 layout
+    # that keeps a big axis minor-most). [K*B, B] keeps the lane axis
+    # >= 128 wide for any K. The reshapes are metadata-only.
+    eq2 = eq.reshape((-1, b) if not lead else lead[:-1] + (lead[-1] * b, b))
     idx = jnp.arange(b, dtype=jnp.int32)
-    lj = jnp.broadcast_to(logit[..., None, :], eq.shape)
-    ij = jnp.broadcast_to(idx, eq.shape)
-    # one variadic reduce computes the group max logit, the newest member
-    # (donor) and the oldest member in a single [.., B, B] sweep — XLA
-    # re-derives the fused eq mask per reduction, so collapsing three
-    # passes into one cuts the merge's VPU work roughly in half. A
-    # second pass (which needs the max first) finishes the logsumexp.
-    m, donor, first = jax.lax.reduce(
-        (
-            jnp.where(eq, lj, -jnp.inf),
-            jnp.where(eq, ij, -1),
-            jnp.where(eq, ij, b),
-        ),
-        # init dtypes must match the operands exactly (variadic reduce does
-        # not promote): take the logit lane's dtype from the input
-        (jnp.array(-jnp.inf, logit.dtype), jnp.int32(-1), jnp.int32(b)),
-        lambda acc, x: (
-            jnp.maximum(acc[0], x[0]),
-            jnp.maximum(acc[1], x[1]),
-            jnp.minimum(acc[2], x[2]),
-        ),
-        (eq.ndim - 1,),
-    )
+    lj = jnp.broadcast_to(logit[..., None, :], eq.shape).reshape(eq2.shape)
+    ij = jnp.broadcast_to(idx, eq.shape).reshape(eq2.shape)
+    # four independent masked reductions over the flattened mask: group
+    # max logit, newest member (donor), oldest member (first), exp-sum.
+    # Two lowering rules learned from per-op profiles on v5e:
+    # * a single variadic jax.lax.reduce computing the tuple at once
+    #   looks cheaper but lowers to a ~9x slower tuple-reduction fusion
+    #   (the round-2 "fold into one variadic pass" change was a 3x
+    #   end-to-end regression, deliberately reverted);
+    # * INTEGER max/min reduces over the mask lower to ~3x slower
+    #   fusions than float select+reduce (14 ms vs 4.2 ms per frame at
+    #   batch 168, B=100, K=8), so the index reductions run in f32 —
+    #   exact for any index below 2^24 — and cast back.
+    fj = ij.astype(jnp.float32)
+    m = jnp.max(jnp.where(eq2, lj, -jnp.inf), axis=-1)
+    donor_f = jnp.max(jnp.where(eq2, fj, -1.0), axis=-1)
+    first_f = jnp.min(jnp.where(eq2, fj, float(b)), axis=-1)
+    tot = jnp.sum(jnp.where(eq2, jnp.exp(lj - m[..., None]), 0.0), axis=-1)
+    out_shape = lead + (b,)
+    m = m.reshape(out_shape)
+    donor = donor_f.astype(jnp.int32).reshape(out_shape)
+    first = first_f.astype(jnp.int32).reshape(out_shape)
+    merged = m + jnp.log(tot).reshape(out_shape)
     dup = first < idx  # an older (j < i) member of my group exists
-    tot = jnp.sum(jnp.where(eq, jnp.exp(lj - m[..., None]), 0.0), axis=-1)
-    merged = m + jnp.log(tot)
     return merged, dup, jnp.maximum(donor, 0)
 
 
@@ -957,13 +962,23 @@ def _make_step(
                 if pscore is not None
                 else _flatten(fused_n)
             )
+            # Materialize the [K, B] transposes before the merge: the
+            # barrier stops XLA from folding the transpose into the merge
+            # reductions as a bitcast-layout, which would leave the
+            # reduced beam axis strided (k-minor layout) and run the
+            # [K, B, B] sweeps ~10x slower than with the beam axis on
+            # the 128-wide lanes (measured 14 ms vs 1 ms per frame at
+            # batch 168, B=100, K=8).
+            kl_t, kh_t, valid_t, logit_t = jax.lax.optimization_barrier(
+                (to_kb(kl), to_kb(kh), to_kb(valid), to_kb(logit_n))
+            )
             merged, dup, donor = _merge_dense(
-                jnp, [to_kb(kl), to_kb(kh)], to_kb(valid), to_kb(logit_n)
+                jnp, [kl_t, kh_t], valid_t, logit_t
             )
             src_flat = (
                 jnp.arange(k, dtype=jnp.int32)[:, None] * b + donor
             ).reshape(c)
-            rep = (to_kb(valid) & ~dup).reshape(c)
+            rep = (valid_t & ~dup).reshape(c)
             merged_c = merged.reshape(c)  # group logsumexp at EVERY member
             merged_flat = jnp.where(rep, merged_c, DEAD)
             live = merged_flat > DEAD_THRESH
