@@ -105,6 +105,16 @@ class EngineConfig:
     # kills, commits, LM probe hit rates) in the carried state; off by
     # default so the hot program is unchanged. See stats_fields().
     collect_stats: bool = False
+    # decode host-built token timelines (utils.logits.token_timeline):
+    # each step processes one K-wide CHUNK of a frame's exactly-admitted
+    # token set against a carried candidate pool, promoting the pool to
+    # the beam set on the frame's last chunk. Output-exact for ANY
+    # k_tokens (admission is exact by construction; merges are confined
+    # to one applied-token column so chunks never split a merge group,
+    # and iterated top-B over pool ∪ chunk equals the frame's top-B) —
+    # k_tokens becomes a pure throughput knob sized to the MEAN admitted
+    # count instead of the batch-worst frame.
+    token_timeline: bool = False
 
     @property
     def lm_orders(self) -> Tuple[int, ...]:
@@ -361,6 +371,20 @@ def _init_state(jnp, cfg: EngineConfig, start):
     if cfg.use_hotwords:
         state["h_node"] = i32()
         state["h_bits"] = i32()  # packed hot entry (min-completion + terminal)
+    if cfg.token_timeline:
+        # carried candidate pool: the running top-B of the current frame's
+        # merged candidates across its token chunks (see _make_step)
+        iota = jnp.arange(b, dtype=jnp.int32)
+        state["pool_score"] = jnp.full((b,), DEAD, dtype=jnp.float32)
+        state["pool_logit"] = jnp.full((b,), DEAD, dtype=jnp.float32)
+        state["pool_rank"] = i32()
+        state["pool_pf"] = iota  # first-member parent (transition replay)
+        state["pool_pd"] = iota  # newest-member parent (backtrace donor)
+        state["pool_tok"] = jnp.full((b,), -1, dtype=jnp.int32)
+        for i in range(cfg.n_lms):
+            state[f"pool_ent{i}"] = i32()  # packed trie entry of the cand
+        if cfg.use_hotwords:
+            state["pool_h"] = i32()
     if cfg.collect_stats:
         state["stats"] = jnp.zeros(
             (len(stats_fields(cfg)),), dtype=jnp.int32
@@ -724,24 +748,48 @@ def _make_step(
             "decode statistics require the default merge path "
             "(collect_stats=True with use_pallas_merge=True is unsupported)"
         )
+    tl = cfg.token_timeline
+    if tl and (cfg.use_pallas_merge or cfg.collect_stats):
+        raise ValueError(
+            "token_timeline decoding supports neither use_pallas_merge "
+            "nor collect_stats"
+        )
 
     def _flatten(x):
         """[B, K, ...] -> [K*B, ...] in token-major order (ref enumeration)."""
         return jnp.swapaxes(x, 0, 1).reshape((c,) + x.shape[2:])
 
     def step(state, xs):
-        """One frame: expand -> merge -> fuse -> prune -> top-k."""
-        logp_row, t = xs
-        active = t < n_frames
-        if k < v:
-            _, toks = jax.lax.top_k(logp_row, k)
-            toks = jnp.sort(toks).astype(jnp.int32)
-            tok_logp = logp_row[toks]
+        """One frame: expand -> merge -> fuse -> prune -> top-k.
+
+        Timeline mode (cfg.token_timeline): one step is one K-wide token
+        CHUNK of a frame (utils.logits.token_timeline). The step expands
+        the (frozen) beam set with the chunk's tokens, merges in-chunk,
+        pools the merged candidates with the carried top-B pool, and on
+        the frame's last chunk promotes the pooled top-B to the new beam
+        set (window prune applied there, over the whole frame's best).
+        Non-final steps emit identity backpointers with token -3 (a
+        carry marker the path replay skips), so the per-step backtrace
+        chain composes unchanged.
+        """
+        if tl:
+            toks_in, tok_logp, fin_i, chunk_base, t = xs
+            active = t < n_frames
+            is_final = fin_i != 0
+            admit = toks_in >= 0
+            toks = jnp.maximum(toks_in, 0).astype(jnp.int32)
         else:
-            toks = jnp.arange(v, dtype=jnp.int32)
-            tok_logp = logp_row
-        argmax_tok = jnp.argmax(logp_row).astype(jnp.int32)
-        admit = (tok_logp >= prm["token_min_logp"]) | (toks == argmax_tok)
+            logp_row, t = xs
+            active = t < n_frames
+            if k < v:
+                _, toks = jax.lax.top_k(logp_row, k)
+                toks = jnp.sort(toks).astype(jnp.int32)
+                tok_logp = logp_row[toks]
+            else:
+                toks = jnp.arange(v, dtype=jnp.int32)
+                tok_logp = logp_row
+            argmax_tok = jnp.argmax(logp_row).astype(jnp.int32)
+            admit = (tok_logp >= prm["token_min_logp"]) | (toks == argmax_tok)
 
         tok_kind = tok_dev["kind"][toks]
         blank = tok_kind == KIND_BLANK
@@ -983,67 +1031,150 @@ def _make_step(
             merged_flat = jnp.where(rep, merged_c, DEAD)
             live = merged_flat > DEAD_THRESH
             lm_score_flat = jnp.where(live, merged_flat + extra, DEAD)
-            mx = jnp.max(lm_score_flat)
-            sc = jnp.where(
-                lm_score_flat >= mx + prm["beam_prune_logp"], lm_score_flat, DEAD
-            )
+            if not tl:
+                mx = jnp.max(lm_score_flat)
+                sc = jnp.where(
+                    lm_score_flat >= mx + prm["beam_prune_logp"],
+                    lm_score_flat,
+                    DEAD,
+                )
 
-        # ---- top-k on scores only; everything positional (donor index,
-        # merged logit, token id, state fields) rides one-hot MXU
-        # selections instead of row gathers. The operand matrices are the
-        # step's main HBM traffic, so the C-wide select carries ONLY truly
-        # per-candidate fields (narrowed to their live chunk widths);
-        # two-way carried-vs-committed fields (ring, ctx) ride a B-wide
-        # parent select — 16x fewer rows — resolved by the winner's own
-        # boundary flag.
-        if cfg.fast_topk:
-            top_scores, top_idx = jax.lax.approx_max_k(
-                sc, cfg.beam_width, recall_target=1.0
+        if tl:
+            # ---- pool ∪ chunk ranking. The window prune moves to the
+            # frame's LAST chunk (its max is only known then; the pooled
+            # top-1 IS the frame max since pooling is exact top-B).
+            # Ranking key = (score desc, frame-local enumeration rank asc)
+            # — the same total order lax.top_k induces on the unchunked
+            # flat candidate vector, so tie-breaks match the reference's
+            # enumeration-order stability exactly.
+            iota_b = jnp.arange(b, dtype=jnp.int32)
+            rank_flat = chunk_base * b + jnp.arange(c, dtype=jnp.int32)
+            comb_score = jnp.concatenate([state["pool_score"], lm_score_flat])
+            comb_rank = jnp.concatenate([state["pool_rank"], rank_flat])
+            neg, top_rank_all, top_src_all = jax.lax.sort(
+                (
+                    -comb_score,
+                    comb_rank,
+                    jnp.arange(b + c, dtype=jnp.int32),
+                ),
+                num_keys=2,
             )
-            top_idx = top_idx.astype(jnp.int32)
-            # restore the reference's enumeration tie order among the
-            # selected set (a 100-element two-key sort is ~free); only
-            # exact-score ties ACROSS the selection boundary remain
-            # approximate — see EngineConfig.fast_topk
-            _, top_idx, top_scores = jax.lax.sort(
-                (-top_scores, top_idx, top_scores), num_keys=2
+            top_scores = -neg[:b]
+            top_rank = top_rank_all[:b]
+            top_src = top_src_all[:b]
+            win = top_scores[0] + prm["beam_prune_logp"]
+            top_scores = jnp.where(
+                is_final & (top_scores < win), DEAD, top_scores
             )
+            cand = {
+                "_pf": jnp.concatenate(
+                    [state["pool_pf"], jnp.tile(iota_b, k)]
+                ),
+                "_pd": jnp.concatenate(
+                    [state["pool_pd"], (src_flat % b).astype(jnp.int32)]
+                ),
+                "_tok": jnp.concatenate(
+                    [state["pool_tok"], jnp.repeat(toks, b)]
+                ),
+                "_logit": jnp.concatenate([state["pool_logit"], merged_c]),
+            }
+            chunks = {
+                "_pf": 1 if b <= 0xFF else 2,
+                "_pd": 1 if b <= 0xFF else 2,
+                "_tok": 2 if v <= 0xFFFF else 4,
+            }
+            for i in range(n_lms):
+                cand[f"_ent{i}"] = jnp.concatenate(
+                    [state[f"pool_ent{i}"], _flatten(p_entry_n[i])]
+                )
+            if cfg.use_hotwords:
+                cand["_h"] = jnp.concatenate(
+                    [state["pool_h"], _flatten(h_entry_n)]
+                )
+            sel = _select_fields_mxu(jnp, cand, top_src, b + c, n_chunks=chunks)
+            top_parent = sel.pop("_pf")
+            parent_trace = sel.pop("_pd")
+            sel_tok = sel.pop("_tok")
+            top_logit = sel.pop("_logit")
+            sel_alive = top_scores > DEAD_THRESH
+            parent = parent_trace
+            new_state = {}
+            pool_new = {
+                "pool_score": jnp.where(is_final, DEAD, top_scores),
+                "pool_logit": jnp.where(is_final, DEAD, top_logit),
+                "pool_rank": jnp.where(is_final, 0, top_rank),
+                "pool_pf": jnp.where(is_final, iota_b, top_parent),
+                "pool_pd": jnp.where(is_final, iota_b, parent_trace),
+                "pool_tok": jnp.where(is_final, -1, sel_tok),
+            }
+            for i in range(n_lms):
+                ent = sel.pop(f"_ent{i}")
+                pool_new[f"pool_ent{i}"] = jnp.where(is_final, 0, ent)
+                new_state[f"p_node{i}"] = ent & _NODE_MASK
+                new_state[f"p_flags{i}"] = ent & ~_NODE_MASK
+            if cfg.use_hotwords:
+                h_ent = sel.pop("_h")
+                pool_new["pool_h"] = jnp.where(is_final, 0, h_ent)
+                new_state["h_node"] = h_ent & HOT_NODE_MASK
+                new_state["h_bits"] = h_ent & ~HOT_NODE_MASK
         else:
-            top_scores, top_idx = jax.lax.top_k(sc, cfg.beam_width)
-        # Only quantities that depend on the merge GROUP (the donor index
-        # and the group logsumexp) or on the trie walk ride the C-wide
-        # select. Every other state field is a deterministic function of
-        # (parent beam, token), so it is re-derived for the B winners from
-        # a B-wide parent select — 16x fewer operand rows, and the
-        # transition replay below is pure [B]-width arithmetic.
-        tok_col = top_idx // b  # winner's token column
-        top_parent = (top_idx % b).astype(jnp.int32)
-        cand = {
-            "_src": src_flat,
-            "_logit": merged_c,  # every member carries the group logsumexp
-        }
-        chunks = {"_src": 2 if c <= 0xFFFF else 4}
-        for i in range(n_lms):
-            cand[f"_ent{i}"] = _flatten(p_entry_n[i])
-        if cfg.use_hotwords:
-            cand["_h"] = _flatten(h_entry_n)
-        sel = _select_fields_mxu(
-            jnp, cand, top_parent, b, n_chunks=chunks,
-            token_factor=(tok_col, k, b),
-        )
-        src = sel.pop("_src")
-        top_logit = sel.pop("_logit")
-        sel_alive = top_scores > DEAD_THRESH
-        parent = (src % b).astype(jnp.int32)  # newest-wins, backtrace only
-        new_state = {}
-        for i in range(n_lms):
-            ent = sel.pop(f"_ent{i}")
-            new_state[f"p_node{i}"] = ent & _NODE_MASK
-            new_state[f"p_flags{i}"] = ent & ~_NODE_MASK
-        if cfg.use_hotwords:
-            h_ent = sel.pop("_h")
-            new_state["h_node"] = h_ent & HOT_NODE_MASK
-            new_state["h_bits"] = h_ent & ~HOT_NODE_MASK
+            # ---- top-k on scores only; everything positional (donor
+            # index, merged logit, token id, state fields) rides one-hot
+            # MXU selections instead of row gathers. The operand matrices
+            # are the step's main HBM traffic, so the C-wide select
+            # carries ONLY truly per-candidate fields (narrowed to their
+            # live chunk widths); two-way carried-vs-committed fields
+            # (ring, ctx) ride a B-wide parent select — 16x fewer rows —
+            # resolved by the winner's own boundary flag.
+            if cfg.fast_topk:
+                top_scores, top_idx = jax.lax.approx_max_k(
+                    sc, cfg.beam_width, recall_target=1.0
+                )
+                top_idx = top_idx.astype(jnp.int32)
+                # restore the reference's enumeration tie order among the
+                # selected set (a 100-element two-key sort is ~free); only
+                # exact-score ties ACROSS the selection boundary remain
+                # approximate — see EngineConfig.fast_topk
+                _, top_idx, top_scores = jax.lax.sort(
+                    (-top_scores, top_idx, top_scores), num_keys=2
+                )
+            else:
+                top_scores, top_idx = jax.lax.top_k(sc, cfg.beam_width)
+            # Only quantities that depend on the merge GROUP (the donor
+            # index and the group logsumexp) or on the trie walk ride the
+            # C-wide select. Every other state field is a deterministic
+            # function of (parent beam, token), so it is re-derived for
+            # the B winners from a B-wide parent select — 16x fewer
+            # operand rows, and the transition replay below is pure
+            # [B]-width arithmetic.
+            tok_col = top_idx // b  # winner's token column
+            top_parent = (top_idx % b).astype(jnp.int32)
+            cand = {
+                "_src": src_flat,
+                "_logit": merged_c,  # every member carries the group logsumexp
+            }
+            chunks = {"_src": 2 if c <= 0xFFFF else 4}
+            for i in range(n_lms):
+                cand[f"_ent{i}"] = _flatten(p_entry_n[i])
+            if cfg.use_hotwords:
+                cand["_h"] = _flatten(h_entry_n)
+            sel = _select_fields_mxu(
+                jnp, cand, top_parent, b, n_chunks=chunks,
+                token_factor=(tok_col, k, b),
+            )
+            src = sel.pop("_src")
+            top_logit = sel.pop("_logit")
+            sel_alive = top_scores > DEAD_THRESH
+            parent = (src % b).astype(jnp.int32)  # newest-wins, backtrace only
+            new_state = {}
+            for i in range(n_lms):
+                ent = sel.pop(f"_ent{i}")
+                new_state[f"p_node{i}"] = ent & _NODE_MASK
+                new_state[f"p_flags{i}"] = ent & ~_NODE_MASK
+            if cfg.use_hotwords:
+                h_ent = sel.pop("_h")
+                new_state["h_node"] = h_ent & HOT_NODE_MASK
+                new_state["h_bits"] = h_ent & ~HOT_NODE_MASK
         beam_fields = {
             "c_text_lo": state["text_lo"],
             "m_text_lo": cm["text_lo"],
@@ -1082,25 +1213,50 @@ def _make_step(
         # (parent, token) pair the top-ranked group member came from).
         # All per-token quantities resolve through one shared one-hot mask
         # (_token_cols) — tab[tok_col] gathers were over half the step.
-        tcols = _token_cols(
-            jnp,
-            {
-                "tok": toks,
-                "blank": blank,
-                "boundary": boundary_kind,
-                "right": tok_right,
-                "seed_lo": seed_lo_k,
-                "seed_hi": seed_hi_k,
-                "plen": tok_plen,
-                "rlen": tok_rlen,
-                **{
-                    f"cid{l}": tok_dev["raw_chars"][toks, l]
-                    for l in range(lmax)
+        if tl:
+            # winners may carry tokens from EARLIER chunks of the frame
+            # (pool entries), so token planes resolve by full-vocab token
+            # id, not by this chunk's column index
+            kind_v = tok_dev["kind"]
+            tcols = _token_cols(
+                jnp,
+                {
+                    "tok": jnp.arange(v, dtype=jnp.int32),
+                    "blank": kind_v == KIND_BLANK,
+                    "boundary": kind_v == KIND_BOUNDARY,
+                    "right": tok_dev["right_bound"],
+                    "seed_lo": tok_dev["seed_lo"],
+                    "seed_hi": tok_dev["seed_hi"],
+                    "plen": tok_dev["piece_len"],
+                    "rlen": tok_dev["raw_len"],
+                    **{
+                        f"cid{l}": tok_dev["raw_chars"][:, l]
+                        for l in range(lmax)
+                    },
                 },
-            },
-            tok_col,
-            k,
-        )
+                jnp.maximum(sel_tok, 0),
+                v,
+            )
+        else:
+            tcols = _token_cols(
+                jnp,
+                {
+                    "tok": toks,
+                    "blank": blank,
+                    "boundary": boundary_kind,
+                    "right": tok_right,
+                    "seed_lo": seed_lo_k,
+                    "seed_hi": seed_hi_k,
+                    "plen": tok_plen,
+                    "rlen": tok_rlen,
+                    **{
+                        f"cid{l}": tok_dev["raw_chars"][toks, l]
+                        for l in range(lmax)
+                    },
+                },
+                tok_col,
+                k,
+            )
         tok_w = tcols["tok"]
         stay_w = tcols["blank"] | (bsel["c_last"] == tok_w)
         if cfg.is_bpe:
@@ -1207,6 +1363,25 @@ def _make_step(
                             )
                     counts.append(h)
             new_state["stats"] = state["stats"] + jnp.stack(counts)
+
+        if tl:
+            # beam lanes advance only on the frame's LAST chunk; the pool
+            # lanes advance every active step. Non-final steps emit
+            # identity backpointers with token -3 (carry marker): the
+            # backtrace chain composes through them unchanged and the
+            # host path replay skips them.
+            promote = active & is_final
+            iota_b = jnp.arange(b, dtype=jnp.int32)
+            out_state = {}
+            for key, old in state.items():
+                if key.startswith("pool_"):
+                    out_state[key] = jnp.where(active, pool_new[key], old)
+                else:
+                    out_state[key] = jnp.where(promote, new_state[key], old)
+            parent = jnp.where(promote, parent, iota_b)
+            token_sel = jnp.where(promote, token_sel, -3)
+            token_sel = jnp.where(active, token_sel, -1)
+            return out_state, (parent, token_sel)
 
         # inactive (padded) frames pass state through untouched
         out_state = jax.tree_util.tree_map(
@@ -1405,13 +1580,24 @@ def make_decode_fn(
     meta = build_table_meta(device_lms, shard)
 
     def decode(logp, n_frames, params, start, tabs, hot=None):
-        """Full-utterance decode: scan all frames, then finalize."""
+        """Full-utterance decode: scan all frames, then finalize.
+
+        With ``cfg.token_timeline``, ``logp`` is the host-built timeline
+        tuple ``(toks [Tv,K] i32, tlogp [Tv,K] f32, is_final [Tv] i32,
+        chunk_base [Tv] i32)`` and ``n_frames`` counts VIRTUAL steps.
+        """
         tok_dev, devs = _merge_tables(tabs, meta)
         prm = _params_dict(cfg, params)
         state0 = _init_state(jnp, cfg, start)
         step = _make_step(jnp, cfg, tok_dev, devs, hot, prm, n_frames)
-        t_idx = jnp.arange(logp.shape[0], dtype=jnp.int32)
-        final_state, (parents, trace) = jax.lax.scan(step, state0, (logp, t_idx))
+        if cfg.token_timeline:
+            toks_t, tlogp_t, fin_t, cbase_t = logp
+            t_idx = jnp.arange(toks_t.shape[0], dtype=jnp.int32)
+            xs = (toks_t, tlogp_t, fin_t, cbase_t, t_idx)
+        else:
+            t_idx = jnp.arange(logp.shape[0], dtype=jnp.int32)
+            xs = (logp, t_idx)
+        final_state, (parents, trace) = jax.lax.scan(step, state0, xs)
         fin = _finalize(
             jnp, cfg, devs, hot, prm, final_state, jnp.bool_(True), jnp.bool_(True)
         )
@@ -1506,13 +1692,23 @@ def make_segment_decode_fns(
         return _init_state(jnp, cfg, start)
 
     def seg_fn(state, logp_seg, t0, n_frames, params, tabs, hot=None):
-        """Advance the beam state through ``seg_frames`` unrolled frames."""
+        """Advance the beam state through ``seg_frames`` unrolled frames.
+
+        With ``cfg.token_timeline`` the per-segment input is the timeline
+        slice ``(toks [S,K] i32, tlogp [S,K] f32, is_final [S] i32,
+        chunk_base [S] i32)`` and ``n_frames`` counts virtual steps.
+        """
         tok_dev, devs = _merge_tables(tabs, meta)
         prm = _params_dict(cfg, params)
         step = _make_step(jnp, cfg, tok_dev, devs, hot, prm, n_frames)
         parents, trace = [], []
         for i in range(seg_frames):
-            state, (par, tok) = step(state, (logp_seg[i], t0 + i))
+            if cfg.token_timeline:
+                toks_t, tlogp_t, fin_t, cbase_t = logp_seg
+                xs = (toks_t[i], tlogp_t[i], fin_t[i], cbase_t[i], t0 + i)
+            else:
+                xs = (logp_seg[i], t0 + i)
+            state, (par, tok) = step(state, xs)
             parents.append(par)
             trace.append(tok)
         return state, jnp.stack(parents), jnp.stack(trace)

@@ -311,6 +311,7 @@ class TPUBeamSearchDecoderCTC:
         use_hotwords: bool,
         emit_paths: Optional[int] = None,
         collect_stats: bool = False,
+        token_timeline: bool = False,
     ) -> EngineConfig:
         orders = tuple(m.order for m in self._lm_members)
         return EngineConfig(
@@ -324,9 +325,10 @@ class TPUBeamSearchDecoderCTC:
             use_hotwords=use_hotwords,
             orders=orders,
             emit_paths=emit_paths,
-            use_pallas_merge=self._use_pallas_merge,
+            use_pallas_merge=self._use_pallas_merge and not token_timeline,
             collect_stats=collect_stats,
             fast_topk=self._fast_topk,
+            token_timeline=token_timeline,
         )
 
     def _get_fn(
@@ -339,18 +341,19 @@ class TPUBeamSearchDecoderCTC:
         use_hotwords: bool = False,
         emit_paths: Optional[int] = None,
         collect_stats: bool = False,
+        token_timeline: bool = False,
     ):
         import jax
 
         key = (
             t_pad, beam_width, k, prune_history, batch, use_hotwords,
-            emit_paths, collect_stats,
+            emit_paths, collect_stats, token_timeline,
         )
         fn = self._fn_cache.get(key)
         if fn is None:
             cfg = self._engine_cfg(
                 beam_width, k, prune_history, use_hotwords, emit_paths,
-                collect_stats,
+                collect_stats, token_timeline,
             )
             raw = make_decode_fn(cfg, self._tokens, self._device_lm)
             if batch > 1:
@@ -382,18 +385,19 @@ class TPUBeamSearchDecoderCTC:
         use_hotwords: bool,
         emit_paths: Optional[int],
         collect_stats: bool = False,
+        token_timeline: bool = False,
     ):
         import jax
 
         key = (
             "seg", seg_frames, beam_width, k, prune_history, batch,
-            use_hotwords, emit_paths, collect_stats,
+            use_hotwords, emit_paths, collect_stats, token_timeline,
         )
         fns = self._fn_cache.get(key)
         if fns is None:
             cfg = self._engine_cfg(
                 beam_width, k, prune_history, use_hotwords, emit_paths,
-                collect_stats,
+                collect_stats, token_timeline,
             )
             init_fn, seg_fn, fin_fn = make_segment_decode_fns(
                 cfg, self._tokens, self._device_lm, seg_frames
@@ -951,6 +955,7 @@ class TPUBeamSearchDecoderCTC:
         collect_stats: bool = False,
         blank_collapse: bool = False,
         length_bucketing: bool = False,
+        token_chunking: Optional[int] = None,
     ) -> "object":
         """Vectorized batch decode: one fused device program per batch.
 
@@ -992,6 +997,7 @@ class TPUBeamSearchDecoderCTC:
             top_n=top_n,
             collect_stats=collect_stats,
             blank_collapse=blank_collapse,
+            token_chunking=token_chunking,
         )
         handles = self._launch_batch(logits_list, dispatch_kw, length_bucketing)
         return self._collect_bucketed(handles, len(logits_list), collect_stats)
@@ -1131,6 +1137,7 @@ class TPUBeamSearchDecoderCTC:
         top_n: Optional[int],
         collect_stats: bool = False,
         blank_collapse: bool = False,
+        token_chunking: Optional[int] = None,
         precollapsed: Optional[
             Tuple[List[np.ndarray], List[np.ndarray], List[float]]
         ] = None,
@@ -1163,6 +1170,14 @@ class TPUBeamSearchDecoderCTC:
         elif blank_collapse:
             collapsed, frame_ids_list, offsets = self._collapse_all(
                 logits_list, token_min_logp
+            )
+        if token_chunking is not None:
+            return self._dispatch_timeline(
+                logits_list, collapsed, frame_ids_list, offsets, hot, weight,
+                beam_width=beam_width, beam_prune_logp=beam_prune_logp,
+                token_min_logp=token_min_logp, prune_history=prune_history,
+                k_chunk=int(token_chunking), batch_pad=batch_pad,
+                top_n=top_n, collect_stats=collect_stats,
             )
         lens = [m.shape[0] for m in (collapsed if collapsed is not None
                                      else logits_list)]
@@ -1228,6 +1243,104 @@ class TPUBeamSearchDecoderCTC:
             handle["stats_names"] = stats_fields(cfg)
         return handle
 
+    def _dispatch_timeline(
+        self,
+        logits_list: Sequence[np.ndarray],
+        collapsed: Optional[List[np.ndarray]],
+        frame_ids_list: Optional[List[np.ndarray]],
+        offsets: Optional[List[float]],
+        hot,
+        weight: float,
+        *,
+        beam_width: int,
+        beam_prune_logp: float,
+        token_min_logp: float,
+        prune_history: bool,
+        k_chunk: int,
+        batch_pad: int,
+        top_n: Optional[int],
+        collect_stats: bool = False,
+    ) -> Dict[str, Any]:
+        """Launch one batch through the token-timeline engine.
+
+        The host splits every frame's exactly-admitted token set into
+        ``k_chunk``-wide chunks (:func:`~pyctcdecode_tpu.utils.logits.
+        token_timeline`); the device scans the chunk timeline with a
+        carried candidate pool, so per-step work is priced to the MEAN
+        admitted count, not the batch-worst frame — output-exact for any
+        ``k_chunk``.
+        """
+        from .utils.logits import token_timeline
+
+        if collect_stats:
+            raise ValueError(
+                "collect_stats is not supported with token_chunking"
+            )
+        jnp = self._jnp
+        n = len(logits_list)
+        n_pad = ((n + batch_pad - 1) // batch_pad) * batch_pad
+        mats = (
+            collapsed
+            if collapsed is not None
+            else [normalize_host(np.asarray(m)) for m in logits_list]
+        )
+        tls = [token_timeline(m, token_min_logp, k_chunk) for m in mats]
+        vlens = [t[0].shape[0] for t in tls]
+        t_pad = _bucket(max(max(vlens), 1))
+        seg = self._segment_frames_effective()
+        if seg:
+            t_pad = ((t_pad + seg - 1) // seg) * seg
+        toks = np.full((n_pad, t_pad, k_chunk), -1, dtype=np.int32)
+        tlogp = np.zeros((n_pad, t_pad, k_chunk), dtype=np.float32)
+        fin = np.zeros((n_pad, t_pad), dtype=np.int32)
+        cbase = np.zeros((n_pad, t_pad), dtype=np.int32)
+        out_frame_ids: List[np.ndarray] = []
+        for i, (tk, tp, fi, cb, fids) in enumerate(tls):
+            tv = tk.shape[0]
+            toks[i, :tv] = tk
+            tlogp[i, :tv] = tp
+            fin[i, :tv] = fi
+            cbase[i, :tv] = cb
+            if frame_ids_list is not None:
+                out_frame_ids.append(np.asarray(frame_ids_list[i])[fids])
+            else:
+                out_frame_ids.append(fids.astype(np.int64))
+        n_frames = np.zeros(n_pad, dtype=np.int32)
+        n_frames[:n] = vlens
+        emit_paths = min(top_n, beam_width) if top_n is not None else None
+        params = self._params_vector(token_min_logp, beam_prune_logp, weight)
+        start = self._start_ctx(None)
+        timeline = (toks, tlogp, fin, cbase)
+        if seg:
+            out = self._run_segmented(
+                seg, timeline, n_frames, params, start, hot,
+                beam_width=beam_width, k=k_chunk,
+                prune_history=prune_history, emit_paths=emit_paths,
+                token_timeline=True,
+            )
+        else:
+            fn = self._get_fn(
+                t_pad, beam_width, k_chunk, prune_history, batch=n_pad,
+                use_hotwords=hot is not None, emit_paths=emit_paths,
+                token_timeline=True,
+            )
+            out = fn(
+                tuple(jnp.asarray(a) for a in timeline),
+                jnp.asarray(n_frames),
+                jnp.asarray(params),
+                start,
+                self._tabs,
+                hot,
+            )
+        return {
+            "out": dict(out),
+            "lens": vlens,
+            "n": n,
+            "top_n": top_n,
+            "frame_ids": out_frame_ids,
+            "offsets": offsets,
+        }
+
     def _run_segmented(
         self,
         seg: int,
@@ -1241,6 +1354,7 @@ class TPUBeamSearchDecoderCTC:
         prune_history: bool,
         emit_paths: Optional[int],
         collect_stats: bool = False,
+        token_timeline: bool = False,
     ):
         """Drive one batch through host-dispatched unrolled segments.
 
@@ -1252,20 +1366,30 @@ class TPUBeamSearchDecoderCTC:
         back-to-back while the host races ahead issuing them.
         """
         jnp = self._jnp
-        n_pad, t_pad, _ = logp.shape
+        if token_timeline:
+            n_pad, t_pad = logp[2].shape  # (toks, tlogp, fin, cbase)
+        else:
+            n_pad, t_pad, _ = logp.shape
         init_fn, seg_fn, fin_fn = self._get_segment_fns(
             seg, beam_width, k, prune_history, n_pad,
             use_hotwords=hot is not None, emit_paths=emit_paths,
-            collect_stats=collect_stats,
+            collect_stats=collect_stats, token_timeline=token_timeline,
         )
         state = init_fn(start)
         nf = jnp.asarray(n_frames)
         prm = jnp.asarray(params)
         parents, trace = [], []
         for s in range(t_pad // seg):
+            sl = slice(s * seg, (s + 1) * seg)
+            if token_timeline:
+                seg_in = tuple(
+                    jnp.asarray(np.ascontiguousarray(a[:, sl])) for a in logp
+                )
+            else:
+                seg_in = jnp.asarray(np.ascontiguousarray(logp[:, sl]))
             state, par, tok = seg_fn(
                 state,
-                jnp.asarray(np.ascontiguousarray(logp[:, s * seg:(s + 1) * seg])),
+                seg_in,
                 np.int32(s * seg),
                 nf,
                 prm,
@@ -1347,6 +1471,7 @@ class TPUBeamSearchDecoderCTC:
             top_n=kwargs.pop("top_n", None),
             collect_stats=False,
             blank_collapse=kwargs.pop("blank_collapse", False),
+            token_chunking=kwargs.pop("token_chunking", None),
         )
         bucketing = kwargs.pop("length_bucketing", False)
         if kwargs:
@@ -1373,6 +1498,7 @@ class TPUBeamSearchDecoderCTC:
         max_tokens_per_frame: Optional[Union[int, str]] = None,
         blank_collapse: bool = False,
         length_bucketing: bool = False,
+        token_chunking: Optional[int] = None,
     ) -> List[str]:
         """Batch top-1 transcripts (leading pool argument accepted, unused)."""
         logits_list = self._without_pool_arg(logits_list, _pool_compat)
@@ -1388,6 +1514,7 @@ class TPUBeamSearchDecoderCTC:
             top_n=1,
             blank_collapse=blank_collapse,
             length_bucketing=length_bucketing,
+            token_chunking=token_chunking,
         )
         return [b[0].text if b else "" for b in beams]
 

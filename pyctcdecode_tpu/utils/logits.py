@@ -75,6 +75,67 @@ def blank_collapse(
     return keep_idx, dropped_sum
 
 
+def token_timeline(
+    logp: np.ndarray, token_min_logp: float, k_chunk: int
+) -> tuple:
+    """Split each frame's exactly-admitted token set into K-wide chunks.
+
+    The decoder admits token ``v`` at frame ``t`` when ``logp[t, v] >=
+    token_min_logp`` OR ``v`` is the frame's argmax (ref decoder.py:
+    444-445). Dense engines pay a static per-frame token width K sized to
+    the WORST frame of the batch, while the mean admitted count on real
+    CTC emissions is 2-6; this builder turns each frame into
+    ``ceil(admitted / k_chunk)`` *virtual frames* of exactly the admitted
+    token ids, in ascending-id order (the reference's enumeration order).
+    The engine processes virtual frames with a carried candidate pool and
+    promotes the pool to the new beam set on each frame's last chunk —
+    output-exact, because candidate merges are confined to one applied-
+    token column (so chunks never split a merge group) and an iterated
+    top-B over ``pool ∪ chunk`` equals the top-B of the frame's full
+    candidate set.
+
+    Returns ``(toks [Tv, K] int32 (-1 padded), tlogp [Tv, K] f32,
+    is_final [Tv] bool, chunk_base [Tv] int32 (admitted tokens before the
+    chunk), frame_ids [Tv] int32 (owning original frame))``.
+    """
+    t, v = logp.shape
+    k_chunk = int(k_chunk)
+    if t == 0:
+        z = np.zeros((0, k_chunk), dtype=np.int32)
+        return (z, z.astype(np.float32), np.zeros(0, bool),
+                np.zeros(0, np.int32), np.zeros(0, np.int32))
+    admit = logp >= token_min_logp
+    admit[np.arange(t), logp.argmax(axis=1)] = True
+    flat = np.flatnonzero(admit)  # sorted by (frame, token id)
+    frame_of = flat // v
+    counts = admit.sum(axis=1)  # >= 1 per frame
+    # position of each admitted token within its frame
+    starts = np.zeros(t, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    pos = np.arange(flat.size) - starts[frame_of]
+    chunk_of = pos // k_chunk  # chunk index within the frame
+    chunks_per_frame = -(-counts // k_chunk)
+    tv = int(chunks_per_frame.sum())
+    # virtual step of each admitted token
+    vstarts = np.zeros(t, dtype=np.int64)
+    np.cumsum(chunks_per_frame[:-1], out=vstarts[1:])
+    vstep = vstarts[frame_of] + chunk_of
+    slot = pos - chunk_of * k_chunk
+    toks = np.full((tv, k_chunk), -1, dtype=np.int32)
+    tlogp = np.zeros((tv, k_chunk), dtype=np.float32)
+    toks[vstep, slot] = (flat % v).astype(np.int32)
+    tlogp[vstep, slot] = logp[frame_of, flat % v]
+    frame_ids = np.zeros(tv, dtype=np.int32)
+    frame_ids[vstarts] = 1
+    frame_ids = np.cumsum(frame_ids) - 1
+    is_final = np.zeros(tv, dtype=bool)
+    is_final[vstarts + chunks_per_frame - 1] = True
+    chunk_base = (
+        (np.arange(tv) - vstarts[frame_ids]) * k_chunk
+    ).astype(np.int32)
+    return toks, tlogp, is_final, chunk_base.astype(np.int32), frame_ids
+
+
 def normalize_to_logp_jnp(logits: "object", assume: str = "auto") -> "object":
     """jnp twin of :func:`normalize_to_logp`.
 
