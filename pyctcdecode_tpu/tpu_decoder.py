@@ -1035,20 +1035,24 @@ class TPUBeamSearchDecoderCTC:
     def _dispatch_bucketed(
         self,
         logits_list: Sequence[np.ndarray],
-        groups: Dict[int, List[int]],
+        groups: List[List[int]],
         dispatch_kw: Dict[str, Any],
         pre: Optional[Tuple[List[np.ndarray], List[np.ndarray], List[float]]] = None,
     ) -> List[Tuple[List[int], Optional[Dict[str, Any]]]]:
-        """Launch one async program per frame bucket; nothing is collected.
+        """Launch one async program per length group; nothing is collected.
 
         ``pre`` carries batch-level blank-collapse output (collapsed
         log-probs, kept-frame ids, score offsets); each group receives its
-        slice so the collapse isn't recomputed per bucket.
+        slice so the collapse isn't recomputed per bucket. Every group is
+        padded to the SAME row count (the largest group's, rounded to the
+        batch_pad grid) so all groups reuse one segment program.
         """
         handles = []
-        for t_pad in sorted(groups):
-            idx = groups[t_pad]
-            kw = dict(dispatch_kw)
+        size = max(len(idx) for idx in groups)
+        pad = max(int(dispatch_kw.get("batch_pad", 8)), 1)
+        shared_pad = ((size + pad - 1) // pad) * pad
+        for idx in groups:
+            kw = dict(dispatch_kw, batch_pad=shared_pad)
             if pre is not None:
                 kw["precollapsed"] = (
                     [pre[0][i] for i in idx],
@@ -1083,26 +1087,28 @@ class TPUBeamSearchDecoderCTC:
             return results, stats
         return results
 
-    def _decode_bucketed(
-        self,
-        logits_list: Sequence[np.ndarray],
-        groups: Dict[int, List[int]],
-        dispatch_kw: Dict[str, Any],
-        pre: Optional[Tuple[List[np.ndarray], List[np.ndarray], List[float]]] = None,
-    ) -> "object":
-        """Per-frame-bucket dispatch (all launched async), input order out."""
-        handles = self._dispatch_bucketed(logits_list, groups, dispatch_kw, pre)
-        return self._collect_bucketed(
-            handles, len(logits_list), dispatch_kw["collect_stats"]
-        )
-
     @staticmethod
-    def _length_groups(logits_list: Sequence[np.ndarray]) -> Dict[int, List[int]]:
-        """Utterance indices grouped by padded-frame bucket."""
-        groups: Dict[int, List[int]] = {}
-        for i, mat in enumerate(logits_list):
-            groups.setdefault(_bucket(max(mat.shape[0], 1)), []).append(i)
-        return groups
+    def _length_groups(
+        logits_list: Sequence[np.ndarray], target_rows: int = 384
+    ) -> List[List[int]]:
+        """Balanced length bucketing: equal-COUNT groups of sorted lengths.
+
+        Equal group sizes mean every group pads to the same row count, so
+        all groups share ONE compiled segment program (segment programs
+        depend on the row count but not the frame count; only the cheap
+        finalize program is per-frame-bucket). Grouping by padded frame
+        bucket instead (the previous scheme) produced one row count per
+        bucket — five separate 30-60 s segment compiles per batch at the
+        bench shapes — plus tiny straggler buckets with poor device
+        utilization. ``target_rows`` is the per-program row sweet spot
+        (measured ~350-700 on v5e at the parity config).
+        """
+        lens = [max(m.shape[0], 1) for m in logits_list]
+        order = sorted(range(len(lens)), key=lens.__getitem__)
+        n = len(lens)
+        n_groups = max(1, -(-n // target_rows))
+        size = -(-n // n_groups)
+        return [order[i : i + size] for i in range(0, n, size)]
 
     def _collapse_all(
         self, logits_list: Sequence[np.ndarray], token_min_logp: float
