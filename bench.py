@@ -66,10 +66,11 @@ BEAM_WIDTH = 100
 # 768 splits into buckets near that operating point
 BATCH = int(os.environ.get("BENCH_BATCH", 768))
 # exact token-timeline decoding: each frame's exactly-admitted token set,
-# chunked 4 wide (engine.EngineConfig.token_timeline) — prices per-step
+# chunked 6 wide (engine.EngineConfig.token_timeline) — prices per-step
 # work to the MEAN admitted count (~2.5 here) instead of the batch-worst
-# frame (auto-K picked 24 on this corpus)
-TOKEN_CHUNK = int(os.environ.get("BENCH_TOKEN_CHUNK", 4))
+# frame (auto-K picked 24 on this corpus). 6 measured best: ~92% of
+# frames fit one chunk, vs 4's cheaper steps x more of them.
+TOKEN_CHUNK = int(os.environ.get("BENCH_TOKEN_CHUNK", 6))
 BASELINE_N = int(os.environ.get("BENCH_BASELINE_N", 64))
 SAMPLE = "/root/reference/pyctcdecode/tests/sample_data/libri_logits.json"
 LIBRI_LABELS = [" "] + list("abcdefghijklmnopqrstuvwxyz") + ["'"] + [""]
@@ -287,6 +288,7 @@ def main() -> None:
     alphabet = Alphabet.build_alphabet(LIBRI_LABELS)
     arpa = _cached_arpa("bench_parity_3gram.arpa", _make_parity_arpa)
     _note("parity ARPA ready")
+    _note(f"budget {BUDGET_S:.0f}s, batch {BATCH}, chunk {TOKEN_CHUNK}")
 
     # one ARPA parse shared by host + device; the same unigram vocabulary
     # goes to every engine, the reference included
@@ -335,9 +337,10 @@ def main() -> None:
     }
     detail["baseline_n"] = n_base
 
+    _note("corpus ready")
     host = BeamSearchDecoderCTC(alphabet, lm)
     dev = TPUBeamSearchDecoderCTC(alphabet, lm)
-    _note("corpus synthesized; decoders built")
+    _note("decoders built (device LM tables uploaded)")
 
     # --- single-core baselines on the first n_base utterances --------------
     # The host parity engine is a cross-check and the fallback baseline
@@ -382,31 +385,30 @@ def main() -> None:
         print(f"reference baseline failed: {err!r}", file=sys.stderr)
 
     # --- device batch decode: the serving configuration first -------------
-    # (length bucketing + blank collapse, exact auto-K). Exactness is
-    # checked against the host parity oracle on the baseline subset — the
-    # strongest available in-run check (stronger than device-vs-device),
-    # so the uncollapsed decode is a budget-gated extra, not a gate.
+    # (token-timeline chunking + balanced length bucketing — exact
+    # admission by construction). Exactness is checked against the host
+    # parity oracle on the baseline subset — the strongest available
+    # in-run check. Blank collapse is a budget-gated extra here: with
+    # chunking, blank-certain frames already cost a single cheap step, so
+    # collapse buys ~nothing (measured slightly negative) on this path.
     kwargs = dict(
         beam_width=BEAM_WIDTH, token_chunking=TOKEN_CHUNK,
         length_bucketing=True,
     )
     texts_bc, bc_dt, bc_tput = _time_device(
-        dev, corpus.logits, audio_total, reps=2, blank_collapse=True, **kwargs
+        dev, corpus.logits, audio_total, reps=2, **kwargs
     )
     bc_exact = texts_bc[:n_base] == host_texts
     detail["device_matches_host"] = bc_exact
     detail["corpus"]["wer_device"] = round(
         word_error_rate(corpus.references, texts_bc), 4
     )
-    detail["blank_collapse"] = {
-        "audio_sec_per_s": round(bc_tput, 2),
-        "batch_latency_s": round(bc_dt, 4),
-        "matches_host_subset": bc_exact,
-    }
+    detail["oneshot_audio_sec_per_s"] = round(bc_tput, 2)
+    detail["oneshot_batch_latency_s"] = round(bc_dt, 4)
     _set_headline(bc_tput, bc_dt,
-                  "oneshot + length bucketing + blank collapse",
+                  "oneshot + token chunking + balanced bucketing",
                   baseline_tput)
-    _note(f"collapsed+bucketed: {bc_tput:.1f} audio_s/s, host-exact={bc_exact}")
+    _note(f"chunked+bucketed: {bc_tput:.1f} audio_s/s, host-exact={bc_exact}")
 
     # --- pipelined steady-state throughput (the serving pattern): keep one
     # batch in flight so host prep/post-process and the relay transfers
@@ -425,13 +427,14 @@ def main() -> None:
         return audio_total / dt, dt
 
     if _left() > 30:
-        stream_tput, stream_dt = _time_stream(blank_collapse=True)
+        stream_tput, stream_dt = _time_stream()
         detail["pipelined_audio_sec_per_s"] = round(stream_tput, 2)
         detail["pipelined_batch_latency_s"] = round(stream_dt, 4)
         if stream_tput > (_RESULT["value"] or 0.0):
             _set_headline(
                 stream_tput, stream_dt,
-                "pipelined + length bucketing + blank collapse",
+                "pipelined + token chunking + balanced bucketing "
+                "(output-exact)",
                 baseline_tput,
             )
         _note(f"pipelined: {stream_tput:.1f} audio_s/s")
@@ -475,16 +478,19 @@ def main() -> None:
                 _note(f"pipelined fast_topk: {stream_tput:.1f} audio_s/s")
         _note(f"fast_topk: {ft_tput:.1f} audio_s/s, exact={ft_exact}")
 
-    # --- uncollapsed one-shot (the collapse's speed contribution, and a
-    # second exactness angle: collapse vs plain decode on device)
+    # --- blank-collapse variant (a second exactness angle: collapse vs
+    # plain decode on device; with chunking the speed delta is ~0)
     if _left() > 120:
         texts, dev_dt, dev_tput = _time_device(
-            dev, corpus.logits, audio_total, reps=1, **kwargs
+            dev, corpus.logits, audio_total, reps=1, blank_collapse=True,
+            **kwargs
         )
-        detail["oneshot_batch_latency_s"] = round(dev_dt, 4)
-        detail["oneshot_audio_sec_per_s"] = round(dev_tput, 2)
-        detail["blank_collapse"]["texts_match_full"] = texts == texts_bc
-        _note(f"uncollapsed oneshot: {dev_tput:.1f} audio_s/s, "
+        detail["blank_collapse"] = {
+            "audio_sec_per_s": round(dev_tput, 2),
+            "batch_latency_s": round(dev_dt, 4),
+            "texts_match_full": texts == texts_bc,
+        }
+        _note(f"collapsed oneshot: {dev_tput:.1f} audio_s/s, "
               f"collapse-exact={texts == texts_bc}")
 
     # --- optional extras, budget permitting ---------------------------------
