@@ -71,6 +71,10 @@ BATCH = int(os.environ.get("BENCH_BATCH", 768))
 # frame (auto-K picked 24 on this corpus). 6 measured best: ~92% of
 # frames fit one chunk, vs 4's cheaper steps x more of them.
 TOKEN_CHUNK = int(os.environ.get("BENCH_TOKEN_CHUNK", 6))
+# the reference package's recorded UNLOADED single-core rate on this
+# corpus difficulty (BASELINE.md round-2 measurement); the in-run
+# baseline is credited at least this much — see the baseline phase
+REF_PINNED_FLOOR = float(os.environ.get("BENCH_REF_FLOOR", 91.0))
 BASELINE_N = int(os.environ.get("BENCH_BASELINE_N", 64))
 SAMPLE = "/root/reference/pyctcdecode/tests/sample_data/libri_logits.json"
 LIBRI_LABELS = [" "] + list("abcdefghijklmnopqrstuvwxyz") + ["'"] + [""]
@@ -374,13 +378,23 @@ def main() -> None:
                 lambda m: ref_dec.decode(m, beam_width=BEAM_WIDTH),
                 corpus.logits[:n_base], audio_secs[:n_base],
             )
-            baseline_tput = ref_tput
+            # Host-load noise only ever SLOWS the in-run measurement (the
+            # true single-core rate is the unloaded one), which would
+            # inflate vs_baseline on a busy host. Credit the baseline at
+            # least its recorded unloaded rate (BASELINE.md, measured
+            # round 2: ~91 audio-s/s at dev-other difficulty) so the
+            # ratio stays conservative and stable across runs.
+            baseline_tput = max(ref_tput, REF_PINNED_FLOOR)
             detail["baseline"] = (
-                "reference package, single core, C++ (ctclm) LM backend"
+                "reference package, single core, C++ (ctclm) LM backend; "
+                f"credited >= {REF_PINNED_FLOOR} audio_s/s (recorded "
+                "unloaded rate) when the in-run measurement is slower"
             )
-            detail["baseline_audio_sec_per_s"] = round(ref_tput, 2)
+            detail["baseline_audio_sec_per_s"] = round(baseline_tput, 2)
+            detail["baseline_measured_audio_sec_per_s"] = round(ref_tput, 2)
             detail["reference_matches_host"] = ref_texts == host_texts
-            _note(f"reference baseline: {ref_tput:.1f} audio_s/s")
+            _note(f"reference baseline: {ref_tput:.1f} audio_s/s "
+                  f"(credited {baseline_tput:.1f})")
     except Exception as err:  # keep the bench runnable, but say what broke
         print(f"reference baseline failed: {err!r}", file=sys.stderr)
 
@@ -413,7 +427,7 @@ def main() -> None:
     # --- pipelined steady-state throughput (the serving pattern): keep one
     # batch in flight so host prep/post-process and the relay transfers
     # overlap the device run. Reuses the executables compiled above.
-    def _time_stream(n_stream=4, dec=None, **extra):
+    def _time_stream(n_stream=5, dec=None, **extra):
         dec = dec if dec is not None else dev
         conf = dict(kwargs, top_n=1, **extra)
         for out in dec.decode_beams_batches([corpus.logits], **conf):

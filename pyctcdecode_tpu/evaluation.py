@@ -136,7 +136,12 @@ def synthesize_corpus(
     return Corpus(references=refs, logits=mats, labels=list(labels))
 
 
-_DEVICE_ONLY_KWARGS = ("max_tokens_per_frame",)
+_DEVICE_ONLY_KWARGS = (
+    "max_tokens_per_frame",
+    "blank_collapse",
+    "length_bucketing",
+    "token_chunking",
+)
 
 
 def _decode_all(decoder, corpus: Corpus, beam_width: int, **kwargs) -> List[str]:

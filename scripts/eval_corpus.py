@@ -119,9 +119,17 @@ def main() -> None:
         help="drop blank-certain frames (device engine only; exactness-"
         "preserving at the decode token_min_logp)",
     )
+    ap.add_argument(
+        "--token-chunking", type=int, default=None, dest="token_chunking",
+        metavar="K",
+        help="token-timeline decoding with K-wide chunks (device engine "
+        "only; exact admission — the serving configuration)",
+    )
     args = ap.parse_args()
     if args.blank_collapse and args.engine != "device":
         ap.error("--blank-collapse requires --engine device")
+    if args.token_chunking and args.engine not in ("device", "both"):
+        ap.error("--token-chunking requires the device engine")
 
     if args.cpu:
         import jax
@@ -159,6 +167,8 @@ def main() -> None:
             kwargs["max_tokens_per_frame"] = args.k
         if args.blank_collapse:
             kwargs["blank_collapse"] = True
+        if args.token_chunking:
+            kwargs["token_chunking"] = args.token_chunking
         build = dict(alpha=args.alpha, beta=args.beta)
         if args.engine == "both":
             host = build_ctcdecoder(LIBRI_LABELS, arpa, engine="host", **build)
