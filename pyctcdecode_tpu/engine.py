@@ -1676,16 +1676,25 @@ def make_segment_decode_fns(
     * ``init_fn(start) -> state`` — fresh beam state (broadcast over the
       batch by the caller's vmap).
     * ``seg_fn(state, logp_seg [C,V], t0, n_frames, params, tabs, hot) ->
-      (state', parents [C,B], trace [C,B])`` — ``C = seg_frames`` unrolled
-      frames starting at absolute frame ``t0``.
-    * ``fin_fn(state, params, tabs, parents [T,B], trace [T,B], hot) ->
-      out`` — ranking + (``cfg.emit_paths``) on-device backtrace, same
-      output pytree as :func:`make_decode_fn`'s ``decode``.
+      (state', ptrace [C,B])`` — ``C = seg_frames`` unrolled frames
+      starting at absolute frame ``t0``. ``ptrace`` packs each step's
+      (parent, token) emission into one int32 (``parent | (token+4)<<16``)
+      when the beam width and vocabulary fit — the backpointer log is the
+      segment chain's dominant HBM write volume (~300 MB per parity-config
+      batch unpacked), so halving it is a direct bandwidth saving. Falls
+      back to a ``(parents, trace)`` tuple for huge vocabularies.
+    * ``fin_fn(state, params, tabs, ptrace, hot) -> out`` — ranking +
+      (``cfg.emit_paths``) on-device backtrace, same output pytree as
+      :func:`make_decode_fn`'s ``decode`` (``out["ptrace"]`` replaces
+      ``parents``/``trace`` when packed).
     """
     import jax
     import jax.numpy as jnp
 
     meta = build_table_meta(device_lms)
+    # token emissions reach -3 (timeline carry marker); +4 keeps them
+    # non-negative. The sum stays within int32 for vocab <= 32760.
+    pack = cfg.beam_width <= 0xFFFF and cfg.vocab_size + 8 <= 0x7FFF
 
     def init_fn(start):
         """Fresh beam state for one utterance."""
@@ -1711,9 +1720,14 @@ def make_segment_decode_fns(
             state, (par, tok) = step(state, xs)
             parents.append(par)
             trace.append(tok)
-        return state, jnp.stack(parents), jnp.stack(trace)
+        if pack:
+            packed = [
+                p | ((t + 4) << 16) for p, t in zip(parents, trace)
+            ]
+            return state, jnp.stack(packed)
+        return state, (jnp.stack(parents), jnp.stack(trace))
 
-    def fin_fn(state, params, tabs, parents, trace, hot=None):
+    def fin_fn(state, params, tabs, ptrace, hot=None):
         """Rank final hypotheses and backtrace the emitted paths."""
         _, devs = _merge_tables(tabs, meta)
         prm = _params_dict(cfg, params)
@@ -1727,24 +1741,34 @@ def make_segment_decode_fns(
                 "lm_score": fin["score"],
                 "ctx": fin["ctx"],
                 "ctx_len": fin["ctx_len"],
-                "parents": parents,
-                "trace": trace,
             }
+            if pack:
+                out["ptrace"] = ptrace  # host unpacks: halves the transfer
+            else:
+                out["parents"], out["trace"] = ptrace
             if cfg.collect_stats:
                 out["stats"] = state["stats"]
             return out
         r = cfg.emit_paths
 
-        def back(cur, xs):
-            """One reverse step: follow parents, emit chosen tokens."""
-            par_t, tok_t = xs
-            return par_t[cur], tok_t[cur]
+        if pack:
+            def back(cur, packed_t):
+                """One reverse step on the packed log (unpack per element)."""
+                entry = packed_t[cur]
+                return entry & 0xFFFF, (entry >> 16) - 4
+
+            xs = ptrace
+        else:
+            def back(cur, xs_t):
+                """One reverse step: follow parents, emit chosen tokens."""
+                par_t, tok_t = xs_t
+                return par_t[cur], tok_t[cur]
+
+            xs = ptrace
 
         # reverse=True: forward-ordered paths with no materialized reverse
         # (see make_decode_fn; [::-1] miscompiles at some batch shapes)
-        _, toks = jax.lax.scan(
-            back, fin["src"][:r], (parents, trace), reverse=True
-        )
+        _, toks = jax.lax.scan(back, fin["src"][:r], xs, reverse=True)
         out = {
             "beam_src": fin["src"][:r],
             "logit": fin["logit"][:r],

@@ -415,7 +415,7 @@ class TPUBeamSearchDecoderCTC:
                 jax.jit(
                     jax.vmap(seg_fn, in_axes=(0, 0, None, 0, None, None, None))
                 ),
-                jax.jit(jax.vmap(fin_fn, in_axes=(0, None, None, 0, 0, None))),
+                jax.jit(jax.vmap(fin_fn, in_axes=(0, None, None, 0, None))),
             )
             self._fn_cache[key] = fns
         return fns
@@ -759,8 +759,13 @@ class TPUBeamSearchDecoderCTC:
                 n_live += 1
             toks_all = paths[:n_live].T
         else:
-            parents = np.asarray(out["parents"])  # [Tp, B]
-            trace = np.asarray(out["trace"])  # [Tp, B]
+            if "ptrace" in out:
+                packed = np.asarray(out["ptrace"])  # [Tp, B] parent|tok<<16
+                parents = packed & 0xFFFF
+                trace = (packed >> 16) - 4
+            else:
+                parents = np.asarray(out["parents"])  # [Tp, B]
+                trace = np.asarray(out["trace"])  # [Tp, B]
             t_pad = parents.shape[0]
             n_live = 0
             while n_live < limit and lm_score[n_live] > -1.0e29:
@@ -1384,7 +1389,7 @@ class TPUBeamSearchDecoderCTC:
         state = init_fn(start)
         nf = jnp.asarray(n_frames)
         prm = jnp.asarray(params)
-        parents, trace = [], []
+        blobs = []  # per-segment packed (or (parents, trace)) emissions
         for s in range(t_pad // seg):
             sl = slice(s * seg, (s + 1) * seg)
             if token_timeline:
@@ -1393,7 +1398,7 @@ class TPUBeamSearchDecoderCTC:
                 )
             else:
                 seg_in = jnp.asarray(np.ascontiguousarray(logp[:, sl]))
-            state, par, tok = seg_fn(
+            state, blob = seg_fn(
                 state,
                 seg_in,
                 np.int32(s * seg),
@@ -1402,16 +1407,15 @@ class TPUBeamSearchDecoderCTC:
                 self._tabs,
                 hot,
             )
-            parents.append(par)
-            trace.append(tok)
-        return fin_fn(
-            state,
-            prm,
-            self._tabs,
-            jnp.concatenate(parents, axis=1),
-            jnp.concatenate(trace, axis=1),
-            hot,
-        )
+            blobs.append(blob)
+        if isinstance(blobs[0], tuple):
+            ptrace = tuple(
+                jnp.concatenate([b[i] for b in blobs], axis=1)
+                for i in range(2)
+            )
+        else:
+            ptrace = jnp.concatenate(blobs, axis=1)
+        return fin_fn(state, prm, self._tabs, ptrace, hot)
 
     def _collect_batch(
         self, handle: Optional[Dict[str, Any]]
@@ -1451,19 +1455,25 @@ class TPUBeamSearchDecoderCTC:
         return results
 
     def decode_beams_batches(
-        self, batches: Iterable[Sequence[np.ndarray]], **kwargs: Any
+        self,
+        batches: Iterable[Sequence[np.ndarray]],
+        pipeline_depth: int = 1,
+        **kwargs: Any,
     ) -> Iterable[List[List[OutputBeam]]]:
         """Pipelined decoding of a stream of batches (the serving path).
 
-        Keeps one batch in flight: while the device runs batch ``i``, the
-        host normalizes and uploads batch ``i+1`` and post-processes batch
-        ``i-1``, hiding the host<->device transfer time that a synchronous
-        per-batch loop pays serially (measured ~0.7 s of a 2.5 s batch at
-        the parity config). Accepts the same keyword arguments as
-        :meth:`decode_beams_batch` (including ``length_bucketing``, which
-        splits each batch into per-frame-bucket programs that pipeline on
-        device); yields one result list per batch, in order.
+        Keeps ``pipeline_depth`` batches in flight: while the device runs
+        batch ``i``, the host normalizes and uploads the next batches and
+        post-processes earlier ones, hiding the host<->device transfer
+        time that a synchronous per-batch loop pays serially (measured
+        ~0.7 s of a 2.5 s batch at the parity config). Depth 2 also rides
+        over dispatch-rate jitter on relayed/tunneled devices. Accepts the
+        same keyword arguments as :meth:`decode_beams_batch` (including
+        ``length_bucketing``, which splits each batch into per-group
+        programs that pipeline on device); yields one result list per
+        batch, in order.
         """
+        pipeline_depth = max(int(pipeline_depth), 1)
         pending: List[Tuple[List[Tuple[List[int], Optional[Dict[str, Any]]]], int]] = []
         defaults = dict(
             beam_width=kwargs.pop("beam_width", DEFAULT_BEAM_WIDTH),
@@ -1484,12 +1494,12 @@ class TPUBeamSearchDecoderCTC:
             raise TypeError(f"unknown decode arguments: {sorted(kwargs)}")
         for logits_list in batches:
             handles = self._launch_batch(logits_list, defaults, bucketing)
-            if pending:
-                prev_handles, prev_n = pending.pop()
-                yield self._collect_bucketed(prev_handles, prev_n, False)
             pending.append((handles, len(logits_list)))
-        if pending:
-            prev_handles, prev_n = pending.pop()
+            if len(pending) > pipeline_depth:
+                prev_handles, prev_n = pending.pop(0)
+                yield self._collect_bucketed(prev_handles, prev_n, False)
+        while pending:
+            prev_handles, prev_n = pending.pop(0)
             yield self._collect_bucketed(prev_handles, prev_n, False)
 
     def decode_batch(
