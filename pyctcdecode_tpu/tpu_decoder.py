@@ -988,6 +988,16 @@ class TPUBeamSearchDecoderCTC:
         :func:`~pyctcdecode_tpu.utils.logits.blank_collapse`). Real CTC
         emissions are blank-dominated, so this typically shrinks the frame
         count 1.3-2x at zero accuracy cost.
+
+        ``token_chunking`` (``True`` or a chunk width) switches to
+        token-timeline decoding — the serving configuration: the host
+        splits each frame's exactly-admitted token set into chunks and
+        the engine pools candidates across a frame's chunks, pricing
+        per-step work to the MEAN admitted count instead of the
+        batch-worst frame. Output-exact for any width (see
+        :func:`~pyctcdecode_tpu.utils.logits.token_timeline`);
+        ``max_tokens_per_frame`` is ignored on this path (admission is
+        exact by construction).
         """
         logits_list = self._without_pool_arg(logits_list, _pool_compat)
         dispatch_kw = dict(
@@ -1182,12 +1192,15 @@ class TPUBeamSearchDecoderCTC:
             collapsed, frame_ids_list, offsets = self._collapse_all(
                 logits_list, token_min_logp
             )
-        if token_chunking is not None:
+        if token_chunking:
+            # True selects the measured default chunk width (6: ~92% of
+            # real-CTC frames fit one chunk); any int picks it explicitly
+            k_chunk = 6 if token_chunking is True else int(token_chunking)
             return self._dispatch_timeline(
                 logits_list, collapsed, frame_ids_list, offsets, hot, weight,
                 beam_width=beam_width, beam_prune_logp=beam_prune_logp,
                 token_min_logp=token_min_logp, prune_history=prune_history,
-                k_chunk=int(token_chunking), batch_pad=batch_pad,
+                k_chunk=k_chunk, batch_pad=batch_pad,
                 top_n=top_n, collect_stats=collect_stats,
             )
         lens = [m.shape[0] for m in (collapsed if collapsed is not None
