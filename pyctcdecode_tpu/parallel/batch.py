@@ -144,6 +144,7 @@ class ShardedCTCDecoder:
         use_hotwords: bool = False,
         emit_paths: Optional[int] = None,
         collect_stats: bool = False,
+        token_timeline: bool = False,
     ):
         import jax
         from jax import shard_map
@@ -151,14 +152,14 @@ class ShardedCTCDecoder:
 
         key = (
             t_pad, beam_width, k, prune_history, use_hotwords, emit_paths,
-            collect_stats,
+            collect_stats, token_timeline,
         )
         fn = self._fn_cache.get(key)
         if fn is None:
             d = self._decoder
             cfg = d._engine_cfg(
                 beam_width, k, prune_history, use_hotwords, emit_paths,
-                collect_stats=collect_stats,
+                collect_stats=collect_stats, token_timeline=token_timeline,
             )
             axis = self._axis
             shard = (axis, self.n_devices) if self._shard_lm else None
@@ -220,17 +221,25 @@ class ShardedCTCDecoder:
         top_n: Optional[int] = None,
         collect_stats: bool = False,
         blank_collapse: bool = False,
+        token_chunking: Optional[int] = None,
     ) -> "object":
         """Decode a global batch sharded over the mesh; ragged inputs padded.
 
         With ``collect_stats=True`` returns ``(results, stats)`` — one
         on-device counter dict per utterance, same schema as
         :meth:`~pyctcdecode_tpu.tpu_decoder.TPUBeamSearchDecoderCTC.decode_beams_batch`.
+        ``token_chunking`` selects token-timeline decoding exactly as on
+        the single-chip engine (the timeline arrays shard over the batch
+        axis like the logits they replace).
         """
         import jax.numpy as jnp
 
         if not logits_list:
             return []
+        if collect_stats and token_chunking:
+            raise ValueError(
+                "collect_stats is not supported with token_chunking"
+            )
         d = self._decoder
         hot, weight, _ = d._hot_tables(hotwords, hotword_weight)
         v = len(d._labels)
@@ -249,20 +258,58 @@ class ShardedCTCDecoder:
             lens = [c.shape[0] for c in collapsed]
         else:
             lens = [m.shape[0] for m in logits_list]
-        t_pad = _bucket(max(max(lens), 1))
         n = len(logits_list)
         n_dev = self.n_devices
-        per_dev = (n + n_dev - 1) // n_dev
-        n_pad = per_dev * n_dev
-        logp = np.zeros((n_pad, t_pad, v), dtype=np.float32)
-        if blank_collapse:
-            for i, cl in enumerate(collapsed):
-                logp[i, : cl.shape[0]] = cl
+        if token_chunking:
+            from ..tpu_decoder import normalize_host
+            from ..utils.logits import token_timeline
+
+            k = 6 if token_chunking is True else int(token_chunking)
+            mats = (
+                collapsed
+                if blank_collapse
+                else [normalize_host(np.asarray(m)) for m in logits_list]
+            )
+            tls = [token_timeline(m, token_min_logp, k) for m in mats]
+            lens = [t[0].shape[0] for t in tls]
+            t_pad = _bucket(max(max(lens), 1))
+            per_dev = (n + n_dev - 1) // n_dev
+            n_pad = per_dev * n_dev
+            toks = np.full((n_pad, t_pad, k), -1, dtype=np.int32)
+            tlogp = np.zeros((n_pad, t_pad, k), dtype=np.float32)
+            fin = np.zeros((n_pad, t_pad), dtype=np.int32)
+            cbase = np.zeros((n_pad, t_pad), dtype=np.int32)
+            vf_ids: list = []
+            for i, (tk, tp, fi, cb, fids) in enumerate(tls):
+                tv = tk.shape[0]
+                toks[i, :tv] = tk
+                tlogp[i, :tv] = tp
+                fin[i, :tv] = fi
+                cbase[i, :tv] = cb
+                if frame_ids_list is not None:
+                    vf_ids.append(np.asarray(frame_ids_list[i])[fids])
+                else:
+                    vf_ids.append(fids.astype(np.int64))
+            frame_ids_list = vf_ids
+            logp_in = tuple(
+                jnp.asarray(a) for a in (toks, tlogp, fin, cbase)
+            )
         else:
-            logp[:n] = normalize_host_batch(logits_list, t_pad, v)
+            t_pad = _bucket(max(max(lens), 1))
+            per_dev = (n + n_dev - 1) // n_dev
+            n_pad = per_dev * n_dev
+            logp = np.zeros((n_pad, t_pad, v), dtype=np.float32)
+            if blank_collapse:
+                for i, cl in enumerate(collapsed):
+                    logp[i, : cl.shape[0]] = cl
+            else:
+                logp[:n] = normalize_host_batch(logits_list, t_pad, v)
+            logp_in = jnp.asarray(logp)
         n_frames = np.zeros(n_pad, dtype=np.int32)
         n_frames[:n] = lens
-        if max_tokens_per_frame == "auto":
+        if token_chunking:
+            pass  # k already set; admission is exact by construction
+        elif max_tokens_per_frame == "auto":
             counts = (logp >= token_min_logp).sum(-1)
             alive = np.arange(t_pad)[None, :] < n_frames[:, None]
             k = _auto_k(np.where(alive, counts, 1), v)
@@ -276,11 +323,12 @@ class ShardedCTCDecoder:
             use_hotwords=hot is not None,
             emit_paths=(min(top_n, beam_width) if top_n is not None else None),
             collect_stats=collect_stats,
+            token_timeline=bool(token_chunking),
         )
         params = d._params_vector(token_min_logp, beam_prune_logp, weight)
         start = d._start_ctx(None)
         out = fn(
-            jnp.asarray(logp),
+            logp_in,
             jnp.asarray(n_frames),
             jnp.asarray(params),
             start,

@@ -120,6 +120,27 @@ class TestShardedDecode(unittest.TestCase):
             self.assertEqual([b.text for b in fu], [b.text for b in fa])
             self.assertEqual(fu[0].text_frames, fa[0].text_frames)
 
+    def test_sharded_token_chunking_equals_dense(self):
+        """Token-timeline decoding over the mesh matches the dense path."""
+        dec = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(SAMPLE_LABELS))
+        sharded = ShardedCTCDecoder(dec, mesh=make_data_mesh(8))
+        rng = np.random.RandomState(17)
+        mats = [
+            rng.randn(rng.randint(5, 25), len(SAMPLE_LABELS)).astype(
+                np.float32
+            ) * 2.0
+            for _ in range(9)
+        ]
+        dense = sharded.decode_beams_batch(mats, beam_width=6)
+        chunked = sharded.decode_beams_batch(
+            mats, beam_width=6, token_chunking=3
+        )
+        for du, ch in zip(dense, chunked):
+            self.assertEqual([b.text for b in du], [b.text for b in ch])
+            self.assertEqual(du[0].text_frames, ch[0].text_frames)
+            self.assertAlmostEqual(du[0].logit_score, ch[0].logit_score,
+                                   places=2)
+
     def test_sharded_with_hotwords(self):
         dev = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(SAMPLE_LABELS))
         sharded = ShardedCTCDecoder(dev, mesh=make_data_mesh(4))
