@@ -567,10 +567,12 @@ def _pad_trie_rows(
 
     Rows narrower than 64 i32 words take the gather emitter's slow
     per-element path (~36 ns/row at width 31 vs ~14 ns at 64, measured in
-    scripts/gather_cost_model.py). Padding to the next multiple of 64
-    leaves spare columns, which carry the node's per-word constants so the
-    per-frame child walk, the commit-time word-id fetch AND the word's
-    order-1 probe all ride ONE row-gather:
+    scripts/gather_cost_model.py; width 128 is another ~1.85x cheaper per
+    row in isolation, but in the decode program the gather fusion is NOT
+    width-bound — padding trie rows to 128 measured zero change — so rows
+    stay at the next multiple of 64). The spare columns carry the node's
+    per-word constants so the per-frame child walk, the commit-time
+    word-id fetch AND the word's order-1 probe all ride ONE row-gather:
 
     * col W-4: the word's unigram log10-prob (f32 bits),
     * col W-3: its unigram backoff (f32 bits),
