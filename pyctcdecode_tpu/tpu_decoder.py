@@ -973,7 +973,9 @@ class TPUBeamSearchDecoderCTC:
         collected, so they pipeline on device): mixed-length batches stop
         paying the longest utterance's scan length for every row. Results
         come back in input order; with the auto preselect each group also
-        measures its own K.
+        measures its own K. Passing an ``int`` instead of ``True`` sets
+        the per-group row target (default 384, the measured per-program
+        sweet spot on v5e — see :meth:`_length_groups`).
 
         With ``collect_stats=True`` the engine additionally accumulates
         per-utterance decode counters on device (beams alive, merge/prune
@@ -1037,7 +1039,8 @@ class TPUBeamSearchDecoderCTC:
                 pre = self._collapse_all(logits_list, kw["token_min_logp"])
                 logits_list = pre[0]
                 kw["blank_collapse"] = False
-            groups = self._length_groups(logits_list)
+            target = 384 if bucketing is True else max(1, int(bucketing))
+            groups = self._length_groups(logits_list, target_rows=target)
             if len(groups) > 1:
                 return self._dispatch_bucketed(logits_list, groups, kw, pre)
             if pre is not None:

@@ -22,7 +22,11 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=6)
     ap.add_argument("--beam", type=int, default=100)
     ap.add_argument("--no-bucketing", action="store_true")
+    ap.add_argument("--target-rows", type=int, default=384,
+                    help="length-bucketing per-group row target")
     ap.add_argument("--blank-collapse", action="store_true")
+    ap.add_argument("--seg", type=int, default=None,
+                    help="frames per segment program (default 16 on TPU)")
     ap.add_argument("--logdir", default=None)
     args = ap.parse_args()
 
@@ -52,10 +56,12 @@ def main() -> None:
     dev = TPUBeamSearchDecoderCTC(
         Alphabet.build_alphabet(labels), LanguageModel(model, unigrams)
     )
+    if args.seg is not None:
+        dev = dev.with_options(segment_frames=args.seg)
     kw = dict(
         beam_width=args.beam,
         token_chunking=args.chunk,
-        length_bucketing=not args.no_bucketing,
+        length_bucketing=False if args.no_bucketing else args.target_rows,
         blank_collapse=args.blank_collapse,
     )
     logits = corpus.logits[: args.batch]
