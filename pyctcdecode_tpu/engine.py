@@ -223,17 +223,22 @@ def build_table_args(
             _, n_shards = shard
             fp = []
             for t in dlm.fp_tables:
-                if t.size % n_shards:
-                    raise ValueError(
-                        f"table size {t.size} does not divide into "
-                        f"{n_shards} shards; shard counts must be powers "
-                        "of two no larger than the smallest table"
+                rows = -(-t.size // n_shards)  # ceil: pad odd-size splits
+                plane = t.bucket
+                pad = n_shards * rows - t.size
+                if pad:
+                    # padding rows are never owned (bucket indices stay
+                    # < size) and their fp lanes are the empty sentinel,
+                    # so a stray gather of one can never match a query
+                    empty = np.zeros((pad, plane.shape[1]), dtype=np.uint32)
+                    empty[:, : plane.shape[1] // 4] = 0xFFFFFFFF
+                    plane = np.concatenate(
+                        [plane, empty.view(np.int32)], axis=0
                     )
-                rows = t.size // n_shards
                 fp.append(
                     {
-                        "bucket": t.bucket.reshape(
-                            n_shards, rows, t.bucket.shape[1]
+                        "bucket": plane.reshape(
+                            n_shards, rows, plane.shape[1]
                         ),
                         "seed_lo": jnp.uint32(t.seed_lo),
                         "seed_hi": jnp.uint32(t.seed_hi),
@@ -276,7 +281,7 @@ def build_table_meta(
                 one.update(
                     shard_axis=axis_name,
                     n_shards=n_shards,
-                    shard_rows=t.size // n_shards,
+                    shard_rows=-(-t.size // n_shards),
                 )
             fp_meta.append(one)
         meta.append(

@@ -95,6 +95,31 @@ class TestShardedDecode(unittest.TestCase):
                 self.assertAlmostEqual(w.logit_score, g.logit_score, places=4)
                 self.assertAlmostEqual(w.lm_score, g.lm_score, places=4)
 
+    @pytest.mark.skipif(not os.path.exists(ARPA), reason="reference fixtures absent")
+    def test_sharded_lm_odd_shard_count_pads_rows(self):
+        """Table sizes that don't divide the mesh shard via padded rows.
+
+        Fingerprint planes are power-of-two sized; a 6-device mesh forces
+        the ceil-split row padding in ``build_table_args`` (padding rows
+        carry the empty fp sentinel and are never owned). Results must be
+        identical to the replicated layout.
+        """
+        lm = LanguageModel(
+            NGramModel.from_file(ARPA), TEST_UNIGRAMS, alpha=1.0, unk_score_offset=0.0
+        )
+        dev = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(SAMPLE_LABELS), lm)
+        mesh = make_data_mesh(6)
+        repl = ShardedCTCDecoder(dev, mesh=mesh)
+        shrd = ShardedCTCDecoder(dev, mesh=mesh, shard_lm=True)
+        rng = np.random.RandomState(7)
+        noisy = [
+            np.clip(TEST_PROBS + rng.randn(*TEST_PROBS.shape) * s, 1e-6, 1.0)
+            for s in (0.0, 0.03, 0.08, 0.0, 0.03, 0.08)
+        ]
+        want = repl.decode_batch(noisy, beam_width=12)
+        got = shrd.decode_batch(noisy, beam_width=12)
+        self.assertEqual(want, got)
+
     def test_sharded_lm_without_lm_is_noop(self):
         dev = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(SAMPLE_LABELS))
         sharded = ShardedCTCDecoder(dev, mesh=make_data_mesh(4), shard_lm=True)
