@@ -245,33 +245,27 @@ class ShardedCTCDecoder:
         v = len(d._labels)
         frame_ids_list = offsets = None
         if blank_collapse:
-            from ..utils.logits import blank_collapse as bc
-            from ..tpu_decoder import normalize_host
+            from ..utils.logits import normalize_collapse_batch
 
-            collapsed, frame_ids_list, offsets = [], [], []
-            for mat in logits_list:
-                lp = normalize_host(np.asarray(mat))
-                keep_idx, off = bc(lp, d._blank_id, token_min_logp)
-                collapsed.append(lp[keep_idx])
-                frame_ids_list.append(keep_idx)
-                offsets.append(off)
+            collapsed, frame_ids_list, offsets = normalize_collapse_batch(
+                logits_list, d._blank_id, token_min_logp
+            )
             lens = [c.shape[0] for c in collapsed]
         else:
             lens = [m.shape[0] for m in logits_list]
         n = len(logits_list)
         n_dev = self.n_devices
         if token_chunking:
-            from ..tpu_decoder import normalize_host
-            from ..utils.logits import token_timeline
+            from ..utils.logits import normalize_batch, token_timeline_batch
 
             k = 6 if token_chunking is True else int(token_chunking)
             mats = (
                 collapsed
                 if blank_collapse
-                else [normalize_host(np.asarray(m)) for m in logits_list]
+                else normalize_batch(logits_list)
             )
-            tls = [token_timeline(m, token_min_logp, k) for m in mats]
-            lens = [t[0].shape[0] for t in tls]
+            tls, vlens_arr = token_timeline_batch(mats, token_min_logp, k)
+            lens = [int(x) for x in vlens_arr]
             t_pad = _bucket(max(max(lens), 1))
             per_dev = (n + n_dev - 1) // n_dev
             n_pad = per_dev * n_dev

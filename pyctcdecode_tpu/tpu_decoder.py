@@ -141,6 +141,62 @@ def replay_token_path(
     return words, frames, (partial, partial_frames)
 
 
+def replay_token_path_np(
+    token_path: np.ndarray,
+    labels: Sequence[str],
+    blank_id: int,
+    space_id: int,
+    frame_ids: Optional[np.ndarray] = None,
+    frame_offset: int = 0,
+) -> Tuple[List[str], List[Tuple[int, int]]]:
+    """Vectorized non-BPE :func:`replay_token_path` with the partial folded.
+
+    Equivalent to ``replay_token_path(...)`` followed by appending the
+    trailing partial (finalization semantics) — the per-step Python loop
+    was the dominant collect-phase cost at serving batch sizes (768
+    utterances x ~900 steps). Only for char alphabets without ``-2``
+    force-commit markers (callers fall back to the exact Python loop
+    otherwise). Returns ``(words, word_frames)``.
+    """
+    toks = np.asarray(token_path)
+    idx = np.flatnonzero(toks >= 0)
+    if idx.size == 0:
+        return [], []
+    seq = toks[idx]
+    if frame_ids is not None:
+        t = np.asarray(frame_ids)[idx]
+    else:
+        t = frame_offset + idx
+    prev = np.empty_like(seq)
+    prev[0] = -1  # no predecessor: first real token is always "new"
+    prev[1:] = seq[:-1]
+    new = seq != prev
+    letters = (seq != blank_id) & (seq != space_id)
+    emit_letter = letters & new
+    if not emit_letter.any():
+        return [], []
+    emit_space = (seq == space_id) & new
+    word_of = np.cumsum(emit_space)  # word index per event position
+    wl = word_of[emit_letter]
+    first = np.flatnonzero(np.diff(wl, prepend=wl[0] - 1))
+    last_plus = np.append(first[1:], wl.size)
+    chars = [labels[c] for c in seq[emit_letter]]
+    words = ["".join(chars[a:b]) for a, b in zip(first, last_plus)]
+    # spans: start = first letter EMIT of the word; end = last letter
+    # event (emit or repeat both extend the span, ref decoder.py:453-461,
+    # 519-523) + 1. Letter repeats never straddle a word boundary (a space
+    # or blank in between resets `last`), so grouping repeats by the
+    # word of their position is exact.
+    ws = word_of[letters]
+    t_letters = t[letters]
+    first_ws = np.flatnonzero(np.diff(ws, prepend=ws[0] - 1))
+    last_ws = np.append(first_ws[1:], ws.size) - 1
+    starts = t[emit_letter][first]
+    ends = t_letters[last_ws] + 1
+    frames = list(zip(starts.tolist(), ends.tolist()))
+    return words, frames
+
+
 @dataclasses.dataclass
 class DeviceStreamState:
     """Caller-held streaming decode state (ref decoder.py:669-728 analog).
@@ -777,18 +833,33 @@ class TPUBeamSearchDecoderCTC:
                 toks_all[t] = trace[t, cur]
                 cur = parents[t, cur]
 
+        # char alphabets without force-commit markers replay vectorized
+        # (exact; fuzz-pinned against the Python loop in tests)
+        space_id = self._labels.index(" ") if " " in self._labels else -100
+        fast_replay = not self._alphabet.is_bpe and not (
+            (toks_all[:n_frames] == -2).any() if n_live else False
+        )
         results: List[OutputBeam] = []
         for rank in range(n_live):
             toks = toks_all[:n_frames, rank]
-            words, frames, (partial, pframes) = replay_token_path(
-                toks,
-                self._labels,
-                self._alphabet.is_bpe,
-                frame_ids=frame_ids,  # original indices under blank collapse
-            )
-            if partial:
-                words.append(partial)
-                frames.append(pframes)
+            if fast_replay:
+                words, frames = replay_token_path_np(
+                    toks,
+                    self._labels,
+                    self._blank_id,
+                    space_id,
+                    frame_ids=frame_ids,
+                )
+            else:
+                words, frames, (partial, pframes) = replay_token_path(
+                    toks,
+                    self._labels,
+                    self._alphabet.is_bpe,
+                    frame_ids=frame_ids,  # original indices under collapse
+                )
+                if partial:
+                    words.append(partial)
+                    frames.append(pframes)
             text = " ".join(words)
             if not self._lm_members:
                 last_state: Optional[AbstractLMState] = None
@@ -1134,18 +1205,15 @@ class TPUBeamSearchDecoderCTC:
         """Normalize and blank-collapse every utterance in a batch.
 
         Returns (collapsed log-prob matrices, kept original frame indices,
-        per-utterance score offsets to restore full-decode scores).
+        per-utterance score offsets to restore full-decode scores). Runs
+        as whole-batch vectorized passes (bit-equal to the per-utterance
+        path, see :func:`~pyctcdecode_tpu.utils.logits.normalize_collapse_batch`).
         """
-        collapsed, frame_ids, offsets = [], [], []
-        for mat in logits_list:
-            lp = normalize_host(np.asarray(mat))
-            keep_idx, off = blank_collapse_frames(
-                lp, self._blank_id, token_min_logp
-            )
-            collapsed.append(lp[keep_idx])
-            frame_ids.append(keep_idx)
-            offsets.append(off)
-        return collapsed, frame_ids, offsets
+        from .utils.logits import normalize_collapse_batch
+
+        return normalize_collapse_batch(
+            logits_list, self._blank_id, token_min_logp
+        )
 
     def _dispatch_batch(
         self,
@@ -1297,7 +1365,7 @@ class TPUBeamSearchDecoderCTC:
         admitted count, not the batch-worst frame — output-exact for any
         ``k_chunk``.
         """
-        from .utils.logits import token_timeline
+        from .utils.logits import normalize_batch, token_timeline_batch
 
         if collect_stats:
             raise ValueError(
@@ -1309,10 +1377,10 @@ class TPUBeamSearchDecoderCTC:
         mats = (
             collapsed
             if collapsed is not None
-            else [normalize_host(np.asarray(m)) for m in logits_list]
+            else normalize_batch(logits_list)
         )
-        tls = [token_timeline(m, token_min_logp, k_chunk) for m in mats]
-        vlens = [t[0].shape[0] for t in tls]
+        tls, vlens_arr = token_timeline_batch(mats, token_min_logp, k_chunk)
+        vlens = [int(x) for x in vlens_arr]
         t_pad = _bucket(max(max(vlens), 1))
         seg = self._segment_frames_effective()
         if seg:

@@ -136,6 +136,196 @@ def token_timeline(
     return toks, tlogp, is_final, chunk_base.astype(np.int32), frame_ids
 
 
+def _ragged_bounds(lens: "object") -> np.ndarray:
+    """Exclusive prefix bounds of a ragged batch: ``[0, l0, l0+l1, ...]``."""
+    bounds = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=bounds[1:])
+    return bounds
+
+
+def _normalize_cat(mats: "object") -> tuple:
+    """Normalize a ragged batch over its concatenated frame axis.
+
+    Exactly equivalent to ``[normalize_to_logp(m) for m in mats]``, with
+    the per-utterance prob/logit sniff preserved bit-for-bit, but the
+    expensive branches run vectorized over all frames at once. Returns
+    ``(out [sum_T, V] f32, bounds [n+1], lens [n], nz [n] bool)``.
+    """
+    mats = [np.asarray(m, dtype=np.float32) for m in mats]
+    v = mats[0].shape[1] if mats[0].ndim == 2 else 0
+    n = len(mats)
+    lens = np.array([m.shape[0] for m in mats], dtype=np.int64)
+    bounds = _ragged_bounds(lens)
+    cat = np.concatenate([m.reshape(-1, v) for m in mats], axis=0)
+    nz = lens > 0
+    with np.errstate(invalid="ignore"):
+        row_sums = cat.sum(axis=1)  # identical per-row f32 sums
+    is_probs = np.zeros(n, dtype=bool)
+    for i in range(n):
+        # per-slice np.mean reproduces normalize_to_logp's f32 pairwise
+        # mean bit-for-bit (the isclose sniff sits at f32 resolution, so
+        # summation order matters)
+        if lens[i]:
+            mean = float(row_sums[bounds[i] : bounds[i + 1]].mean())
+            is_probs[i] = math.isclose(mean, 1)
+    probs_rows = np.repeat(is_probs, lens)
+
+    out = np.empty_like(cat)
+    floor = np.float32(math.log(MIN_TOKEN_CLIP_P))
+    if probs_rows.any():
+        with np.errstate(divide="ignore"):
+            out[probs_rows] = np.log(
+                np.clip(cat[probs_rows], MIN_TOKEN_CLIP_P, 1.0)
+            )
+    if (~probs_rows).any():
+        x = cat[~probs_rows]
+        out[~probs_rows] = np.clip(log_softmax_np(x, axis=1), floor, 0.0)
+    return out, bounds, lens, nz
+
+
+def normalize_batch(mats: "object") -> list:
+    """Vectorized ``[normalize_to_logp(m).astype(f32) for m in mats]``."""
+    if not len(mats):
+        return []
+    out, bounds, _, _ = _normalize_cat(mats)
+    return [out[bounds[i] : bounds[i + 1]] for i in range(len(mats))]
+
+
+def normalize_collapse_batch(
+    mats: "object", blank_id: int, token_min_logp: float
+) -> tuple:
+    """Normalize + blank-collapse a ragged batch in whole-batch passes.
+
+    Exactly equivalent to ``[normalize_to_logp(m) for m in mats]`` followed
+    by per-utterance :func:`blank_collapse` (the per-utterance prob/logit
+    sniff included), but every step runs vectorized over the concatenated
+    frame axis — the per-utterance Python loop dominated one-shot host
+    prep at serving batch sizes (768 x ~6 numpy calls each).
+
+    Returns ``(collapsed list, keep_idx list, offsets list)`` matching
+    ``TPUBeamSearchDecoderCTC._collapse_all``.
+    """
+    n = len(mats)
+    if n == 0:
+        return [], [], []
+    out, bounds, lens, nz = _normalize_cat(mats)
+    v = out.shape[1]
+    total = out.shape[0]
+
+    # blank-collapse over the concatenated frames, run heads kept per
+    # utterance (frame 0 of each utterance has no predecessor)
+    if total:
+        amax = out.argmax(axis=1)
+        second = (
+            np.partition(out, -2, axis=1)[:, -2]
+            if v >= 2
+            else np.full(total, -np.inf, dtype=np.float32)
+        )
+        droppable = (amax == blank_id) & (second < token_min_logp)
+        prev_drop = np.empty(total, dtype=bool)
+        prev_drop[0] = False
+        prev_drop[1:] = droppable[:-1]
+        prev_drop[bounds[:-1][nz]] = False
+        keep = ~droppable | ~prev_drop
+    collapsed, keep_idx_list, offsets = [], [], []
+    for i in range(n):
+        lo, hi = bounds[i], bounds[i + 1]
+        if lo == hi:
+            collapsed.append(out[lo:hi])
+            keep_idx_list.append(np.arange(0, dtype=np.int64))
+            offsets.append(0.0)
+            continue
+        rel = np.flatnonzero(keep[lo:hi]).astype(np.int64)
+        collapsed.append(out[lo:hi][rel])
+        keep_idx_list.append(rel)
+        # same summation set and order as blank_collapse's dropped_sum
+        offsets.append(float(out[lo:hi][~keep[lo:hi], blank_id].sum()))
+    return collapsed, keep_idx_list, offsets
+
+
+def token_timeline_batch(
+    mats: "object", token_min_logp: float, k_chunk: int
+) -> tuple:
+    """Whole-batch :func:`token_timeline`: one vectorized pass, no per-utt loop.
+
+    ``mats`` are already-normalized log-prob matrices (ragged). Returns
+    ``(timelines, vlens)`` where ``timelines[i]`` is exactly
+    ``token_timeline(mats[i], token_min_logp, k_chunk)`` and ``vlens[i]``
+    its virtual step count — built by concatenating the batch's frames,
+    running the admit/chunk arithmetic once, and splitting per utterance.
+    """
+    n = len(mats)
+    k_chunk = int(k_chunk)
+    if n == 0:
+        return [], np.zeros(0, dtype=np.int64)
+    mats = [np.asarray(m, dtype=np.float32) for m in mats]
+    v = mats[0].shape[1]
+    lens = np.array([m.shape[0] for m in mats], dtype=np.int64)
+    bounds = _ragged_bounds(lens)
+    cat = np.concatenate([m.reshape(-1, v) for m in mats], axis=0)
+    t_total = cat.shape[0]
+    if t_total == 0:
+        z = np.zeros((0, k_chunk), dtype=np.int32)
+        empty = (z, z.astype(np.float32), np.zeros(0, bool),
+                 np.zeros(0, np.int32), np.zeros(0, np.int32))
+        return [empty] * n, np.zeros(n, dtype=np.int64)
+
+    admit = cat >= token_min_logp
+    admit[np.arange(t_total), cat.argmax(axis=1)] = True
+    counts = admit.sum(axis=1)  # >= 1 per frame
+    chunks_per_frame = -(-counts // k_chunk)
+    # per-frame owning utterance and per-utterance virtual-step extents
+    utt_of_frame = np.repeat(np.arange(n, dtype=np.int64), lens)
+    vlens = np.zeros(n, dtype=np.int64)
+    nz = lens > 0
+    if nz.any():
+        vlens[nz] = np.add.reduceat(chunks_per_frame, bounds[:-1][nz])
+    vbounds = _ragged_bounds(vlens)
+    tv_total = int(vbounds[-1])
+
+    # global admitted-token coordinates (same arithmetic as token_timeline)
+    flat = np.flatnonzero(admit)
+    frame_of = flat // v
+    starts = np.zeros(t_total, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    pos = np.arange(flat.size) - starts[frame_of]
+    chunk_of = pos // k_chunk
+    vstarts = np.zeros(t_total, dtype=np.int64)  # global virtual start/frame
+    np.cumsum(chunks_per_frame[:-1], out=vstarts[1:])
+    vstep = vstarts[frame_of] + chunk_of  # global virtual step per token
+    slot = pos - chunk_of * k_chunk
+
+    toks_flat = np.full((tv_total, k_chunk), -1, dtype=np.int32)
+    tlogp_flat = np.zeros((tv_total, k_chunk), dtype=np.float32)
+    tok_ids = (flat % v).astype(np.int32)
+    toks_flat[vstep, slot] = tok_ids
+    tlogp_flat[vstep, slot] = cat[frame_of, flat % v]
+    is_final_flat = np.zeros(tv_total, dtype=bool)
+    is_final_flat[vstarts + chunks_per_frame - 1] = True
+    # owning local frame id per virtual step
+    heads = np.zeros(tv_total, dtype=np.int64)
+    heads[vstarts] = 1
+    gframe = np.cumsum(heads) - 1  # global frame per virtual step
+    frame_local = gframe - bounds[:-1][utt_of_frame[gframe]]
+    cbase_flat = (
+        (np.arange(tv_total) - vstarts[gframe]) * k_chunk
+    ).astype(np.int32)
+
+    timelines = []
+    for i in range(n):
+        lo, hi = vbounds[i], vbounds[i + 1]
+        timelines.append(
+            (
+                toks_flat[lo:hi],
+                tlogp_flat[lo:hi],
+                is_final_flat[lo:hi],
+                cbase_flat[lo:hi],
+                frame_local[lo:hi].astype(np.int32),
+            )
+        )
+    return timelines, vlens
+
+
 def normalize_to_logp_jnp(logits: "object", assume: str = "auto") -> "object":
     """jnp twin of :func:`normalize_to_logp`.
 

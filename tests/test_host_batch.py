@@ -1,0 +1,106 @@
+"""Batched host-prep helpers must be bit-equal to their per-utterance twins.
+
+The serving path runs normalization, blank collapse, token-timeline
+construction and path replay as whole-batch vectorized passes
+(``utils.logits.normalize_collapse_batch`` / ``token_timeline_batch``,
+``tpu_decoder.replay_token_path_np``); these tests pin them against the
+scalar reference implementations across fuzzed ragged batches.
+"""
+import numpy as np
+
+from pyctcdecode_tpu.tpu_decoder import (
+    replay_token_path,
+    replay_token_path_np,
+)
+from pyctcdecode_tpu.utils.logits import (
+    blank_collapse,
+    normalize_batch,
+    normalize_collapse_batch,
+    normalize_to_logp,
+    token_timeline,
+    token_timeline_batch,
+)
+
+V = 9
+BLANK = V - 1
+
+
+def _fuzz_mats(rng, n):
+    mats = []
+    for _ in range(n):
+        t = int(rng.choice([0, 1, 2, rng.randint(3, 40)]))
+        kind = rng.randint(3)
+        if kind == 0:  # probabilities
+            mats.append(
+                rng.dirichlet(np.ones(V) * 0.3, size=t).astype(np.float32)
+            )
+        elif kind == 1:  # raw logits
+            mats.append((rng.randn(t, V) * 3).astype(np.float32))
+        else:  # peaky blank-certain frames (collapsible)
+            m = rng.randn(t, V).astype(np.float32) - 8
+            m[:, BLANK] = 5.0
+            if t:
+                m[rng.randint(t), rng.randint(V)] = 6.0
+            mats.append(m)
+    return mats
+
+
+def test_normalize_collapse_batch_matches_scalar():
+    rng = np.random.RandomState(0)
+    for _ in range(25):
+        mats = _fuzz_mats(rng, rng.randint(1, 9))
+        coll_b, keep_b, off_b = normalize_collapse_batch(mats, BLANK, -5.0)
+        for i, m in enumerate(mats):
+            lp = normalize_to_logp(m).astype(np.float32)
+            ki, off = blank_collapse(lp, BLANK, -5.0)
+            assert np.array_equal(ki, keep_b[i])
+            assert np.array_equal(lp[ki], coll_b[i])
+            assert off == off_b[i]
+
+
+def test_normalize_batch_matches_scalar():
+    rng = np.random.RandomState(1)
+    mats = _fuzz_mats(rng, 7)
+    outs = normalize_batch(mats)
+    for m, got in zip(mats, outs):
+        assert np.array_equal(normalize_to_logp(m).astype(np.float32), got)
+
+
+def test_token_timeline_batch_matches_scalar():
+    rng = np.random.RandomState(2)
+    for _ in range(25):
+        mats = [
+            normalize_to_logp(m).astype(np.float32)
+            for m in _fuzz_mats(rng, rng.randint(1, 9))
+        ]
+        for k in (1, 3, 6):
+            tls, vlens = token_timeline_batch(mats, -5.0, k)
+            for i, m in enumerate(mats):
+                want = token_timeline(m, -5.0, k)
+                assert vlens[i] == want[0].shape[0]
+                for a, b in zip(want, tls[i]):
+                    assert np.array_equal(a, b)
+
+
+def test_replay_token_path_np_matches_python():
+    labels = [" ", "a", "b", "c", ""]
+    rng = np.random.RandomState(3)
+    for _ in range(1500):
+        t = rng.randint(0, 40)
+        path = rng.choice(
+            [-3, -1, 0, 1, 2, 3, 4],
+            size=t,
+            p=[0.1, 0.1, 0.2, 0.2, 0.15, 0.05, 0.2],
+        )
+        fids = (
+            np.sort(rng.randint(0, 100, size=t)) if rng.rand() < 0.5 else None
+        )
+        words, frames, (partial, pframes) = replay_token_path(
+            path.tolist(), labels, False, frame_ids=fids
+        )
+        if partial:
+            words.append(partial)
+            frames.append(pframes)
+        w2, f2 = replay_token_path_np(path, labels, 4, 0, frame_ids=fids)
+        assert words == w2
+        assert frames == f2
