@@ -807,6 +807,16 @@ def _make_step(
         trie_rows_b = [
             devs[i]["trie_rows"][state[f"p_node{i}"]] for i in range(n_lms)
         ]
+        # NOTE (round-4 dead end, kept for the record): wrapping the
+        # commit scoring in a per-utterance lax.cond on "this frame has
+        # admitted a boundary token" (to skip the fp-probe gathers on the
+        # ~75% of frames that cannot commit) is architecturally
+        # incompatible with the vmapped batch program: vmap of cond with
+        # a batched predicate lowers to BOTH branches executed + select,
+        # and operand batching broadcast the n-gram bucket plane per
+        # batch row (s32[384, 131072, 128] — 25.8 GB, compile-time OOM).
+        # Per-utterance dynamic skipping needs divergent control flow,
+        # which SPMD batching by construction does not have.
         cm = _commit_quantities(
             jnp, cfg, devs, hot, prm, state, trie_rows=trie_rows_b
         )
@@ -1048,25 +1058,22 @@ def _make_step(
             # ---- pool ∪ chunk ranking. The window prune moves to the
             # frame's LAST chunk (its max is only known then; the pooled
             # top-1 IS the frame max since pooling is exact top-B).
-            # Ranking key = (score desc, frame-local enumeration rank asc)
-            # — the same total order lax.top_k induces on the unchunked
-            # flat candidate vector, so tie-breaks match the reference's
-            # enumeration-order stability exactly.
+            # Ranking key = (score desc, frame-local enumeration rank asc).
+            # A single-operand lax.top_k realizes that key exactly: its
+            # equal-score tie-break is lowest POSITION, and position order
+            # coincides with rank order within every equal-score class —
+            # pool entries (all ranks < this chunk's base) precede chunk
+            # candidates, the pool is rank-ordered among equal scores by
+            # the previous step's selection, and chunk candidates sit in
+            # enumeration order. One top-k over [B + KB] replaced a
+            # three-operand two-key sort (~7% of step time); the carried
+            # rank rides the MXU field select instead.
             iota_b = jnp.arange(b, dtype=jnp.int32)
             rank_flat = chunk_base * b + jnp.arange(c, dtype=jnp.int32)
             comb_score = jnp.concatenate([state["pool_score"], lm_score_flat])
             comb_rank = jnp.concatenate([state["pool_rank"], rank_flat])
-            neg, top_rank_all, top_src_all = jax.lax.sort(
-                (
-                    -comb_score,
-                    comb_rank,
-                    jnp.arange(b + c, dtype=jnp.int32),
-                ),
-                num_keys=2,
-            )
-            top_scores = -neg[:b]
-            top_rank = top_rank_all[:b]
-            top_src = top_src_all[:b]
+            top_scores, top_src = jax.lax.top_k(comb_score, b)
+            top_src = top_src.astype(jnp.int32)
             win = top_scores[0] + prm["beam_prune_logp"]
             top_scores = jnp.where(
                 is_final & (top_scores < win), DEAD, top_scores
@@ -1082,11 +1089,16 @@ def _make_step(
                     [state["pool_tok"], jnp.repeat(toks, b)]
                 ),
                 "_logit": jnp.concatenate([state["pool_logit"], merged_c]),
+                "_rank": comb_rank,
             }
+            max_rank = v * b + (k + 1) * b  # chunk_base <= v by construction
             chunks = {
                 "_pf": 1 if b <= 0xFF else 2,
                 "_pd": 1 if b <= 0xFF else 2,
                 "_tok": 2 if v <= 0xFFFF else 4,
+                "_rank": 2 if max_rank <= 0xFFFF else (
+                    3 if max_rank <= 0xFFFFFF else 4
+                ),
             }
             for i in range(n_lms):
                 cand[f"_ent{i}"] = jnp.concatenate(
@@ -1101,6 +1113,7 @@ def _make_step(
             parent_trace = sel.pop("_pd")
             sel_tok = sel.pop("_tok")
             top_logit = sel.pop("_logit")
+            top_rank = sel.pop("_rank")
             sel_alive = top_scores > DEAD_THRESH
             parent = parent_trace
             new_state = {}

@@ -54,7 +54,7 @@ def main() -> None:
     logits = corpus.logits[: args.batch]
     kw = dict(
         beam_width=args.beam, token_chunking=args.chunk,
-        length_bucketing=True, blank_collapse=True, top_n=1,
+        length_bucketing=True, blank_collapse=True,
     )
 
     # warm
