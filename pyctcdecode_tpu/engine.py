@@ -1333,17 +1333,39 @@ def _make_step(
         )
 
         if cfg.prune_history:
-            hk = [
+            # fold the (partial, last token, word count, history ring) key
+            # into two mixed 32-bit lanes so the B x B dedup is 2 compares
+            # instead of 4 + 2*ring_width (the beam identity is already a
+            # pair of rolling hashes — same accepted collision class)
+            nw_cap = jnp.minimum(new_state["n_words"], cfg.ring_width).astype(
+                jnp.uint32
+            )
+            hk_lo = _mix_key(
+                jnp,
                 new_state["p_lo"],
                 new_state["p_hi"],
                 new_state["last_tok"].astype(jnp.uint32),
-                jnp.minimum(new_state["n_words"], cfg.ring_width).astype(jnp.uint32),
-            ]
-            hk += [new_state["ring_lo"][:, i] for i in range(cfg.ring_width)]
-            hk += [new_state["ring_hi"][:, i] for i in range(cfg.ring_width)]
-            eq = jnp.ones((b, b), dtype=bool)
-            for f in hk:
-                eq &= f[:, None] == f[None, :]
+                nw_cap,
+            )
+            hk_hi = _mix_key(
+                jnp,
+                new_state["p_hi"],
+                new_state["p_lo"],
+                nw_cap,
+                new_state["last_tok"].astype(jnp.uint32) ^ jnp.uint32(0x9E3779B9),
+            )
+            for i in range(cfg.ring_width):
+                hk_lo = _mix_key(
+                    jnp, hk_lo, new_state["ring_lo"][:, i],
+                    new_state["ring_hi"][:, i], jnp.uint32(2 * i + 1),
+                )
+                hk_hi = _mix_key(
+                    jnp, hk_hi, new_state["ring_hi"][:, i],
+                    new_state["ring_lo"][:, i], jnp.uint32(2 * i + 2),
+                )
+            eq = (hk_lo[:, None] == hk_lo[None, :]) & (
+                hk_hi[:, None] == hk_hi[None, :]
+            )
             lower = jnp.tril(jnp.ones((b, b), dtype=bool), k=-1)
             dup_h = jnp.any(eq & lower, axis=1)
             new_state["logit"] = jnp.where(dup_h, DEAD, new_state["logit"])

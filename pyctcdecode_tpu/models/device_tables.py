@@ -565,14 +565,16 @@ def _pad_trie_rows(
 ) -> np.ndarray:
     """Pad packed trie rows to a fast-gather width; fold in word data.
 
-    Rows narrower than 64 i32 words take the gather emitter's slow
-    per-element path (~36 ns/row at width 31 vs ~14 ns at 64, measured in
-    scripts/gather_cost_model.py; width 128 is another ~1.85x cheaper per
-    row in isolation, but in the decode program the gather fusion is NOT
-    width-bound — padding trie rows to 128 measured zero change — so rows
-    stay at the next multiple of 64). The spare columns carry the node's
-    per-word constants so the per-frame child walk, the commit-time
-    word-id fetch AND the word's order-1 probe all ride ONE row-gather:
+    Rows are padded to multiples of 128 i32 words: the gather emitter's
+    vectorized row-copy path prices a 512-byte row ~1.9x cheaper PER ROW
+    than a 256-byte one (scripts/gather_cost_model.py: ~8.5 ns vs ~14 ns,
+    and the round-4 serving profile confirmed the in-program per-step trie
+    gather at exactly that ratio against the 128-word probe gathers —
+    padding 64 -> 128 cut the trie gather from 24% to ~13% of device
+    time for 2x the plane's HBM footprint). The spare columns carry the
+    node's per-word constants so the per-frame child walk, the
+    commit-time word-id fetch AND the word's order-1 probe all ride ONE
+    row-gather:
 
     * col W-4: the word's unigram log10-prob (f32 bits),
     * col W-3: its unigram backoff (f32 bits),
@@ -580,7 +582,7 @@ def _pad_trie_rows(
     * col W-1: the vocab word id (-1 for non-terminal nodes).
     """
     n, c = packed.shape
-    w = 64 * ((c + 4 + 63) // 64)
+    w = 128 * ((c + 4 + 127) // 128)
     rows = np.zeros((n, w), dtype=np.int32)
     rows[:, :c] = packed
     has = word_id >= 0
