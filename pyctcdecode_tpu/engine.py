@@ -534,6 +534,12 @@ def _merge_dense(jnp, keys, valid, logit):
     # that keeps a big axis minor-most). [K*B, B] keeps the lane axis
     # >= 128 wide for any K. The reshapes are metadata-only.
     eq2 = eq.reshape((-1, b) if not lead else lead[:-1] + (lead[-1] * b, b))
+    # (round 4: materializing eq2 once behind an optimization_barrier —
+    # to stop the four reductions re-deriving the mask — measured ~1.7x
+    # SLOWER end-to-end: the forced pred layout broke the reductions'
+    # beam-minor layout, hitting the same ~11x reduce pathology the
+    # [K, B] transpose barrier above exists to avoid. The re-derived
+    # compares are the cheaper evil; do not retry.)
     idx = jnp.arange(b, dtype=jnp.int32)
     lj = jnp.broadcast_to(logit[..., None, :], eq.shape).reshape(eq2.shape)
     ij = jnp.broadcast_to(idx, eq.shape).reshape(eq2.shape)
@@ -796,12 +802,40 @@ def _make_step(
             argmax_tok = jnp.argmax(logp_row).astype(jnp.int32)
             admit = (tok_logp >= prm["token_min_logp"]) | (toks == argmax_tok)
 
-        tok_kind = tok_dev["kind"][toks]
+        # per-chunk token-plane lookups. With traced token ids (timeline
+        # chunks) each tiny-table index lowers to a scalar-core gather —
+        # ~8 such planes cost ~90 ms per 768-batch — so small vocabularies
+        # resolve every plane through ONE shared [K, V] one-hot mask
+        # (_token_cols); big-vocab BPE keeps the gathers (the mask would
+        # be [K, 32k] per step).
+        _tc = None
+        if tl and v <= 512:
+            _tt = {
+                "kind": tok_dev["kind"],
+                "right": tok_dev["right_bound"],
+                "plen": tok_dev["piece_len"],
+                "rlen": tok_dev["raw_len"],
+                "seed_lo": tok_dev["seed_lo"],
+                "seed_hi": tok_dev["seed_hi"],
+            }
+            for l in range(lmax):
+                _tt[f"cid{l}"] = tok_dev["raw_chars"][:, l]
+            for i in range(n_lms):
+                _tt[f"seed_ent{i}"] = devs[i]["seed_node_arr"]
+            if cfg.use_hotwords:
+                _tt["hot_seed"] = hot["seed"]
+            _tc = _token_cols(jnp, _tt, toks, v)
+            tok_kind = _tc["kind"]
+            tok_right = _tc["right"]
+            tok_plen = _tc["plen"]
+            tok_rlen = _tc["rlen"]
+        else:
+            tok_kind = tok_dev["kind"][toks]
+            tok_right = tok_dev["right_bound"][toks]
+            tok_plen = tok_dev["piece_len"][toks]  # boundary piece length
+            tok_rlen = tok_dev["raw_len"][toks]  # raw label length
         blank = tok_kind == KIND_BLANK
         boundary_kind = tok_kind == KIND_BOUNDARY
-        tok_right = tok_dev["right_bound"][toks]
-        tok_plen = tok_dev["piece_len"][toks]  # boundary piece length
-        tok_rlen = tok_dev["raw_len"][toks]  # raw label length
 
         alive = state["logit"] > DEAD_THRESH
         trie_rows_b = [
@@ -851,7 +885,7 @@ def _make_step(
             # char alphabets: one char per label. Gather each beam's full
             # trie row (contiguous, B row-gathers) and index it by token
             # char in fast memory instead of B*K random gathers into HBM.
-            cid = tok_dev["raw_chars"][toks, 0]  # [K]
+            cid = _tc["cid0"] if _tc is not None else tok_dev["raw_chars"][toks, 0]  # [K]
             has = (cid >= 0)[None, :]
             cid_safe = jnp.maximum(cid, 0)
             cid_b = jnp.broadcast_to(cid_safe[None, :], (b, k))
@@ -867,7 +901,10 @@ def _make_step(
                 ext_hentry = jnp.where(has, hrows[:, cid_safe], ext_hentry)
         else:
             for l in range(lmax):
-                cid = tok_dev["raw_chars"][toks, l]  # [K]
+                cid = (
+                    _tc[f"cid{l}"] if _tc is not None
+                    else tok_dev["raw_chars"][toks, l]
+                )  # [K]
                 has = (cid >= 0)[None, :]
                 cid_b = jnp.broadcast_to(jnp.maximum(cid, 0)[None, :], (b, k))
                 if not fold:
@@ -887,8 +924,11 @@ def _make_step(
                         ext_hentry,
                     )
 
-        seed_lo_k = tok_dev["seed_lo"][toks]
-        seed_hi_k = tok_dev["seed_hi"][toks]
+        if _tc is not None:
+            seed_lo_k, seed_hi_k = _tc["seed_lo"], _tc["seed_hi"]
+        else:
+            seed_lo_k = tok_dev["seed_lo"][toks]
+            seed_hi_k = tok_dev["seed_hi"][toks]
         if not fold:
             seed_lo = jnp.broadcast_to(seed_lo_k[None, :], (b, k))
             seed_hi = jnp.broadcast_to(seed_hi_k[None, :], (b, k))
@@ -911,7 +951,11 @@ def _make_step(
         p_entry_n = []
         for i in range(n_lms):
             seed_entry = jnp.broadcast_to(
-                devs[i]["seed_node_arr"][toks][None, :], (b, k)
+                (
+                    _tc[f"seed_ent{i}"] if _tc is not None
+                    else devs[i]["seed_node_arr"][toks]
+                )[None, :],
+                (b, k),
             )
             p_entry_n.append(
                 jnp.where(
@@ -921,7 +965,13 @@ def _make_step(
                 )
             )
         if cfg.use_hotwords:
-            seed_hentry = jnp.broadcast_to(hot["seed"][toks][None, :], (b, k))
+            seed_hentry = jnp.broadcast_to(
+                (
+                    _tc["hot_seed"] if _tc is not None
+                    else hot["seed"][toks]
+                )[None, :],
+                (b, k),
+            )
             h_entry_n = jnp.where(
                 stay,
                 (state["h_node"] | state["h_bits"])[:, None],

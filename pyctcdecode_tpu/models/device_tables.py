@@ -360,6 +360,10 @@ def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object") -> Tuple:
     size = tab_dev["size"]
     h, lo, hi = _query_hashes(jnp, tab_dev, query)
     base = (h & jnp.uint32(size - 1)).astype(jnp.int32)
+    # (round 4: clamping invalid queries' bucket index to 0 for HBM
+    # locality was tried and reverted — the extra `where` on the gather
+    # index sent the XLA compile time from ~3 min to >25 min per segment
+    # program on this backend, for an unmeasurable win)
     rows = tab_dev["bucket"][base]  # [Q, 128]
     return _bucket_readout(jnp, jax, rows, lo, hi, valid)
 
@@ -565,14 +569,15 @@ def _pad_trie_rows(
 ) -> np.ndarray:
     """Pad packed trie rows to a fast-gather width; fold in word data.
 
-    Rows are padded to multiples of 128 i32 words: the gather emitter's
-    vectorized row-copy path prices a 512-byte row ~1.9x cheaper PER ROW
-    than a 256-byte one (scripts/gather_cost_model.py: ~8.5 ns vs ~14 ns,
-    and the round-4 serving profile confirmed the in-program per-step trie
-    gather at exactly that ratio against the 128-word probe gathers —
-    padding 64 -> 128 cut the trie gather from 24% to ~13% of device
-    time for 2x the plane's HBM footprint). The spare columns carry the
-    node's per-word constants so the per-frame child walk, the
+    Rows are padded to multiples of 128 i32 words. The isolated cost model
+    (scripts/gather_cost_model.py) prices 512-byte rows ~1.9x cheaper per
+    row than 256-byte ones (~8.5 vs ~14 ns), but round-4 A/B profiles of
+    the full serving program measured the per-step gather IDENTICAL at
+    widths 64 and 128 (~12.4 ns/row both ways — in-program gathers are
+    issue-bound, not width-bound). 128 is kept because the row also
+    carries the per-word constants below and leaves headroom for larger
+    alphabets at an acceptable 2x plane footprint. The spare columns
+    carry the node's per-word constants so the per-frame child walk, the
     commit-time word-id fetch AND the word's order-1 probe all ride ONE
     row-gather:
 

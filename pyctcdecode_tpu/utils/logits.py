@@ -143,6 +143,43 @@ def _ragged_bounds(lens: "object") -> np.ndarray:
     return bounds
 
 
+_HOST_POOL = None
+
+
+def _host_pool():
+    """Shared thread pool for batch host prep (numpy releases the GIL).
+
+    Sized to the machine's cores minus one (the main thread keeps
+    dispatching device work). Threads, not processes: the work is numpy
+    C loops over large arrays, and the inputs would be expensive to pickle.
+    """
+    global _HOST_POOL
+    if _HOST_POOL is None:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        _HOST_POOL = ThreadPoolExecutor(
+            max_workers=max((os.cpu_count() or 2) - 1, 1)
+        )
+    return _HOST_POOL
+
+
+def _parallel_over_chunks(fn, mats, min_chunk: int = 64):
+    """Run ``fn(chunk_of_mats)`` over utterance chunks on the host pool.
+
+    Returns the per-chunk results in order. Falls back to one direct call
+    for small batches (thread overhead beats the win below ~2 chunks).
+    """
+    pool = _host_pool()
+    workers = pool._max_workers
+    n = len(mats)
+    if workers < 2 or n < 2 * min_chunk:
+        return [fn(mats)]
+    per = max(min_chunk, -(-n // workers))
+    chunks = [mats[i : i + per] for i in range(0, n, per)]
+    return list(pool.map(fn, chunks))
+
+
 def _normalize_cat(mats: "object") -> tuple:
     """Normalize a ragged batch over its concatenated frame axis.
 
@@ -184,14 +221,43 @@ def _normalize_cat(mats: "object") -> tuple:
 
 
 def normalize_batch(mats: "object") -> list:
-    """Vectorized ``[normalize_to_logp(m).astype(f32) for m in mats]``."""
+    """Vectorized ``[normalize_to_logp(m).astype(f32) for m in mats]``.
+
+    Parallelized over utterance chunks on the host thread pool.
+    """
     if not len(mats):
         return []
-    out, bounds, _, _ = _normalize_cat(mats)
-    return [out[bounds[i] : bounds[i + 1]] for i in range(len(mats))]
+
+    def one(chunk):
+        out, bounds, _, _ = _normalize_cat(chunk)
+        return [out[bounds[i] : bounds[i + 1]] for i in range(len(chunk))]
+
+    res: list = []
+    for part in _parallel_over_chunks(one, list(mats)):
+        res.extend(part)
+    return res
 
 
 def normalize_collapse_batch(
+    mats: "object", blank_id: int, token_min_logp: float
+) -> tuple:
+    """Parallel wrapper over :func:`_normalize_collapse_chunk` (bit-equal:
+    every step is per-utterance)."""
+    collapsed: list = []
+    keep: list = []
+    offs: list = []
+    parts = _parallel_over_chunks(
+        lambda ch: _normalize_collapse_chunk(ch, blank_id, token_min_logp),
+        list(mats),
+    )
+    for c, k, o in parts:
+        collapsed.extend(c)
+        keep.extend(k)
+        offs.extend(o)
+    return collapsed, keep, offs
+
+
+def _normalize_collapse_chunk(
     mats: "object", blank_id: int, token_min_logp: float
 ) -> tuple:
     """Normalize + blank-collapse a ragged batch in whole-batch passes.
@@ -244,6 +310,24 @@ def normalize_collapse_batch(
 
 
 def token_timeline_batch(
+    mats: "object", token_min_logp: float, k_chunk: int
+) -> tuple:
+    """Parallel wrapper over :func:`_token_timeline_chunk`."""
+    tls: list = []
+    vlens_parts: list = []
+    parts = _parallel_over_chunks(
+        lambda ch: _token_timeline_chunk(ch, token_min_logp, k_chunk),
+        list(mats),
+    )
+    for t, v in parts:
+        tls.extend(t)
+        vlens_parts.append(v)
+    return tls, (
+        np.concatenate(vlens_parts) if vlens_parts else np.zeros(0, np.int64)
+    )
+
+
+def _token_timeline_chunk(
     mats: "object", token_min_logp: float, k_chunk: int
 ) -> tuple:
     """Whole-batch :func:`token_timeline`: one vectorized pass, no per-utt loop.

@@ -81,8 +81,6 @@ def main() -> None:
     # 3. LM share of a whole reference decode (count calls, then price
     # them at the measured per-call cost — counting wrappers would skew
     # the wall time otherwise)
-    with open(bench.__file__.replace("bench.py", "") + "/dev/null", "a"):
-        pass
     import pickle
 
     corpus_pkl = os.path.join(bench.CACHE_DIR, "bench_corpus_b768.pkl")
