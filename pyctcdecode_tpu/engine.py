@@ -90,10 +90,6 @@ class EngineConfig:
     # raw [T, B] backpointer matrices (slashes device->host transfer for
     # top-1 decoding); None emits the full pointers
     emit_paths: Optional[int] = None
-    # compute the per-frame block-diagonal merge + window prune in one
-    # Pallas kernel pass (ops/pallas_merge.py) instead of XLA's separate
-    # reductions; interpret mode is selected automatically off-TPU
-    use_pallas_merge: bool = False
     # rank candidates with TPU's PartialReduce-based approx_max_k instead
     # of the full sort lax.top_k lowers to. With recall_target=1.0 the
     # top-k SET is exact and a re-sort restores enumeration tie order
@@ -754,16 +750,10 @@ def _make_step(
     c = b * k
     lmax = int(tok_dev["raw_chars"].shape[1])
     n_lms = cfg.n_lms
-    if cfg.collect_stats and cfg.use_pallas_merge:
-        raise ValueError(
-            "decode statistics require the default merge path "
-            "(collect_stats=True with use_pallas_merge=True is unsupported)"
-        )
     tl = cfg.token_timeline
-    if tl and (cfg.use_pallas_merge or cfg.collect_stats):
+    if tl and cfg.collect_stats:
         raise ValueError(
-            "token_timeline decoding supports neither use_pallas_merge "
-            "nor collect_stats"
+            "token_timeline decoding does not support collect_stats"
         )
 
     def _flatten(x):
@@ -865,12 +855,8 @@ def _make_step(
         # ---- partial-word extension walk (regular children, raw label).
         # Trie transitions return PACKED entries (child node + its flags),
         # so each walk step is one gather and scoring needs no flag lookups.
-        # With the Pallas kernel the candidate hash/key planes are computed
-        # in VMEM (ops.pallas_merge._expand_math) and never built here.
-        fold = cfg.use_pallas_merge
-        if not fold:
-            ext_lo = jnp.broadcast_to(state["p_lo"][:, None], (b, k))
-            ext_hi = jnp.broadcast_to(state["p_hi"][:, None], (b, k))
+        ext_lo = jnp.broadcast_to(state["p_lo"][:, None], (b, k))
+        ext_hi = jnp.broadcast_to(state["p_hi"][:, None], (b, k))
         ext_entries = [
             jnp.broadcast_to(
                 (state[f"p_node{i}"] | state[f"p_flags{i}"])[:, None], (b, k)
@@ -889,10 +875,9 @@ def _make_step(
             has = (cid >= 0)[None, :]
             cid_safe = jnp.maximum(cid, 0)
             cid_b = jnp.broadcast_to(cid_safe[None, :], (b, k))
-            if not fold:
-                nlo, nhi = hash_extend_char(jnp, ext_lo, ext_hi, cid_b)
-                ext_lo = jnp.where(has, nlo, ext_lo)
-                ext_hi = jnp.where(has, nhi, ext_hi)
+            nlo, nhi = hash_extend_char(jnp, ext_lo, ext_hi, cid_b)
+            ext_lo = jnp.where(has, nlo, ext_lo)
+            ext_hi = jnp.where(has, nhi, ext_hi)
             for i in range(n_lms):
                 rows = trie_rows_b[i]  # [B, W] (shared with commit scoring)
                 ext_entries[i] = jnp.where(has, rows[:, cid_safe], ext_entries[i])
@@ -907,10 +892,9 @@ def _make_step(
                 )  # [K]
                 has = (cid >= 0)[None, :]
                 cid_b = jnp.broadcast_to(jnp.maximum(cid, 0)[None, :], (b, k))
-                if not fold:
-                    nlo, nhi = hash_extend_char(jnp, ext_lo, ext_hi, cid_b)
-                    ext_lo = jnp.where(has, nlo, ext_lo)
-                    ext_hi = jnp.where(has, nhi, ext_hi)
+                nlo, nhi = hash_extend_char(jnp, ext_lo, ext_hi, cid_b)
+                ext_lo = jnp.where(has, nlo, ext_lo)
+                ext_hi = jnp.where(has, nhi, ext_hi)
                 for i in range(n_lms):
                     ext_entries[i] = jnp.where(
                         has,
@@ -929,15 +913,14 @@ def _make_step(
         else:
             seed_lo_k = tok_dev["seed_lo"][toks]
             seed_hi_k = tok_dev["seed_hi"][toks]
-        if not fold:
-            seed_lo = jnp.broadcast_to(seed_lo_k[None, :], (b, k))
-            seed_hi = jnp.broadcast_to(seed_hi_k[None, :], (b, k))
-            p_lo_n = jnp.where(
-                stay, state["p_lo"][:, None], jnp.where(as_boundary, seed_lo, ext_lo)
-            )
-            p_hi_n = jnp.where(
-                stay, state["p_hi"][:, None], jnp.where(as_boundary, seed_hi, ext_hi)
-            )
+        seed_lo = jnp.broadcast_to(seed_lo_k[None, :], (b, k))
+        seed_hi = jnp.broadcast_to(seed_hi_k[None, :], (b, k))
+        p_lo_n = jnp.where(
+            stay, state["p_lo"][:, None], jnp.where(as_boundary, seed_lo, ext_lo)
+        )
+        p_hi_n = jnp.where(
+            stay, state["p_hi"][:, None], jnp.where(as_boundary, seed_hi, ext_hi)
+        )
         if n_lms or cfg.use_hotwords:  # partial length feeds pscore only
             p_len_n = jnp.where(
                 stay,
@@ -978,28 +961,27 @@ def _make_step(
                 jnp.where(as_boundary, seed_hentry, ext_hentry),
             )
 
-        if not fold:
-            text_lo_n = jnp.where(
-                as_boundary, cm["text_lo"][:, None], state["text_lo"][:, None]
-            )
-            text_hi_n = jnp.where(
-                as_boundary, cm["text_hi"][:, None], state["text_hi"][:, None]
-            )
-            fused_n = state["fused"][:, None] + jnp.where(
-                as_boundary, cm["word_fused"][:, None], 0.0
-            )
-            force_n = jnp.where(
-                as_boundary, tok_right[None, :], state["force"][:, None]
-            )
-            logit_n = jnp.where(
-                alive[:, None], state["logit"][:, None] + tok_logp[None, :], DEAD
-            )
-            valid = alive[:, None] & admit[None, :]
+        text_lo_n = jnp.where(
+            as_boundary, cm["text_lo"][:, None], state["text_lo"][:, None]
+        )
+        text_hi_n = jnp.where(
+            as_boundary, cm["text_hi"][:, None], state["text_hi"][:, None]
+        )
+        fused_n = state["fused"][:, None] + jnp.where(
+            as_boundary, cm["word_fused"][:, None], 0.0
+        )
+        force_n = jnp.where(
+            as_boundary, tok_right[None, :], state["force"][:, None]
+        )
+        logit_n = jnp.where(
+            alive[:, None], state["logit"][:, None] + tok_logp[None, :], DEAD
+        )
+        valid = alive[:, None] & admit[None, :]
 
-            # ---- merge keys (token identity is implicit: merges are
-            # block-diagonal per token column, see _merge_dense)
-            kl = _mix_key(jnp, text_lo_n, p_lo_n, p_hi_n, force_n.astype(jnp.uint32))
-            kh = _mix_key(jnp, text_hi_n, p_hi_n, p_lo_n, force_n.astype(jnp.uint32))
+        # ---- merge keys (token identity is implicit: merges are
+        # block-diagonal per token column, see _merge_dense)
+        kl = _mix_key(jnp, text_lo_n, p_lo_n, p_hi_n, force_n.astype(jnp.uint32))
+        kh = _mix_key(jnp, text_hi_n, p_hi_n, p_lo_n, force_n.astype(jnp.uint32))
 
         # every member of a merge group shares (text, partial), hence the
         # same fused accumulator and partial score — use each candidate's
@@ -1019,90 +1001,47 @@ def _make_step(
         else:
             pscore = None
 
-        # ---- block-diagonal merge + window prune: [K, B] layout.
-        # Both paths produce the same three [C] vectors: ``sc`` (pruned
-        # candidate score, DEAD at duplicate members), ``merged_c`` (group
-        # logsumexp at every member) and ``src_flat`` (newest group member,
-        # the backtrace donor).
+        # ---- block-diagonal merge + window prune: [K, B] layout,
+        # producing three [C] vectors: ``sc`` (pruned candidate score,
+        # DEAD at duplicate members), ``merged_c`` (group logsumexp at
+        # every member) and ``src_flat`` (newest group member, the
+        # backtrace donor). (A fused Pallas expand+merge kernel lived
+        # here through round 3; measured 31x SLOWER than XLA's reductions
+        # at the serving shape — see ops/pallas_merge.py, retired.)
         to_kb = lambda x: jnp.swapaxes(x, 0, 1)  # noqa: E731
-        if fold:
-            from .ops.pallas_merge import expand_merge_score_pallas
-
-            beam_planes = {
-                "text_lo": state["text_lo"],
-                "text_hi": state["text_hi"],
-                "cm_text_lo": cm["text_lo"],
-                "cm_text_hi": cm["text_hi"],
-                "p_lo": state["p_lo"],
-                "p_hi": state["p_hi"],
-                "force": state["force"].astype(jnp.int32),
-                "fused": state["fused"],
-                "wfused": cm["word_fused"],
-                "logit": state["logit"],
-                "last_tok": state["last_tok"],
-            }
-            tok_planes = {
-                "tok": toks,
-                "blank": blank.astype(jnp.int32),
-                "boundary": boundary_kind.astype(jnp.int32),
-                "right": tok_right.astype(jnp.int32),
-                "seed_lo": seed_lo_k,
-                "seed_hi": seed_hi_k,
-                "tok_logp": tok_logp,
-                "admit": admit.astype(jnp.int32),
-            }
-            cid_planes = [tok_dev["raw_chars"][toks, l] for l in range(lmax)]
-            pscore_kb = (
-                pscore.reshape(k, b)
-                if pscore is not None
-                else jnp.zeros((k, b), dtype=jnp.float32)
+        extra = (
+            _flatten(fused_n) + pscore
+            if pscore is not None
+            else _flatten(fused_n)
+        )
+        # Materialize the [K, B] transposes before the merge: the
+        # barrier stops XLA from folding the transpose into the merge
+        # reductions as a bitcast-layout, which would leave the
+        # reduced beam axis strided (k-minor layout) and run the
+        # [K, B, B] sweeps ~10x slower than with the beam axis on
+        # the 128-wide lanes (measured 14 ms vs 1 ms per frame at
+        # batch 168, B=100, K=8).
+        kl_t, kh_t, valid_t, logit_t = jax.lax.optimization_barrier(
+            (to_kb(kl), to_kb(kh), to_kb(valid), to_kb(logit_n))
+        )
+        merged, dup, donor = _merge_dense(
+            jnp, [kl_t, kh_t], valid_t, logit_t
+        )
+        src_flat = (
+            jnp.arange(k, dtype=jnp.int32)[:, None] * b + donor
+        ).reshape(c)
+        rep = (valid_t & ~dup).reshape(c)
+        merged_c = merged.reshape(c)  # group logsumexp at EVERY member
+        merged_flat = jnp.where(rep, merged_c, DEAD)
+        live = merged_flat > DEAD_THRESH
+        lm_score_flat = jnp.where(live, merged_flat + extra, DEAD)
+        if not tl:
+            mx = jnp.max(lm_score_flat)
+            sc = jnp.where(
+                lm_score_flat >= mx + prm["beam_prune_logp"],
+                lm_score_flat,
+                DEAD,
             )
-            sc_kb, merged_kb, src_kb = expand_merge_score_pallas(
-                beam_planes,
-                tok_planes,
-                cid_planes,
-                pscore_kb,
-                prm["beam_prune_logp"],
-                cfg.is_bpe,
-                interpret=jax.default_backend() != "tpu",
-            )
-            sc = sc_kb.reshape(c)
-            merged_c = merged_kb.reshape(c)
-            src_flat = src_kb.reshape(c)
-        else:
-            extra = (
-                _flatten(fused_n) + pscore
-                if pscore is not None
-                else _flatten(fused_n)
-            )
-            # Materialize the [K, B] transposes before the merge: the
-            # barrier stops XLA from folding the transpose into the merge
-            # reductions as a bitcast-layout, which would leave the
-            # reduced beam axis strided (k-minor layout) and run the
-            # [K, B, B] sweeps ~10x slower than with the beam axis on
-            # the 128-wide lanes (measured 14 ms vs 1 ms per frame at
-            # batch 168, B=100, K=8).
-            kl_t, kh_t, valid_t, logit_t = jax.lax.optimization_barrier(
-                (to_kb(kl), to_kb(kh), to_kb(valid), to_kb(logit_n))
-            )
-            merged, dup, donor = _merge_dense(
-                jnp, [kl_t, kh_t], valid_t, logit_t
-            )
-            src_flat = (
-                jnp.arange(k, dtype=jnp.int32)[:, None] * b + donor
-            ).reshape(c)
-            rep = (valid_t & ~dup).reshape(c)
-            merged_c = merged.reshape(c)  # group logsumexp at EVERY member
-            merged_flat = jnp.where(rep, merged_c, DEAD)
-            live = merged_flat > DEAD_THRESH
-            lm_score_flat = jnp.where(live, merged_flat + extra, DEAD)
-            if not tl:
-                mx = jnp.max(lm_score_flat)
-                sc = jnp.where(
-                    lm_score_flat >= mx + prm["beam_prune_logp"],
-                    lm_score_flat,
-                    DEAD,
-                )
 
         if tl:
             # ---- pool ∪ chunk ranking. The window prune moves to the
@@ -1243,11 +1182,15 @@ def _make_step(
                 h_ent = sel.pop("_h")
                 new_state["h_node"] = h_ent & HOT_NODE_MASK
                 new_state["h_bits"] = h_ent & ~HOT_NODE_MASK
+        # committed-variant (m_*) text hashes, rings and word counts are
+        # NOT selected: they are deterministic per-beam functions of the
+        # selected carried fields (hash_text_commit / ring shift / +1),
+        # recomputed for the B winners below — ~27 fewer operand rows in
+        # the select's bf16 matrix. Only probe-derived m_* quantities
+        # (word_fused, contexts, backoffs) still ride the select.
         beam_fields = {
             "c_text_lo": state["text_lo"],
-            "m_text_lo": cm["text_lo"],
             "c_text_hi": state["text_hi"],
-            "m_text_hi": cm["text_hi"],
             "c_p_lo": state["p_lo"],
             "c_p_hi": state["p_hi"],
             "c_p_len": state["p_len"],
@@ -1256,13 +1199,20 @@ def _make_step(
             "c_fused": state["fused"],
             "m_wfused": cm["word_fused"],
             "c_nw": state["n_words"],
-            "m_nw": cm["n_words"],
             "c_ring_lo": state["ring_lo"],
             "c_ring_hi": state["ring_hi"],
-            "m_ring_lo": cm["ring_lo"],
-            "m_ring_hi": cm["ring_hi"],
         }
-        beam_chunks = {"c_p_len": 3, "c_force": 1, "c_nw": 3, "m_nw": 3}
+        beam_chunks = {
+            "c_p_len": 3,
+            "c_force": 1,
+            "c_nw": 3,
+            # token ids fit 8/16 bits for all realistic vocabularies; the
+            # dead-beam sentinel (-2 - slot) stays representable because
+            # the chunks reassemble the full low bits and sign-extension
+            # is handled by the bitcast only for 4-chunk fields — so keep
+            # 4 chunks when b could push the sentinel past the low range
+            "c_last": 4,
+        }
         for i in range(n_lms):
             beam_fields[f"c_ctx{i}"] = state[f"ctx{i}"]
             beam_fields[f"m_ctx{i}"] = cm[f"ctx{i}"]
@@ -1326,6 +1276,31 @@ def _make_step(
                 k,
             )
         tok_w = tcols["tok"]
+        # winner-side recompute of the committed-variant fields (exact:
+        # same formulas as _commit_quantities applied to the selected
+        # carried fields)
+        commit_w = bsel["c_p_len"] > 0
+        mt_lo, mt_hi = hash_text_commit(
+            jnp, bsel["c_text_lo"], bsel["c_text_hi"],
+            bsel["c_p_lo"], bsel["c_p_hi"],
+        )
+        m_text_lo_w = jnp.where(commit_w, mt_lo, bsel["c_text_lo"])
+        m_text_hi_w = jnp.where(commit_w, mt_hi, bsel["c_text_hi"])
+        m_ring_lo_w = jnp.where(
+            commit_w[:, None],
+            jnp.concatenate(
+                [bsel["c_ring_lo"][:, 1:], bsel["c_p_lo"][:, None]], axis=1
+            ),
+            bsel["c_ring_lo"],
+        )
+        m_ring_hi_w = jnp.where(
+            commit_w[:, None],
+            jnp.concatenate(
+                [bsel["c_ring_hi"][:, 1:], bsel["c_p_hi"][:, None]], axis=1
+            ),
+            bsel["c_ring_hi"],
+        )
+        m_nw_w = bsel["c_nw"] + commit_w.astype(jnp.int32)
         stay_w = tcols["blank"] | (bsel["c_last"] == tok_w)
         if cfg.is_bpe:
             bnd_w = ~stay_w & (tcols["boundary"] | bsel["c_force"])
@@ -1353,19 +1328,15 @@ def _make_step(
                 bnd_w, tcols["plen"], bsel["c_p_len"] + tcols["rlen"]
             ),
         )
-        new_state["text_lo"] = jnp.where(bnd_w, bsel["m_text_lo"], bsel["c_text_lo"])
-        new_state["text_hi"] = jnp.where(bnd_w, bsel["m_text_hi"], bsel["c_text_hi"])
+        new_state["text_lo"] = jnp.where(bnd_w, m_text_lo_w, bsel["c_text_lo"])
+        new_state["text_hi"] = jnp.where(bnd_w, m_text_hi_w, bsel["c_text_hi"])
         new_state["fused"] = bsel["c_fused"] + jnp.where(bnd_w, bsel["m_wfused"], 0.0)
-        new_state["n_words"] = jnp.where(bnd_w, bsel["m_nw"], bsel["c_nw"])
+        new_state["n_words"] = jnp.where(bnd_w, m_nw_w, bsel["c_nw"])
         new_state["force"] = jnp.where(bnd_w, tcols["right"], bsel["c_force"])
         new_state["last_tok"] = tok_w
         bnd2 = bnd_w[:, None]
-        new_state["ring_lo"] = jnp.where(
-            bnd2, bsel["m_ring_lo"], bsel["c_ring_lo"]
-        )
-        new_state["ring_hi"] = jnp.where(
-            bnd2, bsel["m_ring_hi"], bsel["c_ring_hi"]
-        )
+        new_state["ring_lo"] = jnp.where(bnd2, m_ring_lo_w, bsel["c_ring_lo"])
+        new_state["ring_hi"] = jnp.where(bnd2, m_ring_hi_w, bsel["c_ring_hi"])
         for i in range(n_lms):
             new_state[f"ctx{i}"] = jnp.where(
                 bnd2, bsel[f"m_ctx{i}"], bsel[f"c_ctx{i}"]

@@ -5,13 +5,12 @@ The reference scores beams through per-word C++ callbacks into KenLM
 word, so this module compiles the same model into flat arrays probed
 on-device with gathers:
 
-* **n-gram tables** — one bucketized hash table per order n >= 2: 32
-  slots per bucket, a bucket row packed as 128 i32 words (struct-of-arrays:
-  32x fp_lo, 32x fp_hi, 32x prob, 32x backoff). A probe is ONE 512-byte
-  row-gather — TPU gather cost is per-row and the emitter's vectorized
-  row-copy path makes a 128-word row CHEAPER (~8.5 ns) than a 2-word row
-  (~10 ns; measured, scripts/gather_cost_model.py) — followed by in-register
-  fingerprint compares. Keys are matched by 64-bit fingerprint (KenLM's
+* **n-gram tables** — one bucketized hash table per order n >= 2: 16
+  slots per bucket, a bucket row packed as 64 i32 words (struct-of-arrays:
+  16x fp_lo, 16x fp_hi, 16x prob, 16x backoff). A probe is ONE 256-byte
+  row-gather — TPU gather cost is per-row (issue-bound: measured flat in
+  row width in-program, scripts/gather_cost_model.py + round-4 profiles)
+  — followed by in-register fingerprint compares. Keys are matched by 64-bit fingerprint (KenLM's
   probing format accepts the same hashed-key risk); build-time reseeding
   keeps residents of every bucket fingerprint-distinct, so every key that
   IS in the table always resolves to its own value.
@@ -65,13 +64,15 @@ _FP_SEED_LO = 0x811C9DC5 ^ 0x5BD1E995
 _FP_SEED_HI = 0x811C9DC5 ^ 0xC2B2AE35
 
 
-# slots per bucket. One bucket row is 4 * _BUCKET_SLOTS i32 words; at >=64
-# words (256 B) the TPU gather emitter switches to a vectorized row copy and
-# whole-row fetches get CHEAPER than narrow ones (measured 8.5 ns/row at 128
-# words vs ~36 ns/row at 32, scripts/gather_cost_model.py) — so a single
-# 512-byte gather answers a probe with no prefilter and no dependent second
-# fetch, and the deeper bucket lets the table run at load factor ~1/3.
-_BUCKET_SLOTS = 32
+# slots per bucket. One bucket row is 4 * _BUCKET_SLOTS i32 words; at >= 64
+# words (256 B) the TPU gather emitter uses its vectorized row-copy path
+# (scripts/gather_cost_model.py), and the round-4 serving profiles measured
+# in-program gather cost PER ROW flat in width — so the bucket holds the
+# fewest slots whose row still rides the fast path: 16 slots = 64 words.
+# Halving from 32 (round 4) kept the single-gather probe and halved the
+# fingerprint-compare lanes of every readout; the bucket count doubles at
+# the same total bytes.
+_BUCKET_SLOTS = 16
 _BUCKET_WIDTH = 4 * _BUCKET_SLOTS
 
 
@@ -80,10 +81,10 @@ class FPTable:
     """One order's probe table in the single-gather bucket layout.
 
     Entries live in the bucket their base hash selects — never elsewhere —
-    so a probe is: gather ``bucket[h & (size-1)]`` (one [128]-word row),
-    compare the query's 64-bit fingerprint against all 32 resident
-    fingerprints in-register, and read the matching slot's (prob, backoff).
-    The build grows ``size`` until no bucket holds more than 32 entries and
+    so a probe is: gather ``bucket[h & (size-1)]`` (one row of
+    ``_BUCKET_WIDTH`` words), compare the query's 64-bit fingerprint
+    against all resident fingerprints in-register, and read the matching
+    slot's (prob, backoff). The build grows ``size`` until every bucket fits and
     reseeds the fingerprint lanes until residents of every bucket are
     pairwise distinct, so present keys always resolve exactly.
     """
@@ -93,8 +94,9 @@ class FPTable:
     seed_lo: int  # fingerprint lane seeds (reseeded on build-time collision)
     seed_hi: int
     count: int
-    # i32 [size, 128]: columns [0:32) fp_lo (u32 bits, _FP_EMPTY = vacant),
-    # [32:64) fp_hi, [64:96) prob (f32 bits), [96:128) backoff (f32 bits)
+    # i32 [size, _BUCKET_WIDTH], struct-of-arrays columns in slot-count
+    # strides: fp_lo (u32 bits, _FP_EMPTY = vacant), fp_hi, prob (f32
+    # bits), backoff (f32 bits)
     bucket: np.ndarray
     # "fnv": keys are id tuples hashed with seeded FNV lanes (ARPA/.ctclm
     # models). "kenlm": entries came from a KenLM PROBING binary, which
@@ -126,7 +128,7 @@ def _assemble_fp(
     Bucketized placement (no probing across buckets): entry *e* lives in
     bucket ``base_full[e] & (size - 1)``, at any free slot. The bucket
     count doubles until the fullest bucket fits (Poisson tails make this
-    terminate near load factor ~1/3 with 32-slot buckets), then the
+    terminate near load factor ~1/3), then the
     fingerprint lanes (``lane_fn(seed_lo, seed_hi)``) reseed until no two
     residents of a bucket share a full 64-bit fingerprint — lookups of
     present keys are then exact, and the masked-sum readout touches at
@@ -136,7 +138,7 @@ def _assemble_fp(
     probs = np.asarray(probs, dtype=np.float32)
     backoffs = np.asarray(backoffs, dtype=np.float32)
     size = _MIN_TABLE
-    while size * 12 < count:
+    while size * (3 * _BUCKET_SLOTS // 8) < count:  # ~load factor 1/3
         size *= 2
     while True:
         base = (base_full & np.uint32(size - 1)).astype(np.int64)

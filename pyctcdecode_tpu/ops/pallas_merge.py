@@ -1,4 +1,15 @@
-"""Pallas TPU kernel: fused block-diagonal merge + window prune.
+"""ARCHIVED EXPERIMENT — Pallas fused block-diagonal merge + window prune.
+
+Retired from the decode surface in round 4: at the serving shape
+(batch 384, K 6, B 100, vmapped/grid-blocked) the kernel measured
+**2.02 ms/frame vs 0.065 ms for XLA's lowered reductions — 31x slower**
+(scripts/bench_merge_kernel.py sweep over grid blocks 4/8/16; an earlier
+whole-step variant was 3x slower). Grid/DMA turnaround dominates at
+sub-100-us per-step work, and XLA's select+reduce fusions already run the
+B-minor layout at full lane width. The kernel and its parity tests are
+kept as the record of the experiment; nothing in the engine calls it.
+
+Original design notes follow.
 
 The engine's per-frame candidate merge (`engine._merge_dense`) is four
 [K, B, B] masked reductions — duplicate detection, group max, group
@@ -28,8 +39,7 @@ index downstream, matching the reference's enumeration-order stability.
 The kernel's vmap rule blocks the utterance batch onto the grid
 ``PYCTCDECODE_TPU_MERGE_BLOCK`` (default 8) utterances per grid step —
 per-utterance work is a few microseconds, so several utterances per step
-amortize grid/DMA turnaround. Select the kernel with
-``EngineConfig(use_pallas_merge=True)``.
+amortize grid/DMA turnaround.
 """
 from __future__ import annotations
 
@@ -453,7 +463,7 @@ def expand_merge_score_pallas(
     kc = _k_chunk(k, b)
     if 3 * kc * b * b * 4 > 12 * 1024 * 1024:
         raise ValueError(
-            f"use_pallas_merge: merge temporaries exceed VMEM even chunked "
+            f"merge kernel: temporaries exceed VMEM even chunked "
             f"(K={k}, B={b}, chunk={kc}; need 3*kc*B*B*4 <= 12MiB). Reduce "
             f"beam_width, lower PYCTCDECODE_TPU_MERGE_KCHUNK, or use the "
             f"default XLA merge path."
@@ -493,7 +503,7 @@ def merge_score_pallas(
     kc = _k_chunk(k, b)
     if 3 * kc * b * b * 4 > 12 * 1024 * 1024:
         raise ValueError(
-            f"use_pallas_merge: merge temporaries exceed VMEM even chunked "
+            f"merge kernel: temporaries exceed VMEM even chunked "
             f"(K={k}, B={b}, chunk={kc}; need 3*kc*B*B*4 <= 12MiB). Reduce "
             f"beam_width, lower PYCTCDECODE_TPU_MERGE_KCHUNK, or use the "
             f"default XLA merge path."

@@ -258,7 +258,6 @@ class TPUBeamSearchDecoderCTC:
         self,
         alphabet: Alphabet,
         language_model: Optional[LanguageModel] = None,
-        use_pallas_merge: bool = False,
         segment_frames: Optional[int] = None,
         fast_topk: bool = False,
     ) -> None:
@@ -266,7 +265,6 @@ class TPUBeamSearchDecoderCTC:
 
         from .models.language_model import MultiLanguageModel
 
-        self._use_pallas_merge = use_pallas_merge
         # approx_max_k ranking: exact top-k SET, tie order may diverge from
         # the reference's enumeration order (see EngineConfig.fast_topk)
         self._fast_topk = fast_topk
@@ -311,8 +309,8 @@ class TPUBeamSearchDecoderCTC:
         """A decoder sharing this one's device LM tables under different
         engine options.
 
-        ``overrides`` may set any of ``fast_topk``, ``segment_frames``,
-        ``use_pallas_merge``. Building the device tables is the expensive
+        ``overrides`` may set any of ``fast_topk`` or ``segment_frames``.
+        Building the device tables is the expensive
         part of construction (seconds for a production-scale n-gram LM),
         while the options only select which programs get compiled — so
         serving setups that want both a parity decoder and a throughput
@@ -328,7 +326,7 @@ class TPUBeamSearchDecoderCTC:
 
         from .models.language_model import MultiLanguageModel
 
-        allowed = ("fast_topk", "segment_frames", "use_pallas_merge")
+        allowed = ("fast_topk", "segment_frames")
         bad = sorted(set(overrides) - set(allowed))
         if bad:
             raise ValueError(
@@ -381,7 +379,6 @@ class TPUBeamSearchDecoderCTC:
             use_hotwords=use_hotwords,
             orders=orders,
             emit_paths=emit_paths,
-            use_pallas_merge=self._use_pallas_merge and not token_timeline,
             collect_stats=collect_stats,
             fast_topk=self._fast_topk,
             token_timeline=token_timeline,

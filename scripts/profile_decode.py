@@ -28,7 +28,6 @@ def main() -> None:
     ap.add_argument("--arpa", default=None)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--logdir", default=None, help="keep the raw trace here")
-    ap.add_argument("--pallas", action="store_true", help="use_pallas_merge")
     ap.add_argument("--fast-topk", action="store_true", dest="fast_topk")
     ap.add_argument(
         "--segment-frames", type=int, default=None, dest="segment_frames"
@@ -62,7 +61,6 @@ def main() -> None:
     dev = TPUBeamSearchDecoderCTC(
         Alphabet.build_alphabet(LIBRI_LABELS),
         lm,
-        use_pallas_merge=args.pallas,
         fast_topk=args.fast_topk,
         segment_frames=args.segment_frames,
     )
