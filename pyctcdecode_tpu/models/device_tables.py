@@ -481,18 +481,57 @@ class _TrieBuilder:
         return node
 
     def pack(self) -> PackedTrie:
-        """Freeze the builder into flat arrays (adds the dead node)."""
+        """Freeze the builder into flat arrays (adds the dead node).
+
+        Nodes are renumbered breadth-first (shallow levels get the lowest
+        ids): beams overwhelmingly sit on short partial words, so the hot
+        rows of the device trie plane concentrate in its first few MB
+        instead of scattering across hundreds (insertion order is
+        per-word DFS). Measured on the serving profile: the trie gather
+        ran ~1.9x slower PER ROW than the (much smaller) n-gram bucket
+        planes purely from access spread over the 400+ MB plane.
+        """
         n = len(self.next)
         dead = n
-        nxt = np.full((n + 1, self.n_chars), dead, dtype=np.int32)
         table = np.stack(self.next) if n else np.zeros((0, self.n_chars), np.int64)
-        nxt[:n] = np.where(table >= 0, table, dead).astype(np.int32)
+
+        # BFS order: every node has exactly one parent in a trie, so the
+        # frontier expansion needs no dedup; child order within a level is
+        # (parent order, char order) — deterministic.
+        new_of_old = np.full(n, -1, dtype=np.int64)
+        if n:
+            frontier = np.array([0], dtype=np.int64)
+            new_of_old[0] = 0
+            assigned = 1
+            while frontier.size:
+                kids = table[frontier].reshape(-1)
+                kids = kids[kids >= 0]
+                new_of_old[kids] = assigned + np.arange(kids.size)
+                assigned += kids.size
+                frontier = kids
+
+        perm = np.argsort(new_of_old)  # old id at each new position
+        old_next = np.where(table >= 0, table, dead)
+        remap = np.append(new_of_old, dead)  # dead stays the last id
+        nxt = np.full((n + 1, self.n_chars), dead, dtype=np.int32)
+        if n:
+            nxt[:n] = remap[old_next[perm]].astype(np.int32)
+        word_id = np.array(self.word_id, np.int32)[perm] if n else np.zeros(0, np.int32)
+        uni_word = np.array(self.is_uni_word, bool)[perm] if n else np.zeros(0, bool)
+        uni_prefix = (
+            np.array(self.is_uni_prefix, bool)[perm] if n else np.zeros(0, bool)
+        )
+        min_comp = (
+            np.array(self.min_completion, np.int32)[perm]
+            if n
+            else np.zeros(0, np.int32)
+        )
         return PackedTrie(
             next=nxt,
-            word_id=np.append(np.array(self.word_id, np.int32), -1),
-            is_uni_word=np.append(np.array(self.is_uni_word, bool), False),
-            is_uni_prefix=np.append(np.array(self.is_uni_prefix, bool), False),
-            min_completion=np.append(np.array(self.min_completion, np.int32), 0),
+            word_id=np.append(word_id, -1),
+            is_uni_word=np.append(uni_word, False),
+            is_uni_prefix=np.append(uni_prefix, False),
+            min_completion=np.append(min_comp, 0),
             dead=dead,
         )
 
