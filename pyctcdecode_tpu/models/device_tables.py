@@ -610,17 +610,16 @@ def _pad_trie_rows(
 ) -> np.ndarray:
     """Pad packed trie rows to a fast-gather width; fold in word data.
 
-    Rows are padded to multiples of 128 i32 words. The isolated cost model
-    (scripts/gather_cost_model.py) prices 512-byte rows ~1.9x cheaper per
-    row than 256-byte ones (~8.5 vs ~14 ns), but round-4 A/B profiles of
-    the full serving program measured the per-step gather IDENTICAL at
-    widths 64 and 128 (~12.4 ns/row both ways — in-program gathers are
-    issue-bound, not width-bound). 128 is kept because the row also
-    carries the per-word constants below and leaves headroom for larger
-    alphabets at an acceptable 2x plane footprint. The spare columns
-    carry the node's per-word constants so the per-frame child walk, the
-    commit-time word-id fetch AND the word's order-1 probe all ride ONE
-    row-gather:
+    Rows are padded to multiples of 64 i32 words (the gather emitter's
+    vectorized row-copy tier). The isolated cost model
+    (scripts/gather_cost_model.py) prices 512-byte rows cheaper per row
+    than 256-byte ones, but round-4 A/B profiles of the full serving
+    program measured the per-step trie gather IDENTICAL at widths 64 and
+    128 (~12.4 ns/row both ways — in-program gathers are issue-bound,
+    not width-bound), so the narrower row wins on plane footprint (211
+    vs 423 MB at 826k nodes). The spare columns carry the node's
+    per-word constants so the per-frame child walk, the commit-time
+    word-id fetch AND the word's order-1 probe all ride ONE row-gather:
 
     * col W-4: the word's unigram log10-prob (f32 bits),
     * col W-3: its unigram backoff (f32 bits),
@@ -628,7 +627,7 @@ def _pad_trie_rows(
     * col W-1: the vocab word id (-1 for non-terminal nodes).
     """
     n, c = packed.shape
-    w = 128 * ((c + 4 + 127) // 128)
+    w = 64 * ((c + 4 + 63) // 64)
     rows = np.zeros((n, w), dtype=np.int32)
     rows[:, :c] = packed
     has = word_id >= 0

@@ -1512,28 +1512,34 @@ class TPUBeamSearchDecoderCTC:
             )
             for key, val in handle["out"].items()
         }
-        results = []
         frame_ids_list = handle.get("frame_ids")
         offsets = handle.get("offsets")
-        for i in range(handle["n"]):
+
+        def _one(i: int) -> List[OutputBeam]:
             one = {
                 key: (
                     tuple(v[i] for v in val) if isinstance(val, tuple) else val[i]
                 )
                 for key, val in host.items()
             }
-            results.append(
-                self._build_outputs(
-                    one,
-                    n_frames=handle["lens"][i],
-                    top_n=handle["top_n"],
-                    frame_ids=(
-                        frame_ids_list[i] if frame_ids_list is not None else None
-                    ),
-                    score_offset=offsets[i] if offsets is not None else 0.0,
-                )
+            return self._build_outputs(
+                one,
+                n_frames=handle["lens"][i],
+                top_n=handle["top_n"],
+                frame_ids=(
+                    frame_ids_list[i] if frame_ids_list is not None else None
+                ),
+                score_offset=offsets[i] if offsets is not None else 0.0,
             )
-        return results
+
+        n = handle["n"]
+        if n >= 64:
+            # replay + output assembly across utterances on the host pool
+            # (the numpy replay releases the GIL; order preserved by map)
+            from .utils.logits import _host_pool
+
+            return list(_host_pool().map(_one, range(n)))
+        return [_one(i) for i in range(n)]
 
     def decode_beams_batches(
         self,
