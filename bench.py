@@ -236,12 +236,16 @@ signal.alarm(_ALARM_S)
 
 
 def _time_device(dev, batch, audio_sec, reps=3, **kwargs):
+    """Best-of-``reps`` batch decode (same treatment as the baseline:
+    shared-host load only ever slows a run, so the best rep is the
+    closest to the unloaded rate on both sides of the ratio)."""
     texts = dev.decode_batch(batch, **kwargs)  # compile + warm
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(reps):
+        t0 = time.perf_counter()
         texts = dev.decode_batch(batch, **kwargs)
-    dt = (time.perf_counter() - t0) / reps
-    return texts, dt, audio_sec / dt
+        best = min(best, time.perf_counter() - t0)
+    return texts, best, audio_sec / best
 
 
 def _time_single_core(decode_fn, mats, audio_secs, reps=2):
@@ -429,7 +433,7 @@ def main() -> None:
     # --- pipelined steady-state throughput (the serving pattern): keep one
     # batch in flight so host prep/post-process and the relay transfers
     # overlap the device run. Reuses the executables compiled above.
-    def _time_stream(n_stream=6, dec=None, **extra):
+    def _time_stream(n_stream=8, dec=None, **extra):
         dec = dec if dec is not None else dev
         # depth 2: two batches in flight ride over host-CPU jitter (the
         # shared VM's effective CPU speed swings ~30%, and at depth 1 a
@@ -437,13 +441,20 @@ def main() -> None:
         conf = dict(kwargs, top_n=1, pipeline_depth=2, **extra)
         for out in dec.decode_beams_batches([corpus.logits], **conf):
             pass  # warm every bucket's executable
-        stream = dec.decode_beams_batches([corpus.logits] * n_stream, **conf)
-        next(stream)  # spin-up: first batch has nothing to overlap with
-        t0 = time.perf_counter()
-        for out in stream:
-            pass
-        dt = (time.perf_counter() - t0) / (n_stream - 1)
-        return audio_total / dt, dt
+        # mean inter-batch interval per stream (with depth 2 the yields
+        # alternate long/short gaps, so only the mean is the true rate);
+        # best of two streams, matching the baseline's best-of treatment
+        best = float("inf")
+        for _ in range(2):
+            stream = dec.decode_beams_batches(
+                [corpus.logits] * n_stream, **conf
+            )
+            next(stream)  # spin-up: first batch has nothing to overlap with
+            t0 = time.perf_counter()
+            for out in stream:
+                pass
+            best = min(best, (time.perf_counter() - t0) / (n_stream - 1))
+        return audio_total / best, best
 
     if _left() > 30:
         stream_tput, stream_dt = _time_stream()

@@ -85,5 +85,41 @@ class TestCorpusEvaluation(unittest.TestCase):
         self.assertLessEqual(abs(report["wer_delta"]), 1e-3)
 
 
+class TestWerRuntimeSweep(unittest.TestCase):
+    def test_two_point_sweep_artifact(self):
+        """scripts/wer_runtime_sweep.py regenerates a 2-point artifact.
+
+        The committed docs/wer_runtime_sweep.{json,md} mirror the
+        reference's beam-ladder WER/runtime table (ref README.md:107-109,
+        03_eval_performance.ipynb cells 29-31); this pins the generator's
+        structure on a tiny 2-beam version.
+        """
+        import sys
+
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"),
+        )
+        import wer_runtime_sweep as ws
+
+        with tempfile.TemporaryDirectory() as td:
+            arpa = os.path.join(td, "lm.arpa")
+            _write_arpa(arpa, VOCAB)
+            result = ws.run_sweep(
+                (1, 5), n=8, host_n=4, arpa=arpa, device=True,
+                lm_vocab_draw=200,
+            )
+        self.assertEqual([p["beam_width"] for p in result["points"]], [1, 5])
+        for p in result["points"]:
+            self.assertIn("host_ms_per_sample", p)
+            self.assertIn("host_wer_subset", p)
+            self.assertIn("device_ms_per_sample", p)
+            self.assertIn("device_wer", p)
+            self.assertTrue(p["device_matches_host_subset"])
+        md = ws.to_markdown(result)
+        self.assertIn("| beam |", md)
+        self.assertIn("| 1 |", md)
+
+
 if __name__ == "__main__":
     unittest.main()
