@@ -878,12 +878,32 @@ def _make_step(
             nlo, nhi = hash_extend_char(jnp, ext_lo, ext_hi, cid_b)
             ext_lo = jnp.where(has, nlo, ext_lo)
             ext_hi = jnp.where(has, nhi, ext_hi)
+
+            def _pick_cols(rows):
+                """rows[:, cid_safe] without the per-beam vector index.
+
+                ``rows[:, idx]`` lowers to a gather whose operand XLA
+                re-lays out per step (~160 ms/batch of copies/reshapes
+                at serving shapes); a [K, C] one-hot mask with a masked
+                sum is pure VPU work and exact (one nonzero per (b, k),
+                i32 sum of a single addend).
+                """
+                cmask = (
+                    cid_safe[:, None]
+                    == jnp.arange(rows.shape[1], dtype=cid_safe.dtype)[None, :]
+                )  # [K, C]
+                return jnp.sum(
+                    jnp.where(cmask[None, :, :], rows[:, None, :], 0),
+                    axis=2,
+                    dtype=rows.dtype,
+                )  # [B, K]
+
             for i in range(n_lms):
                 rows = trie_rows_b[i]  # [B, W] (shared with commit scoring)
-                ext_entries[i] = jnp.where(has, rows[:, cid_safe], ext_entries[i])
+                ext_entries[i] = jnp.where(has, _pick_cols(rows), ext_entries[i])
             if cfg.use_hotwords:
                 hrows = hot["next"][state["h_node"]]  # [B, C]
-                ext_hentry = jnp.where(has, hrows[:, cid_safe], ext_hentry)
+                ext_hentry = jnp.where(has, _pick_cols(hrows), ext_hentry)
         else:
             for l in range(lmax):
                 cid = (
