@@ -66,7 +66,7 @@ def build_ctcdecoder(
             the exact host engine, ``"auto"`` (default) picks the device
             engine whenever JAX is usable.
         **engine_options: forwarded to the device engine constructor
-            (``fast_topk``, ``segment_frames``, ``use_pallas_merge``);
+            (``fast_topk``, ``segment_frames``);
             rejected with the host engine, which has no such knobs.
 
     Returns:

@@ -189,8 +189,9 @@ def build_table_args(
 
     ``shard=(axis_name, n_shards)`` row-shards each n-gram table's bucket
     plane for a mesh whose HBM cannot hold the whole LM: ``bucket``
-    becomes ``[n_shards, size/n_shards, 128]`` (bucketized placement means
-    no halo is needed), to be fed through ``shard_map`` with the leading
+    becomes ``[n_shards, ceil(size/n_shards), W]`` — non-dividing sizes
+    pad with never-owned empty-sentinel rows (bucketized placement means
+    no halo is needed) — to be fed through ``shard_map`` with the leading
     axis partitioned. Sharded planes stay as numpy so jit places each
     block directly on its shard's device.
     """
@@ -378,7 +379,6 @@ def _init_state(jnp, cfg: EngineConfig, start):
         iota = jnp.arange(b, dtype=jnp.int32)
         state["pool_score"] = jnp.full((b,), DEAD, dtype=jnp.float32)
         state["pool_logit"] = jnp.full((b,), DEAD, dtype=jnp.float32)
-        state["pool_rank"] = i32()
         state["pool_pf"] = iota  # first-member parent (transition replay)
         state["pool_pd"] = iota  # newest-member parent (backtrace donor)
         state["pool_tok"] = jnp.full((b,), -1, dtype=jnp.int32)
@@ -774,7 +774,10 @@ def _make_step(
         chain composes unchanged.
         """
         if tl:
-            toks_in, tok_logp, fin_i, chunk_base, t = xs
+            # chunk_base (admitted tokens before this chunk) is part of
+            # the timeline contract but no longer consumed: ranking ties
+            # resolve purely by top_k position (see the ranking comment)
+            toks_in, tok_logp, fin_i, _chunk_base, t = xs
             active = t < n_frames
             is_final = fin_i != 0
             admit = toks_in >= 0
@@ -1070,17 +1073,17 @@ def _make_step(
             # Ranking key = (score desc, frame-local enumeration rank asc).
             # A single-operand lax.top_k realizes that key exactly: its
             # equal-score tie-break is lowest POSITION, and position order
-            # coincides with rank order within every equal-score class —
-            # pool entries (all ranks < this chunk's base) precede chunk
-            # candidates, the pool is rank-ordered among equal scores by
-            # the previous step's selection, and chunk candidates sit in
-            # enumeration order. One top-k over [B + KB] replaced a
-            # three-operand two-key sort (~7% of step time); the carried
-            # rank rides the MXU field select instead.
+            # coincides with enumeration-rank order within every
+            # equal-score class, inductively: pool entries precede chunk
+            # candidates positionally and carry strictly smaller ranks
+            # (earlier chunks of the frame); chunk candidates sit in
+            # enumeration order; and the pool itself is a previous top_k
+            # output, so equal-score pool members are already
+            # position==rank ordered. No rank needs to be carried or
+            # compared — one top-k over [B + KB] replaced a three-operand
+            # two-key sort (~7% of step time).
             iota_b = jnp.arange(b, dtype=jnp.int32)
-            rank_flat = chunk_base * b + jnp.arange(c, dtype=jnp.int32)
             comb_score = jnp.concatenate([state["pool_score"], lm_score_flat])
-            comb_rank = jnp.concatenate([state["pool_rank"], rank_flat])
             top_scores, top_src = jax.lax.top_k(comb_score, b)
             top_src = top_src.astype(jnp.int32)
             win = top_scores[0] + prm["beam_prune_logp"]
@@ -1098,16 +1101,11 @@ def _make_step(
                     [state["pool_tok"], jnp.repeat(toks, b)]
                 ),
                 "_logit": jnp.concatenate([state["pool_logit"], merged_c]),
-                "_rank": comb_rank,
             }
-            max_rank = v * b + (k + 1) * b  # chunk_base <= v by construction
             chunks = {
                 "_pf": 1 if b <= 0xFF else 2,
                 "_pd": 1 if b <= 0xFF else 2,
                 "_tok": 2 if v <= 0xFFFF else 4,
-                "_rank": 2 if max_rank <= 0xFFFF else (
-                    3 if max_rank <= 0xFFFFFF else 4
-                ),
             }
             for i in range(n_lms):
                 cand[f"_ent{i}"] = jnp.concatenate(
@@ -1122,14 +1120,12 @@ def _make_step(
             parent_trace = sel.pop("_pd")
             sel_tok = sel.pop("_tok")
             top_logit = sel.pop("_logit")
-            top_rank = sel.pop("_rank")
             sel_alive = top_scores > DEAD_THRESH
             parent = parent_trace
             new_state = {}
             pool_new = {
                 "pool_score": jnp.where(is_final, DEAD, top_scores),
                 "pool_logit": jnp.where(is_final, DEAD, top_logit),
-                "pool_rank": jnp.where(is_final, 0, top_rank),
                 "pool_pf": jnp.where(is_final, iota_b, top_parent),
                 "pool_pd": jnp.where(is_final, iota_b, parent_trace),
                 "pool_tok": jnp.where(is_final, -1, sel_tok),

@@ -123,7 +123,7 @@ def _assemble_fp(
     n: int,
     hash_mode: str,
 ) -> FPTable:
-    """Place entries into 32-slot buckets and pack the device plane.
+    """Place entries into ``_BUCKET_SLOTS``-slot buckets; pack the plane.
 
     Bucketized placement (no probing across buckets): entry *e* lives in
     bucket ``base_full[e] & (size - 1)``, at any free slot. The bucket
@@ -342,13 +342,13 @@ def _query_hashes(xp, tab: Dict, query):
 def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object") -> Tuple:
     """Probe one order's table on device: a single bucket-row gather.
 
-    ``tab_dev``: {"bucket": i32 [size, 128] (32-slot buckets, see
-    :class:`FPTable`), "seed_lo"/"seed_hi": u32 scalars, "size": static
-    int}. ``query``: int32 ``[Q, n]``; ``valid``: bool ``[Q]``. One
-    512-byte row-gather per query — the gather emitter's vectorized
-    row-copy path makes this as cheap as a 2-word fetch (measured in
-    scripts/gather_cost_model.py) — then the 64-bit fingerprint confirm
-    and (prob, backoff) readout are in-register lane math.
+    ``tab_dev``: {"bucket": i32 [size, _BUCKET_WIDTH] (16-slot buckets,
+    see :class:`FPTable`), "seed_lo"/"seed_hi": u32 scalars, "size":
+    static int}. ``query``: int32 ``[Q, n]``; ``valid``: bool ``[Q]``.
+    One 256-byte row-gather per query (per-row cost is issue-bound and
+    flat in width; scripts/gather_cost_model.py + round-4 profiles) —
+    then the 64-bit fingerprint confirm and (prob, backoff) readout are
+    in-register lane math.
 
     When ``tab_dev`` carries ``shard_axis`` metadata the bucket plane is
     row-sharded over a mesh axis and the probe runs collectively — see
@@ -366,12 +366,12 @@ def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object") -> Tuple:
     # locality was tried and reverted — the extra `where` on the gather
     # index sent the XLA compile time from ~3 min to >25 min per segment
     # program on this backend, for an unmeasurable win)
-    rows = tab_dev["bucket"][base]  # [Q, 128]
+    rows = tab_dev["bucket"][base]  # [Q, _BUCKET_WIDTH]
     return _bucket_readout(jnp, jax, rows, lo, hi, valid)
 
 
 def _bucket_readout(jnp, jax, rows, lo, hi, valid):
-    """(found, prob, backoff) from gathered bucket rows ``[Q, 128]``.
+    """(found, prob, backoff) from gathered bucket rows ``[Q, _BUCKET_WIDTH]``.
 
     Residents of a bucket have pairwise-distinct 64-bit fingerprints by
     construction, so the masked sums touch at most one slot each.
@@ -395,7 +395,7 @@ def _probe_fp_sharded(tab_dev: Dict, query: "object", valid: "object") -> Tuple:
     processes by fork copy-on-write (ref ``decoder.py:261-269``); the TPU
     analog when the tables exceed a chip's HBM is to row-shard the bucket
     plane over the mesh and exchange probes over ICI. ``tab_dev`` carries
-    a local ``[1, rows, 128]`` block (leading axis sharded by
+    a local ``[1, rows, _BUCKET_WIDTH]`` block (leading axis sharded by
     ``shard_map``) plus static ``shard_axis``, ``n_shards``, ``shard_rows``.
 
     One probe round-trip: ``all_gather`` every shard's queries over the
@@ -419,7 +419,7 @@ def _probe_fp_sharded(tab_dev: Dict, query: "object", valid: "object") -> Tuple:
     local = base - my_first
     mine = (local >= 0) & (local < rows_local)
     local = jnp.clip(local, 0, rows_local - 1)
-    rows = tab_dev["bucket"][0][local]  # [n_shards*q, 128]
+    rows = tab_dev["bucket"][0][local]  # [n_shards*q, _BUCKET_WIDTH]
     found, prob, backoff = _bucket_readout(jnp, jax, rows, lo, hi, va & mine)
     found_all = jax.lax.psum(found.astype(jnp.int32), axis)
     prob_all = jax.lax.psum(prob, axis)

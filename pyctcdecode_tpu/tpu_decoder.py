@@ -1694,47 +1694,17 @@ def normalize_host(logits: np.ndarray) -> np.ndarray:
 def normalize_host_batch(
     logits_list: Sequence[np.ndarray], t_pad: int, v: int
 ) -> np.ndarray:
-    """Vectorized batch normalization into one padded f32 [n, t_pad, v] array.
+    """Batch normalization into one padded f32 ``[n, t_pad, v]`` array.
 
-    Applies the reference's per-utterance prob/logit sniff (rows summing to
-    ~1 are probabilities; ref decoder.py:759-765) but computes both branches
-    over the whole stacked batch in single vectorized passes — per-utterance
-    Python normalization dominates host time for large batches otherwise.
+    Delegates to :func:`~pyctcdecode_tpu.utils.logits.normalize_batch`
+    (the single ragged-batch normalizer: threaded, bit-equal to the
+    per-utterance sniff, dtype-aware) and pads — one implementation
+    serves the dense, collapse and timeline paths alike.
     """
-    import math
+    from .utils.logits import normalize_batch
 
-    from .constants import MIN_TOKEN_CLIP_P
-
-    n = len(logits_list)
-    stacked = np.zeros((n, t_pad, v), dtype=np.float32)
-    lens = np.empty(n, dtype=np.int64)
-    for i, mat in enumerate(logits_list):
-        lens[i] = mat.shape[0]
-        stacked[i, : mat.shape[0]] = mat
-    # per-utterance sniff over true frames only
-    sums = stacked.sum(axis=2)
-    frame_mask = np.arange(t_pad)[None, :] < lens[:, None]
-    with np.errstate(invalid="ignore"):
-        row_sum_mean = np.where(
-            lens > 0, (sums * frame_mask).sum(1) / np.maximum(lens, 1), np.nan
-        )
-    is_probs = np.array(
-        [lens[i] > 0 and math.isclose(float(row_sum_mean[i]), 1) for i in range(n)]
-    )
-    out = np.empty_like(stacked)
-    floor = np.float32(math.log(MIN_TOKEN_CLIP_P))
-    if is_probs.any():
-        idx = np.nonzero(is_probs)[0]
-        with np.errstate(divide="ignore"):
-            out[idx] = np.log(np.clip(stacked[idx], MIN_TOKEN_CLIP_P, 1.0))
-    if (~is_probs).any():
-        idx = np.nonzero(~is_probs)[0]
-        x = stacked[idx]
-        m = np.max(x, axis=2, keepdims=True)
-        m = np.where(np.isfinite(m), m, 0.0)
-        shifted = x - m
-        with np.errstate(divide="ignore"):
-            log_z = np.log(np.exp(shifted).sum(axis=2, keepdims=True))
-        out[idx] = np.clip(shifted - log_z, floor, 0.0)
-    out[~frame_mask] = 0.0
-    return out
+    outs = normalize_batch(logits_list)
+    stacked = np.zeros((len(outs), t_pad, v), dtype=np.float32)
+    for i, out in enumerate(outs):
+        stacked[i, : out.shape[0]] = out.reshape(-1, v)
+    return stacked

@@ -8,6 +8,7 @@ implementation are provided; the jnp variant is shape-static and jit-safe.
 from __future__ import annotations
 
 import math
+import threading
 
 import numpy as np
 
@@ -144,6 +145,8 @@ def _ragged_bounds(lens: "object") -> np.ndarray:
 
 
 _HOST_POOL = None
+_HOST_POOL_WORKERS = 1
+_HOST_POOL_LOCK = threading.Lock()
 
 
 def _host_pool():
@@ -152,15 +155,21 @@ def _host_pool():
     Sized to the machine's cores minus one (the main thread keeps
     dispatching device work). Threads, not processes: the work is numpy
     C loops over large arrays, and the inputs would be expensive to pickle.
+    Created lazily under a lock (concurrent first calls from two decoder
+    threads must not leak a second executor); never shut down — the
+    workers are idle daemons for the process lifetime.
     """
-    global _HOST_POOL
+    global _HOST_POOL, _HOST_POOL_WORKERS
     if _HOST_POOL is None:
         import os
         from concurrent.futures import ThreadPoolExecutor
 
-        _HOST_POOL = ThreadPoolExecutor(
-            max_workers=max((os.cpu_count() or 2) - 1, 1)
-        )
+        with _HOST_POOL_LOCK:
+            if _HOST_POOL is None:
+                _HOST_POOL_WORKERS = max((os.cpu_count() or 2) - 1, 1)
+                _HOST_POOL = ThreadPoolExecutor(
+                    max_workers=_HOST_POOL_WORKERS
+                )
     return _HOST_POOL
 
 
@@ -171,7 +180,7 @@ def _parallel_over_chunks(fn, mats, min_chunk: int = 64):
     for small batches (thread overhead beats the win below ~2 chunks).
     """
     pool = _host_pool()
-    workers = pool._max_workers
+    workers = _HOST_POOL_WORKERS
     n = len(mats)
     if workers < 2 or n < 2 * min_chunk:
         return [fn(mats)]
@@ -183,18 +192,33 @@ def _parallel_over_chunks(fn, mats, min_chunk: int = 64):
 def _normalize_cat(mats: "object") -> tuple:
     """Normalize a ragged batch over its concatenated frame axis.
 
-    Exactly equivalent to ``[normalize_to_logp(m) for m in mats]``, with
-    the per-utterance prob/logit sniff preserved bit-for-bit, but the
-    expensive branches run vectorized over all frames at once. Returns
-    ``(out [sum_T, V] f32, bounds [n+1], lens [n], nz [n] bool)``.
+    Exactly equivalent to ``[normalize_to_logp(m).astype(f32) for m in
+    mats]``, with the per-utterance prob/logit sniff preserved
+    bit-for-bit, but the expensive branches run vectorized over all
+    frames at once. Returns ``(out [sum_T, V] f32, bounds [n+1],
+    lens [n], nz [n] bool)``.
+
+    The fast concatenated path only applies to float32 inputs: the sniff
+    and the normalization arithmetic are dtype-sensitive (a float64
+    probability matrix cast to f32 first can flip the isclose row-sum
+    sniff and must be log-clipped at f64 like the scalar path), so other
+    dtypes go through ``normalize_to_logp`` per utterance.
     """
-    mats = [np.asarray(m, dtype=np.float32) for m in mats]
-    v = mats[0].shape[1] if mats[0].ndim == 2 else 0
+    mats = [np.asarray(m) for m in mats]
     n = len(mats)
     lens = np.array([m.shape[0] for m in mats], dtype=np.int64)
     bounds = _ragged_bounds(lens)
-    cat = np.concatenate([m.reshape(-1, v) for m in mats], axis=0)
     nz = lens > 0
+    if any(m.dtype != np.float32 for m in mats):
+        outs = [
+            normalize_to_logp(m).astype(np.float32).reshape(m.shape)
+            for m in mats
+        ]
+        v = outs[0].shape[1] if outs[0].ndim == 2 else 0
+        cat = np.concatenate([o.reshape(-1, v) for o in outs], axis=0)
+        return cat, bounds, lens, nz
+    v = mats[0].shape[1] if mats[0].ndim == 2 else 0
+    cat = np.concatenate([m.reshape(-1, v) for m in mats], axis=0)
     with np.errstate(invalid="ignore"):
         row_sums = cat.sum(axis=1)  # identical per-row f32 sums
     is_probs = np.zeros(n, dtype=bool)

@@ -66,6 +66,29 @@ def test_normalize_batch_matches_scalar():
         assert np.array_equal(normalize_to_logp(m).astype(np.float32), got)
 
 
+def test_float64_probability_inputs_match_scalar():
+    """f64 probability rows sum to 1 at f64 precision only: the sniff must
+    run in the INPUT dtype (a pre-cast to f32 flips ~10% of dirichlet
+    batches into the log-softmax branch — round-4 review finding)."""
+    rng = np.random.RandomState(5)
+    for _ in range(30):
+        mats = [
+            rng.dirichlet(np.ones(V) * 0.3, size=rng.randint(1, 30))
+            for _ in range(rng.randint(1, 6))
+        ]  # float64
+        outs = normalize_batch(mats)
+        for m, got in zip(mats, outs):
+            want = normalize_to_logp(m).astype(np.float32)
+            assert np.array_equal(want, got)
+        coll_b, keep_b, off_b = normalize_collapse_batch(mats, BLANK, -5.0)
+        for i, m in enumerate(mats):
+            lp = normalize_to_logp(m).astype(np.float32)
+            ki, off = blank_collapse(lp, BLANK, -5.0)
+            assert np.array_equal(ki, keep_b[i])
+            assert np.array_equal(lp[ki], coll_b[i])
+            assert off == off_b[i]
+
+
 def test_token_timeline_batch_matches_scalar():
     rng = np.random.RandomState(2)
     for _ in range(25):
