@@ -66,11 +66,11 @@ BEAM_WIDTH = 100
 # 768 splits into buckets near that operating point
 BATCH = int(os.environ.get("BENCH_BATCH", 768))
 # exact token-timeline decoding: each frame's exactly-admitted token set,
-# chunked 6 wide (engine.EngineConfig.token_timeline) — prices per-step
+# chunked 5 wide (engine.EngineConfig.token_timeline) — prices per-step
 # work to the MEAN admitted count (~2.5 here) instead of the batch-worst
-# frame (auto-K picked 24 on this corpus). 6 measured best: ~92% of
-# frames fit one chunk, vs 4's cheaper steps x more of them.
-TOKEN_CHUNK = int(os.environ.get("BENCH_TOKEN_CHUNK", 6))
+# frame (auto-K picked 24 on this corpus). Round-4 sweep: 5 beats 6 by
+# ~4% and 4 by ~15% on the slimmed engine (scripts/serving_sweep.py).
+TOKEN_CHUNK = int(os.environ.get("BENCH_TOKEN_CHUNK", 5))
 # the reference package's recorded UNLOADED single-core rate on this
 # corpus difficulty (BASELINE.md round-2 measurement); the in-run
 # baseline is credited at least this much — see the baseline phase
@@ -443,9 +443,9 @@ def main() -> None:
             pass  # warm every bucket's executable
         # mean inter-batch interval per stream (with depth 2 the yields
         # alternate long/short gaps, so only the mean is the true rate);
-        # best of two streams, matching the baseline's best-of treatment
+        # best of three streams, matching the baseline's best-of treatment
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             stream = dec.decode_beams_batches(
                 [corpus.logits] * n_stream, **conf
             )

@@ -258,7 +258,7 @@ class ShardedCTCDecoder:
         if token_chunking:
             from ..utils.logits import normalize_batch, token_timeline_batch
 
-            k = 6 if token_chunking is True else int(token_chunking)
+            k = 5 if token_chunking is True else int(token_chunking)
             mats = (
                 collapsed
                 if blank_collapse

@@ -1261,9 +1261,10 @@ class TPUBeamSearchDecoderCTC:
                 logits_list, token_min_logp
             )
         if token_chunking:
-            # True selects the measured default chunk width (6: ~92% of
-            # real-CTC frames fit one chunk); any int picks it explicitly
-            k_chunk = 6 if token_chunking is True else int(token_chunking)
+            # True selects the measured default chunk width (5: best of
+            # the round-4 sweep, scripts/serving_sweep.py); any int picks
+            # one explicitly
+            k_chunk = 5 if token_chunking is True else int(token_chunking)
             return self._dispatch_timeline(
                 logits_list, collapsed, frame_ids_list, offsets, hot, weight,
                 beam_width=beam_width, beam_prune_logp=beam_prune_logp,
