@@ -73,6 +73,16 @@ DEAD = -1.0e30
 DEAD_THRESH = -1.0e29
 
 
+def _shard_rows(size: int, n_shards: int) -> int:
+    """Per-shard row count of a sharded table plane (ceil split).
+
+    Single source of truth: ``build_table_args`` reshapes the bucket
+    plane with it and ``build_table_meta`` bakes it into the collective
+    probe's ownership math — the two MUST agree exactly.
+    """
+    return -(-size // n_shards)
+
+
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     """Static (compile-time) decode configuration."""
@@ -159,11 +169,6 @@ def stats_fields(cfg: EngineConfig) -> List[str]:
     return names
 
 
-def _mix_key(jnp, a, b, c, d):
-    """Fold four uint32 streams into one uint32 lane (see ops.hashing.mix4)."""
-    return mix4(jnp, a, b, c, d)
-
-
 def _normalize_members(
     device_lms: Union[None, DeviceLM, Sequence[DeviceLM]],
 ) -> List[DeviceLM]:
@@ -220,7 +225,7 @@ def build_table_args(
             _, n_shards = shard
             fp = []
             for t in dlm.fp_tables:
-                rows = -(-t.size // n_shards)  # ceil: pad odd-size splits
+                rows = _shard_rows(t.size, n_shards)  # pad odd splits
                 plane = t.bucket
                 pad = n_shards * rows - t.size
                 if pad:
@@ -278,7 +283,7 @@ def build_table_meta(
                 one.update(
                     shard_axis=axis_name,
                     n_shards=n_shards,
-                    shard_rows=-(-t.size // n_shards),
+                    shard_rows=_shard_rows(t.size, n_shards),
                 )
             fp_meta.append(one)
         meta.append(
@@ -843,7 +848,12 @@ def _make_step(
         # and operand batching broadcast the n-gram bucket plane per
         # batch row (s32[384, 131072, 128] — 25.8 GB, compile-time OOM).
         # Per-utterance dynamic skipping needs divergent control flow,
-        # which SPMD batching by construction does not have.
+        # which SPMD batching by construction does not have. The same
+        # constraint blocks deduplicating cm across a frame's timeline
+        # chunks (the beam state is frozen, so cm is identical per
+        # chunk): a where(first_chunk, fresh, carried) still COMPUTES
+        # the fresh probes every step — only cond could skip them, and
+        # cond is the broadcast trap above.
         cm = _commit_quantities(
             jnp, cfg, devs, hot, prm, state, trie_rows=trie_rows_b
         )
@@ -1003,8 +1013,8 @@ def _make_step(
 
         # ---- merge keys (token identity is implicit: merges are
         # block-diagonal per token column, see _merge_dense)
-        kl = _mix_key(jnp, text_lo_n, p_lo_n, p_hi_n, force_n.astype(jnp.uint32))
-        kh = _mix_key(jnp, text_hi_n, p_hi_n, p_lo_n, force_n.astype(jnp.uint32))
+        kl = mix4(jnp, text_lo_n, p_lo_n, p_hi_n, force_n.astype(jnp.uint32))
+        kh = mix4(jnp, text_hi_n, p_hi_n, p_lo_n, force_n.astype(jnp.uint32))
 
         # every member of a merge group shares (text, partial), hence the
         # same fused accumulator and partial score — use each candidate's
@@ -1121,6 +1131,11 @@ def _make_step(
             sel_tok = sel.pop("_tok")
             top_logit = sel.pop("_logit")
             sel_alive = top_scores > DEAD_THRESH
+            # dead pool lanes carry the -1 token sentinel, which the
+            # narrowed 2-chunk select zero-extends to 0xFFFF — restore it
+            # so pool_tok's documented sentinel survives selection of
+            # dead lanes (latent otherwise: DEAD scores mask them today)
+            sel_tok = jnp.where(sel_alive, sel_tok, -1)
             parent = parent_trace
             new_state = {}
             pool_new = {
@@ -1250,27 +1265,46 @@ def _make_step(
         if tl:
             # winners may carry tokens from EARLIER chunks of the frame
             # (pool entries), so token planes resolve by full-vocab token
-            # id, not by this chunk's column index
+            # id, not by this chunk's column index. Mirror the forward
+            # planes' guard: the [B, V] one-hot pays off only for small
+            # vocabularies; big-vocab BPE keeps per-beam gathers.
             kind_v = tok_dev["kind"]
-            tcols = _token_cols(
-                jnp,
-                {
-                    "tok": jnp.arange(v, dtype=jnp.int32),
-                    "blank": kind_v == KIND_BLANK,
-                    "boundary": kind_v == KIND_BOUNDARY,
-                    "right": tok_dev["right_bound"],
-                    "seed_lo": tok_dev["seed_lo"],
-                    "seed_hi": tok_dev["seed_hi"],
-                    "plen": tok_dev["piece_len"],
-                    "rlen": tok_dev["raw_len"],
+            tok_safe = jnp.maximum(sel_tok, 0)
+            if v <= 512:
+                tcols = _token_cols(
+                    jnp,
+                    {
+                        "tok": jnp.arange(v, dtype=jnp.int32),
+                        "blank": kind_v == KIND_BLANK,
+                        "boundary": kind_v == KIND_BOUNDARY,
+                        "right": tok_dev["right_bound"],
+                        "seed_lo": tok_dev["seed_lo"],
+                        "seed_hi": tok_dev["seed_hi"],
+                        "plen": tok_dev["piece_len"],
+                        "rlen": tok_dev["raw_len"],
+                        **{
+                            f"cid{l}": tok_dev["raw_chars"][:, l]
+                            for l in range(lmax)
+                        },
+                    },
+                    tok_safe,
+                    v,
+                )
+            else:
+                tcols = {
+                    "tok": tok_safe,
+                    "blank": kind_v[tok_safe] == KIND_BLANK,
+                    "boundary": kind_v[tok_safe] == KIND_BOUNDARY,
+                    "right": tok_dev["right_bound"][tok_safe],
+                    "seed_lo": tok_dev["seed_lo"][tok_safe],
+                    "seed_hi": tok_dev["seed_hi"][tok_safe],
+                    "plen": tok_dev["piece_len"][tok_safe],
+                    "rlen": tok_dev["raw_len"][tok_safe],
                     **{
-                        f"cid{l}": tok_dev["raw_chars"][:, l]
+                        f"cid{l}": tok_dev["raw_chars"][tok_safe, l]
                         for l in range(lmax)
                     },
-                },
-                jnp.maximum(sel_tok, 0),
-                v,
-            )
+                }
         else:
             tcols = _token_cols(
                 jnp,
@@ -1377,14 +1411,14 @@ def _make_step(
             nw_cap = jnp.minimum(new_state["n_words"], cfg.ring_width).astype(
                 jnp.uint32
             )
-            hk_lo = _mix_key(
+            hk_lo = mix4(
                 jnp,
                 new_state["p_lo"],
                 new_state["p_hi"],
                 new_state["last_tok"].astype(jnp.uint32),
                 nw_cap,
             )
-            hk_hi = _mix_key(
+            hk_hi = mix4(
                 jnp,
                 new_state["p_hi"],
                 new_state["p_lo"],
@@ -1392,11 +1426,11 @@ def _make_step(
                 new_state["last_tok"].astype(jnp.uint32) ^ jnp.uint32(0x9E3779B9),
             )
             for i in range(cfg.ring_width):
-                hk_lo = _mix_key(
+                hk_lo = mix4(
                     jnp, hk_lo, new_state["ring_lo"][:, i],
                     new_state["ring_hi"][:, i], jnp.uint32(2 * i + 1),
                 )
-                hk_hi = _mix_key(
+                hk_hi = mix4(
                     jnp, hk_hi, new_state["ring_hi"][:, i],
                     new_state["ring_lo"][:, i], jnp.uint32(2 * i + 2),
                 )
@@ -1426,7 +1460,11 @@ def _make_step(
                     if cfg.prune_history
                     else jnp.int32(0)
                 ),
-                jnp.sum(cm["commit"] & alive, dtype=jnp.int32),
+                # words ACTUALLY committed: winners that took a boundary
+                # transition while holding a partial (cm["commit"] alone
+                # is merely "holds a partial", true for most beams on
+                # most frames)
+                jnp.sum(bnd_w & commit_w & sel_alive, dtype=jnp.int32),
             ]
             if n_lms:
                 alive_ct = jnp.sum(alive, dtype=jnp.int32)
@@ -1584,8 +1622,8 @@ def _finalize(
         do_commit, jnp.uint32(1), (state["last_tok"] + 2).astype(jnp.uint32)
     )
     force_lane = jnp.where(do_commit, False, state["force"]).astype(jnp.uint32)
-    kl = _mix_key(jnp, text_lo, p_lane_lo, last_lane, force_lane)
-    kh = _mix_key(jnp, text_hi, p_lane_hi, last_lane, force_lane)
+    kl = mix4(jnp, text_lo, p_lane_lo, last_lane, force_lane)
+    kh = mix4(jnp, text_hi, p_lane_hi, last_lane, force_lane)
     logit_f = jnp.where(alive, state["logit"], DEAD)
 
     merged, dup, donor = _merge_dense(
@@ -1833,15 +1871,13 @@ def make_segment_decode_fns(
                 """One reverse step on the packed log (unpack per element)."""
                 entry = packed_t[cur]
                 return entry & 0xFFFF, (entry >> 16) - 4
-
-            xs = ptrace
         else:
             def back(cur, xs_t):
                 """One reverse step: follow parents, emit chosen tokens."""
                 par_t, tok_t = xs_t
                 return par_t[cur], tok_t[cur]
 
-            xs = ptrace
+        xs = ptrace
 
         # reverse=True: forward-ordered paths with no materialized reverse
         # (see make_decode_fn; [::-1] miscompiles at some batch shapes)
@@ -1882,6 +1918,12 @@ def make_stream_fns(
     import jax
     import jax.numpy as jnp
 
+    if cfg.token_timeline:
+        raise ValueError(
+            "the streaming API does not support token_timeline decoding "
+            "(chunk_fn consumes dense logit chunks; use the batch APIs "
+            "for timeline mode)"
+        )
     meta = build_table_meta(device_lms)
 
     def init_fn(start):
