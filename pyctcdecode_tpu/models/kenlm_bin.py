@@ -53,7 +53,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..ops.hashing import kenlm_chain_host, murmur64
+from ..ops.hashing import KENLM_MUL_A, KENLM_MUL_B, kenlm_chain_host, murmur64
 from .ngram import BOS_WORD, EOS_WORD, UNK_WORD
 
 logger = logging.getLogger(__name__)
@@ -93,10 +93,14 @@ def _buckets(entries: int, multiplier: float) -> int:
 
 
 def _chain1(ids: Tuple[int, ...]) -> int:
-    """Scalar kenlm chain hash (python ints; hot in host scoring)."""
-    h = ids[0]
-    for w in ids[1:]:
-        h = ((h * 8978948897894561157) ^ ((w + 1) * 17894857484156487943)) & _MASK64
+    """Scalar kenlm chain hash (python ints; hot in host scoring).
+
+    Newest word first, context folded nearest-to-oldest — see
+    :func:`~pyctcdecode_tpu.ops.hashing.kenlm_chain_host`.
+    """
+    h = ids[-1]
+    for w in ids[-2::-1]:
+        h = ((h * KENLM_MUL_A) ^ ((w + 1) * KENLM_MUL_B)) & _MASK64
     return h
 
 

@@ -63,11 +63,14 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from ..ops.hashing import kenlm_chain_host, murmur64
-from .kenlm_bin import KenLMTables, _PROB_BACKOFF, _pack_header
+from .kenlm_bin import (
+    MODEL_QUANT_TRIE,
+    MODEL_TRIE,
+    KenLMTables,
+    _PROB_BACKOFF,
+    _pack_header,
+)
 from .ngram import UNK_WORD
-
-MODEL_TRIE = 2
-MODEL_QUANT_TRIE = 3
 _TRIE_SEARCH_VERSION = 1  # kenlm trie::TrieSearch::kVersion
 _QUANT_VERSION = 2  # kenlm lm/quantize.cc kSeparatelyQuantizeVersion
 _SIGN_BIT = np.uint32(0x80000000)
@@ -471,8 +474,14 @@ def write_kenlm_trie(
     q_longest = np.empty(0, dtype=np.float32)
     if quant_bits:
         prob_bits, backoff_bits = quant_bits
-        if not (1 <= prob_bits <= 25 and 1 <= backoff_bits <= 25):
-            raise ValueError("quant_bits must each be in 1..25")
+        if not (1 <= prob_bits <= 25 and 2 <= backoff_bits <= 25):
+            # backoff bins reserve 2 slots (no-extension/-0.0 and 0.0), so
+            # backoff_bits=1 leaves zero trainable centers (encode_bins
+            # would index an empty array)
+            raise ValueError(
+                "quant_bits must satisfy 1 <= prob_bits <= 25 and "
+                "2 <= backoff_bits <= 25"
+            )
         out.append(
             bytes([_QUANT_VERSION, prob_bits, backoff_bits]) + b"\x00" * 5
         )

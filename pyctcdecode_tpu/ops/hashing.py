@@ -160,20 +160,27 @@ def murmur64(data: bytes, seed: int = 0) -> int:
 
 
 def kenlm_chain_host(keys: "np.ndarray") -> "np.ndarray":
-    """KenLM n-gram hash over id rows ``[..., n]`` as numpy uint64.
+    """KenLM n-gram hash over NATURAL-order id rows ``[..., n]`` (u64).
 
-    ``chain(w1..wn) = fold(combine, start=w1)`` with
-    ``combine(c, w) = c * A  ^  (w + 1) * B`` (mod 2^64), matching
-    kenlm's ``LookupUnigram`` (node = first word id) followed by
-    ``CombineWordHash`` per further word.
+    kenlm folds from the PREDICTED (newest) word backward through the
+    context: its hashed search starts the node at the new word's id and
+    applies ``CombineWordHash(c, w) = c * A ^ (w + 1) * B`` (mod 2^64)
+    per context word, nearest first (``lm/model.cc`` ScoreExceptBackoff;
+    ``lm/search_hashed.cc`` ReadNGrams stores keys over the
+    REVERSED-order ``vocab_ids`` the ARPA reader fills). So for a
+    natural-order row (w1..wn): ``chain = fold(combine, start=wn) over
+    w(n-1)..w1``. (Round 4 fixed the fold direction — it previously ran
+    oldest-first, self-consistently across reader/writer/scorer/device,
+    which round-trip tests could not catch; authentic kenlm PROBING
+    binaries would have missed every n>=2-gram.)
     """
     keys = np.asarray(keys)
     with np.errstate(over="ignore"):
-        h = keys[..., 0].astype(np.uint64)
+        h = keys[..., -1].astype(np.uint64)
         a = np.uint64(KENLM_MUL_A)
         b = np.uint64(KENLM_MUL_B)
         one = np.uint64(1)
-        for j in range(1, keys.shape[-1]):
+        for j in range(keys.shape[-1] - 2, -1, -1):
             w = keys[..., j].astype(np.uint64)
             h = (h * a) ^ ((w + one) * b)
     return h
@@ -214,9 +221,9 @@ def kenlm_chain(xp: Any, keys: Any) -> Tuple[Any, Any]:
     a_hi = KENLM_MUL_A >> 32
     b_lo = KENLM_MUL_B & 0xFFFFFFFF
     b_hi = KENLM_MUL_B >> 32
-    h_lo = keys[..., 0].astype(xp.uint32)
+    h_lo = keys[..., -1].astype(xp.uint32)
     h_hi = xp.zeros_like(h_lo)
-    for j in range(1, keys.shape[-1]):
+    for j in range(keys.shape[-1] - 2, -1, -1):
         w1 = keys[..., j].astype(xp.uint32) + _u32(xp, 1)
         t_lo, t_hi = _mul64_by_const(xp, h_lo, h_hi, a_lo, a_hi)
         u_lo, u_hi = umul32_wide(xp, w1, _u32(xp, b_lo))

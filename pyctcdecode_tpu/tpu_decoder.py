@@ -202,8 +202,9 @@ class DeviceStreamState:
     """Caller-held streaming decode state (ref decoder.py:669-728 analog).
 
     ``beam_state`` lives on device between chunks; ``chunks`` holds the host
-    copies of per-chunk backpointers needed to rebuild transcripts, plus
-    permutation pseudo-chunks recorded when a force-commit reorders beams.
+    copies of per-chunk backpointers needed to rebuild transcripts (cleared
+    at each force-commit boundary, where transcripts fold into
+    ``prefix_words``/``prefix_spans`` instead).
     """
 
     beam_state: Any
@@ -225,7 +226,7 @@ class DeviceStreamState:
 def _backtrace_chunks(
     chunks: Sequence[Tuple[np.ndarray, np.ndarray, int]], start_idx: int
 ) -> Tuple[np.ndarray, np.ndarray, int]:
-    """Walk backpointers across chunk boundaries (incl. permutation rows).
+    """Walk backpointers across chunk boundaries.
 
     Returns the chosen-token sequence and matching absolute frame ids for
     one beam (oldest frame first), plus the slot index reached at the start
@@ -298,6 +299,9 @@ class TPUBeamSearchDecoderCTC:
         # once here, never baked into executables)
         self._tabs = build_table_args(jnp, self._tokens, self._device_lm)
         self._fn_cache: Dict[Any, Any] = {}
+        # hotword device tables keyed by the unigram set (per-call
+        # rebuild + upload dominated streaming-chunk latency otherwise)
+        self._hot_cache: Dict[tuple, Any] = {}
         self._jnp = jnp
 
     # -- configuration ---------------------------------------------------
@@ -484,10 +488,17 @@ class TPUBeamSearchDecoderCTC:
         scorer = HotwordScorer.build_scorer(hotwords, weight=weight)
         if not scorer.unigrams:
             return None, 0.0, None
-        tables = build_hotword_tables(
-            sorted(scorer.unigrams), self._tokens.char2id, self._tokens
-        )
-        return self._hot_to_device(tables), float(weight), tables
+        key = tuple(sorted(scorer.unigrams))
+        cached = self._hot_cache.get(key)
+        if cached is None:
+            tables = build_hotword_tables(
+                list(key), self._tokens.char2id, self._tokens
+            )
+            cached = (self._hot_to_device(tables), tables)
+            if len(self._hot_cache) >= 8:  # bound per-call table churn
+                self._hot_cache.pop(next(iter(self._hot_cache)))
+            self._hot_cache[key] = cached
+        return cached[0], float(weight), cached[1]
 
     def _hot_to_device(self, tables):
         return {
@@ -669,6 +680,8 @@ class TPUBeamSearchDecoderCTC:
 
         beams: List[LMBeam] = []
         view_slots: List[int] = []  # carried slot behind each ranked view row
+        rank_words: List[List[str]] = []  # per-rank word lists (fold source)
+        rank_spans: List[List[Tuple[int, int]]] = []
         for rank in range(ss.beam_width):
             if scores[rank] <= DEAD_THRESH:
                 break
@@ -693,6 +706,8 @@ class TPUBeamSearchDecoderCTC:
                     spans = spans + [pframes]
                 partial, pframes = "", NULL_FRAMES
                 last_label = None
+            rank_words.append(words)
+            rank_spans.append(spans)
             beams.append(
                 LMBeam(
                     text=" ".join(words),
@@ -715,10 +730,13 @@ class TPUBeamSearchDecoderCTC:
             prefix_spans: List[List[Tuple[int, int]]] = [
                 [] for _ in range(ss.beam_width)
             ]
-            for rank, beam in enumerate(beams):
-                # committed_state rows are in ranked (view) order
-                prefix_words[rank] = beam.text.split() if beam.text else []
-                prefix_spans[rank] = list(beam.text_frames)
+            for rank in range(len(beams)):
+                # committed_state rows are in ranked (view) order; fold
+                # the replay's own word lists (re-splitting beam.text
+                # would desync words from spans for any label containing
+                # whitespace)
+                prefix_words[rank] = list(rank_words[rank])
+                prefix_spans[rank] = list(rank_spans[rank])
             ss.prefix_words = prefix_words
             ss.prefix_spans = prefix_spans
             ss.chunks = []
@@ -1578,6 +1596,11 @@ class TPUBeamSearchDecoderCTC:
             token_chunking=kwargs.pop("token_chunking", None),
         )
         bucketing = kwargs.pop("length_bucketing", False)
+        if kwargs.pop("collect_stats", False):
+            raise ValueError(
+                "collect_stats is not supported on the pipelined "
+                "decode_beams_batches path; use decode_beams_batch"
+            )
         if kwargs:
             raise TypeError(f"unknown decode arguments: {sorted(kwargs)}")
         for logits_list in batches:
