@@ -153,7 +153,7 @@ def _assemble_fp(
     # slot within bucket = rank among same-bucket entries (sb is sorted)
     pos = np.arange(count, dtype=np.int64) - np.searchsorted(sb, sb, side="left")
     seed_lo, seed_hi = _FP_SEED_LO, _FP_SEED_HI
-    while True:
+    for _attempt in range(256):
         lo, hi = lane_fn(seed_lo, seed_hi)
         lo, hi = lo[order_idx], hi[order_idx]
         same_bucket = sb[1:] == sb[:-1]
@@ -178,6 +178,12 @@ def _assemble_fp(
             break
         seed_lo = (seed_lo + 0x9E3779B9) & 0xFFFFFFFF
         seed_hi = (seed_hi + 0x85EBCA6B) & 0xFFFFFFFF
+    else:
+        raise ValueError(
+            "could not find collision-free fingerprint seeds in 256 "
+            "attempts — the key set contains entries whose fingerprint "
+            "inputs are identical (duplicate keys?)"
+        )
     bucket = np.zeros((size, _BUCKET_WIDTH), dtype=np.uint32)
     bucket[:, 0:_BUCKET_SLOTS] = _FP_EMPTY
     if count:
@@ -230,6 +236,16 @@ def build_fp_table_from_hashes(
     collision reseeds work exactly as in the FNV build.
     """
     keys64 = np.asarray(keys64, dtype=np.uint64)
+    # duplicate chain hashes (authentic probing binaries can contain
+    # colliding keys; kenlm's lookup resolves to one of them) would make
+    # the fingerprint reseed loop spin forever — keep the first
+    # occurrence, matching probing-lookup semantics
+    _, first_idx = np.unique(keys64, return_index=True)
+    if len(first_idx) != len(keys64):
+        keep = np.sort(first_idx)
+        keys64 = keys64[keep]
+        probs = np.asarray(probs)[keep]
+        backoffs = np.asarray(backoffs)[keep]
     lo32 = (keys64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi32 = (keys64 >> np.uint64(32)).astype(np.uint32)
     base_full = mix32_pair(np, lo32, hi32, np.uint32(_KENLM_BASE_SEED))
@@ -667,7 +683,7 @@ class DeviceLM:
     start_ctx_len: int
     start_ctx_backoffs: np.ndarray  # f32 [order-1], suffix backoffs of start_ctx
     uni: np.ndarray  # f32 [vocab, 4]: (prob, backoff, exists, 0) by word id
-    fp_tables: List[FPTable]  # orders 2..order, window-row layout
+    fp_tables: List[FPTable]  # orders 2..order, bucketized layout
     trie: PackedTrie
     seed_node: np.ndarray  # int32 [V]
     has_unigrams: bool
@@ -954,7 +970,7 @@ def lm_score_words_jnp(
     k = ctx_len  # number of context words
 
     # probe every full-suffix key: order 1 via the dense unigram rows, the
-    # rest via each order's window-row table (one gathered row per query)
+    # rest via each order's bucket table (one gathered row per query)
     found = [f1]
     prob = [p1]
     backoff = [b1]

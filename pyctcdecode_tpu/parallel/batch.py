@@ -126,6 +126,23 @@ class ShardedCTCDecoder:
             )
         else:
             self._tabs = decoder._tabs
+        # commit every table leaf to its mesh sharding ONCE: the shard
+        # branch of build_table_args returns host numpy planes, and jit
+        # does not cache host inputs across calls — without this, every
+        # decode re-uploaded the (potentially multi-GB) LM planes
+        import jax
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        specs = self._tabs_specs()
+        if not isinstance(specs, P):
+            self._tabs = jax.tree_util.tree_map(
+                lambda leaf, spec: jax.device_put(
+                    leaf, NamedSharding(self._mesh, spec)
+                ),
+                self._tabs,
+                specs,
+            )
 
     @property
     def mesh(self) -> "object":
@@ -188,7 +205,7 @@ class ShardedCTCDecoder:
         """Partition specs for the table pytree.
 
         Everything is replicated except, under ``shard_lm``, each n-gram
-        table's ``win``/``slots`` planes, whose leading (shard) axis is
+        table's ``bucket`` plane, whose leading (shard) axis is
         partitioned over the mesh.
         """
         import jax
@@ -243,6 +260,12 @@ class ShardedCTCDecoder:
         d = self._decoder
         hot, weight, _ = d._hot_tables(hotwords, hotword_weight)
         v = len(d._labels)
+        for mat in logits_list:
+            if mat.ndim != 2 or mat.shape[1] != v:
+                raise ValueError(
+                    f"Input logits of shape {mat.shape}, but vocabulary "
+                    f"is size {v}"
+                )
         frame_ids_list = offsets = None
         if blank_collapse:
             from ..utils.logits import normalize_collapse_batch
@@ -399,6 +422,8 @@ class ShardedCTCDecoder:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
+        if not global_logits_list:
+            return [], (0, 0)
         if jax.process_count() == 1:
             res = self.decode_beams_batch(
                 global_logits_list,
