@@ -181,9 +181,13 @@ def collapse_spaces(text: str) -> str:
 
 
 def log_add(s1: float, s2: float) -> float:
-    """log(exp(s1) + exp(s2)) without overflow."""
+    """log(exp(s1) + exp(s2)) without overflow.
+
+    log1p keeps the last f64 ulp where ``log(1 + x)`` loses it for tiny
+    ``x`` — matching ``np.logaddexp``, which the reference merge uses.
+    """
     big, small = (s1, s2) if s1 >= s2 else (s2, s1)
-    return big + math.log(1 + math.exp(small - big))
+    return big + math.log1p(math.exp(small - big))
 
 
 def _join_words(left: str, right: str) -> str:
@@ -233,7 +237,13 @@ def _collapse_history(beams: List[LMBeam], lm_order: int) -> List[Beam]:
     Hypotheses that agree on the last ``lm_order - 1`` committed words plus
     the in-progress word can never be re-ranked differently by the LM, so
     only the best (first, since input is sorted) survives. LM scores are
-    stripped from the survivors (ref decoder.py:227-258).
+    stripped from the survivors (ref decoder.py:227-258). The key also
+    carries ``force_next_break`` — part of this stack's documented
+    per-beam fix of the reference's shared-loop-variable break flag
+    (PARITY.md): beams differing only in a pending forced break DO
+    transition differently on right-bounded BPE pieces, so they must not
+    collapse (the reference cannot include the flag because it does not
+    track it per beam).
     """
     window = max(1, lm_order - 1)
     survivors: List[Beam] = []
@@ -243,6 +253,7 @@ def _collapse_history(beams: List[LMBeam], lm_order: int) -> List[Beam]:
             tuple(lm_beam.text.split()[-window:]),
             lm_beam.partial_word,
             lm_beam.last_char,
+            lm_beam.force_next_break,
         )
         if key in taken:
             continue

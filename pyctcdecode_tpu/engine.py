@@ -1411,6 +1411,12 @@ def _make_step(
             nw_cap = jnp.minimum(new_state["n_words"], cfg.ring_width).astype(
                 jnp.uint32
             )
+            # the BPE forced-break flag is part of the key (beams
+            # differing only in a pending break transition differently;
+            # see the host _collapse_history note)
+            nw_cap = nw_cap | (
+                new_state["force"].astype(jnp.uint32) << jnp.uint32(16)
+            )
             hk_lo = mix4(
                 jnp,
                 new_state["p_lo"],

@@ -177,6 +177,11 @@ class LanguageModel(AbstractLanguageModel):
 
     def save_to_dir(self, filepath: str, unigram_encoding: Optional[str] = None) -> None:
         """Write attrs.json + unigrams.txt + the LM file into ``filepath``."""
+        if self._model.path is None:
+            # check BEFORE writing: failing after attrs/unigrams land
+            # leaves a 2-of-3-files directory that load_from_dir rejects
+            # with a misleading layout error
+            raise ValueError("Language model has no backing file; cannot serialize.")
         attrs_path = os.path.join(filepath, self._ATTRS_SERIALIZED_FILENAME)
         with open(attrs_path, "w") as fh:
             json.dump(self.serializable_attrs, fh)
@@ -187,8 +192,6 @@ class LanguageModel(AbstractLanguageModel):
                 fh.write(unigram + "\n")
 
         src = self._model.path
-        if src is None:
-            raise ValueError("Language model has no backing file; cannot serialize.")
         dst = os.path.join(filepath, os.path.basename(src))
         logger.info("copying the n-gram model file %s -> %s (may be large)", src, dst)
         if os.path.abspath(src) != os.path.abspath(dst):
@@ -220,7 +223,10 @@ class LanguageModel(AbstractLanguageModel):
             )
         contents.remove(LanguageModel._UNIGRAMS_SERIALIZED_FILENAME)
         lm_file = contents[0]
-        if os.path.splitext(lm_file)[1] not in {".arpa", ".bin", ".binary", ".ctclm"}:
+        ext = os.path.splitext(lm_file)[1]
+        if ext == ".gz" and lm_file.endswith(".arpa.gz"):
+            ext = ".arpa"  # gzipped ARPA round-trips through save_to_dir
+        if ext not in {".arpa", ".bin", ".binary", ".ctclm"}:
             raise ValueError(
                 f"unrecognized LM file {lm_file!r}: supported extensions are "
                 ".arpa, .bin, .binary and .ctclm"
@@ -259,6 +265,18 @@ class MultiLanguageModel(AbstractLanguageModel):
         if len(language_models) < 2:
             raise ValueError("an ensemble needs two or more member language models")
         self._language_models = list(language_models)
+
+    def reset_params(self, **params: "object") -> None:
+        """Re-tune every member's fusion knobs in place.
+
+        Deliberate divergence: the reference's MultiLanguageModel inherits
+        the abstract no-op (ref language_model.py:226-227), so re-tuning
+        an ensemble there silently does nothing — a tuning-sweep trap.
+        Forwarding to the members is strictly more useful and matches the
+        single-LM semantics.
+        """
+        for lm in self._language_models:
+            lm.reset_params(**params)
 
     @property
     def order(self) -> int:

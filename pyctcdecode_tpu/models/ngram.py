@@ -202,8 +202,11 @@ def load_unigram_set_from_arpa(arpa_path: str) -> Set[str]:
     Parity with ref ``language_model.py:67-84``: only lines with exactly
     three tab-separated fields (prob, word, backoff) contribute.
     """
+    import gzip
+
     unigrams = set()
-    with open(arpa_path) as fh:
+    opener = gzip.open if arpa_path.endswith(".gz") else open
+    with opener(arpa_path, "rt") as fh:
         in_unigrams = False
         for raw in fh:
             line = raw.strip()

@@ -239,3 +239,38 @@ class TestLanguageModelSerialization(TempfileTestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+def test_multi_lm_reset_params_forwards_to_members():
+    """Deliberate divergence: ensembles re-tune their members (the
+    reference's MultiLanguageModel inherits the abstract no-op)."""
+    from pyctcdecode_tpu.models.language_model import (
+        LanguageModel,
+        MultiLanguageModel,
+    )
+    from pyctcdecode_tpu.models.ngram import NGramModel, read_arpa
+    import os
+
+    arpa = "/root/reference/pyctcdecode/tests/sample_data/bugs_bunny_kenlm.arpa"
+    if not os.path.exists(arpa):
+        import pytest
+
+        pytest.skip("reference fixtures absent")
+    a = LanguageModel(NGramModel(read_arpa(arpa)), ["bugs"])
+    b = LanguageModel(NGramModel(read_arpa(arpa)), ["bunny"])
+    multi = MultiLanguageModel([a, b])
+    multi.reset_params(alpha=0.25, beta=3.5)
+    assert a.alpha == 0.25 and b.alpha == 0.25
+    assert a.beta == 3.5 and b.beta == 3.5
+
+
+def test_log_add_matches_np_logaddexp_to_the_ulp():
+    import numpy as np
+
+    from pyctcdecode_tpu.decoder import log_add
+
+    rng = np.random.RandomState(0)
+    for _ in range(2000):
+        s1 = float(rng.uniform(-700, 0))
+        s2 = s1 - float(rng.uniform(0, 60))
+        assert log_add(s1, s2) == float(np.logaddexp(s1, s2))

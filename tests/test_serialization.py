@@ -97,3 +97,33 @@ class TestDecoderSerializationWithLM(TempfileTestCase):
             "someone/dummy_test", cache_dir=self.temp_dir, local_files_only=True
         )
         assert restored.decode(TEST_LOGITS) == text
+
+
+def test_gzipped_arpa_round_trips_through_save_load(tmp_path):
+    """save_to_dir copies an .arpa.gz model; load_from_dir must accept it."""
+    import gzip
+    import os
+
+    from pyctcdecode_tpu import BeamSearchDecoderCTC, build_ctcdecoder
+    from pyctcdecode_tpu.models.ngram import load_unigram_set_from_arpa
+
+    src_arpa = "/root/reference/pyctcdecode/tests/sample_data/bugs_bunny_kenlm.arpa"
+    if not os.path.exists(src_arpa):
+        import pytest
+
+        pytest.skip("reference fixtures absent")
+    gz = tmp_path / "bugs.arpa.gz"
+    with open(src_arpa, "rb") as fin, gzip.open(gz, "wb") as fout:
+        fout.write(fin.read())
+    # the gz-aware unigram loader reads the same set as the plain file
+    assert load_unigram_set_from_arpa(str(gz)) == load_unigram_set_from_arpa(
+        src_arpa
+    )
+    labels = [" ", "b", "g", "n", "s", "u", "y", ""]
+    dec = build_ctcdecoder(labels, str(gz), engine="host")
+    out = tmp_path / "saved"
+    os.makedirs(out)
+    dec.save_to_dir(str(out))
+    loaded = BeamSearchDecoderCTC.load_from_dir(str(out))
+    assert loaded._language_model is not None
+    BeamSearchDecoderCTC.clear_class_models()
