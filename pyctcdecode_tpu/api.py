@@ -84,7 +84,7 @@ def build_ctcdecoder(
             "loads much faster for repeated use"
         )
     if unigrams is None and kenlm_model_path is not None:
-        if kenlm_model_path.endswith(".arpa"):
+        if kenlm_model_path.endswith((".arpa", ".arpa.gz")):
             unigrams = load_unigram_set_from_arpa(kenlm_model_path)
         elif hasattr(ngram_model, "vocab_words"):
             # KenLM binaries carry their vocabulary strings; unlike the

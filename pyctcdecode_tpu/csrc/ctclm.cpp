@@ -19,6 +19,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <algorithm>
+#include <charconv>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -225,7 +226,10 @@ void* ctclm_load_arpa(const char* path) {
     char* save = nullptr;
     char* tok = strtok_r(s, " \t", &save);
     if (!tok) continue;
-    float prob = strtof(tok, nullptr);
+    // std::from_chars: locale-independent (strtof honors LC_NUMERIC, so a
+    // comma-decimal host locale would silently truncate "-0.5" at the dot)
+    float prob = 0.f;
+    std::from_chars(tok, tok + strlen(tok), prob);
     Entry e;
     e.prob = prob;
     e.backoff = 0.f;
@@ -241,7 +245,7 @@ void* ctclm_load_arpa(const char* path) {
     }
     if (bad) continue;
     tok = strtok_r(nullptr, " \t", &save);
-    if (tok) e.backoff = strtof(tok, nullptr);
+    if (tok) std::from_chars(tok, tok + strlen(tok), e.backoff);
     raw[current_n - 1].push_back(std::move(e));
   }
   free(line);
@@ -260,26 +264,9 @@ void* ctclm_load_arpa(const char* path) {
   raw.resize(m->order);
   m->tables.resize(m->order);
   for (int n = 1; n <= m->order; n++) build_table(m->tables[n - 1], n, raw[n - 1]);
-
-  // unified device table: every n-gram keyed at full width, -1-left-padded
-  // (the layout the TPU engine probes with one batched lookup)
-  {
-    std::vector<Entry> all;
-    int64_t total = 0;
-    for (const auto& v : raw) total += static_cast<int64_t>(v.size());
-    all.reserve(total);
-    for (int n = 1; n <= m->order; n++) {
-      for (const Entry& e : raw[n - 1]) {
-        Entry padded;
-        padded.prob = e.prob;
-        padded.backoff = e.backoff;
-        padded.ids.assign(m->order, -1);
-        for (int i = 0; i < n; i++) padded.ids[m->order - n + i] = e.ids[i];
-        all.push_back(std::move(padded));
-      }
-    }
-    build_table(m->unified, m->order, all);
-  }
+  // NOTE: the unified all-orders table is built lazily on first use
+  // (ensure_unified) — nothing on the hot load path consumes it, and it
+  // doubled table-build time + resident memory for every ARPA load.
 
   auto bos = m->vocab.find("<s>");
   if (bos != m->vocab.end()) m->bos_id = bos->second;
@@ -347,11 +334,43 @@ void ctclm_export_table(void* h, int n, int32_t* keys, float* probs,
   memcpy(backoffs, t.backoffs.data(), t.backoffs.size() * sizeof(float));
 }
 
+static void ensure_unified(Model* m) {
+  // all-orders padded-key table, built on demand (every n-gram keyed at
+  // full width, -1-left-padded — the layout a single batched probe wants)
+  if (m->unified.size != 0) return;
+  std::vector<Entry> all;
+  int64_t total = 0;
+  for (int n = 1; n <= m->order; n++) {
+    const Table& t = m->tables[n - 1];
+    total += t.count;
+  }
+  all.reserve(total);
+  for (int n = 1; n <= m->order; n++) {
+    const Table& t = m->tables[n - 1];
+    for (int64_t s = 0; s < t.size; s++) {
+      // last key column is the occupancy marker (real ids are >= 0)
+      if (t.keys[s * n + (n - 1)] < 0) continue;
+      Entry padded;
+      padded.prob = t.probs[s];
+      padded.backoff = t.backoffs[s];
+      padded.ids.assign(m->order, -1);
+      for (int i = 0; i < n; i++)
+        padded.ids[m->order - n + i] = t.keys[s * n + i];
+      all.push_back(std::move(padded));
+    }
+  }
+  build_table(m->unified, m->order, all);
+}
+
 int64_t ctclm_unified_slots(void* h) {
-  return static_cast<Model*>(h)->unified.size;
+  Model* m = static_cast<Model*>(h);
+  ensure_unified(m);
+  return m->unified.size;
 }
 int ctclm_unified_max_probes(void* h) {
-  return static_cast<Model*>(h)->unified.max_probes;
+  Model* m = static_cast<Model*>(h);
+  ensure_unified(m);
+  return m->unified.max_probes;
 }
 void ctclm_export_unified(void* h, int32_t* keys, float* probs,
                           float* backoffs) {

@@ -105,6 +105,10 @@ def synthesize_corpus(
     near-certain, as in real models).
     """
     char2id = {c: i for i, c in enumerate(labels)}
+    if "" not in char2id:
+        raise ValueError(
+            "synthesize_corpus needs a char alphabet with a '' CTC blank"
+        )
     blank_id = char2id[""]
     if " " not in char2id:
         raise ValueError("synthesize_corpus needs a char alphabet with ' '")

@@ -86,7 +86,12 @@ def open_ngram_file(path: str, backend: str = "auto") -> "object":
     """
     from .ngram import NGramModel
 
+    if backend not in ("auto", "native", "python"):
+        raise ValueError(
+            f"backend must be 'auto', 'native' or 'python'; got {backend!r}"
+        )
     ext = os.path.splitext(path)[1].lower()
+    gzipped = path.endswith(".gz")
     is_arpa = ext not in (".bin", ".binary", ".ctclm")
     if ext in (".bin", ".binary"):
         with open(path, "rb") as fh:
@@ -95,7 +100,17 @@ def open_ngram_file(path: str, backend: str = "auto") -> "object":
             from .kenlm_bin import KenLMBinaryModel
 
             return KenLMBinaryModel.from_file(path)
-    if backend == "python" or not is_arpa:
+    if backend == "native" and (not is_arpa or gzipped):
+        # the C++ parser reads plain-text ARPA only — an explicit native
+        # request for another format must not silently fall back
+        raise ValueError(
+            f"backend='native' supports plain-text ARPA files only; "
+            f"{path!r} needs the python backend"
+        )
+    if backend == "python" or not is_arpa or gzipped:
+        # gzipped ARPA: the native parser cannot decompress — route to
+        # Python directly instead of wasting a full read of the blob
+        # before the auto fallback
         return NGramModel.from_file(path)
     if backend == "native":
         return NativeNGramModel.from_file(path)

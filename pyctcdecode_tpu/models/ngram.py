@@ -253,6 +253,11 @@ class NGramModel:
     def tables(self) -> NGramTables:
         return self._tables
 
+    def vocab_words(self) -> List[str]:
+        """The vocabulary in id order (for unigram-set inference on
+        compiled ``.ctclm`` models, which have no ARPA text to scan)."""
+        return sorted(self._tables.vocab, key=self._tables.vocab.__getitem__)
+
     @property
     def order(self) -> int:
         return self._tables.order
