@@ -293,6 +293,10 @@ def build_table_meta(
                 "unk_prob10": np.float32(dlm.unk_prob10),
                 "has_unigrams": dlm.has_unigrams,
                 "fp_meta": fp_meta,
+                # static cell-packing geometry of the trie plane (see
+                # device_tables.trie_pack_params): the walk unpacks child
+                # (rank | flags) cells with these shift constants
+                "trie_pack": dlm.trie_pack,
             }
         )
     return meta
@@ -702,6 +706,35 @@ def _token_cols(jnp, tables: Dict, tok_col, k: int) -> Dict:
     return out
 
 
+def _decode_trie_cells(jnp, jax, tp, fc, word, cid):
+    """Packed trie cell -> packed child entry (node id | ``BIT_*`` flags).
+
+    The trie plane stores children as small cells — ``rank`` among the
+    node's BFS-contiguous children plus the child's 3 flag bits — packed
+    ``cpw`` per i32 word (see ``device_tables.trie_pack_params``). This
+    decodes the cell for char ``cid`` out of its packed ``word``:
+    ``child = first_child + rank``; an all-ones rank means no child and
+    resolves to the dead node with zero flags, exactly like the old
+    full-width rows. Pure elementwise VPU work — the plane shrink that
+    round 4's radix experiment bought with ~520 ms of per-step edge
+    bookkeeping costs three shifts here.
+
+    ``fc``: first-child ids broadcastable to ``word``'s shape; ``word``:
+    the packed cell words; ``cid``: char ids, same shape as ``word``.
+    """
+    rb, cpw = tp["rb"], tp["cpw"]
+    bpc = rb + 3
+    shift = ((cid % cpw) * bpc).astype(jnp.uint32)
+    wu = jax.lax.bitcast_convert_type(word, jnp.uint32)
+    cell = (wu >> shift) & jnp.uint32((1 << bpc) - 1)
+    rank = (cell & jnp.uint32((1 << rb) - 1)).astype(jnp.int32)
+    flags3 = (cell >> jnp.uint32(rb)).astype(jnp.int32) & 7
+    # cell flag bit order matches the packed-entry layout: bit0 ->
+    # BIT_IN_VOCAB (1 << 28), bit1 -> BIT_UNI_WORD, bit2 -> BIT_UNI_PREFIX
+    entry = (fc + rank) | (flags3 << 28)
+    return jnp.where(rank == (1 << rb) - 1, tp["dead"], entry)
+
+
 def _rank(jnp, cfg, lm_score_flat, logit_flat, src_flat, beam_prune_logp):
     """Window prune relative to the best, then top-k (ref decoder.py:536-554)."""
     import jax
@@ -892,8 +925,8 @@ def _make_step(
             ext_lo = jnp.where(has, nlo, ext_lo)
             ext_hi = jnp.where(has, nhi, ext_hi)
 
-            def _pick_cols(rows):
-                """rows[:, cid_safe] without the per-beam vector index.
+            def _pick_cols(rows, idx):
+                """rows[:, idx] without the per-beam vector index.
 
                 ``rows[:, idx]`` lowers to a gather whose operand XLA
                 re-lays out per step (~160 ms/batch of copies/reshapes
@@ -902,8 +935,8 @@ def _make_step(
                 i32 sum of a single addend).
                 """
                 cmask = (
-                    cid_safe[:, None]
-                    == jnp.arange(rows.shape[1], dtype=cid_safe.dtype)[None, :]
+                    idx[:, None]
+                    == jnp.arange(rows.shape[1], dtype=idx.dtype)[None, :]
                 )  # [K, C]
                 return jnp.sum(
                     jnp.where(cmask[None, :, :], rows[:, None, :], 0),
@@ -912,11 +945,16 @@ def _make_step(
                 )  # [B, K]
 
             for i in range(n_lms):
+                tp = devs[i]["trie_pack"]
                 rows = trie_rows_b[i]  # [B, W] (shared with commit scoring)
-                ext_entries[i] = jnp.where(has, _pick_cols(rows), ext_entries[i])
+                word = _pick_cols(
+                    rows[:, 1 : 1 + tp["ncw"]], cid_safe // tp["cpw"]
+                )
+                ent = _decode_trie_cells(jnp, jax, tp, rows[:, 0:1], word, cid_b)
+                ext_entries[i] = jnp.where(has, ent, ext_entries[i])
             if cfg.use_hotwords:
                 hrows = hot["next"][state["h_node"]]  # [B, C]
-                ext_hentry = jnp.where(has, _pick_cols(hrows), ext_hentry)
+                ext_hentry = jnp.where(has, _pick_cols(hrows, cid_safe), ext_hentry)
         else:
             for l in range(lmax):
                 cid = (
@@ -929,11 +967,12 @@ def _make_step(
                 ext_lo = jnp.where(has, nlo, ext_lo)
                 ext_hi = jnp.where(has, nhi, ext_hi)
                 for i in range(n_lms):
-                    ext_entries[i] = jnp.where(
-                        has,
-                        devs[i]["trie_rows"][ext_entries[i] & _NODE_MASK, cid_b],
-                        ext_entries[i],
-                    )
+                    tp = devs[i]["trie_pack"]
+                    node = ext_entries[i] & _NODE_MASK
+                    word = devs[i]["trie_rows"][node, 1 + cid_b // tp["cpw"]]
+                    fc = devs[i]["trie_rows"][node, 0]
+                    ent = _decode_trie_cells(jnp, jax, tp, fc, word, cid_b)
+                    ext_entries[i] = jnp.where(has, ent, ext_entries[i])
                 if cfg.use_hotwords:
                     ext_hentry = jnp.where(
                         has,

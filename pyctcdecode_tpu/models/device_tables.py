@@ -71,7 +71,12 @@ _FP_SEED_HI = 0x811C9DC5 ^ 0xC2B2AE35
 # fewest slots whose row still rides the fast path: 16 slots = 64 words.
 # Halving from 32 (round 4) kept the single-gather probe and halved the
 # fingerprint-compare lanes of every readout; the bucket count doubles at
-# the same total bytes.
+# the same total bytes. (Round 5 A/B: going back to 32 slots to absorb
+# the parity bigram table's max-bucket Poisson-tail doubling DID halve
+# that plane to 67 MB and its gather time 576 -> 339 ms, but total busy
+# REGRESSED 1,471 -> 1,901 ms: the 128-lane readout reshaped the step's
+# fusion graph and the unrelated packed-trie gathers slowed 3x. Totals
+# rule; 16 slots stays.)
 _BUCKET_SLOTS = 16
 _BUCKET_WIDTH = 4 * _BUCKET_SLOTS
 
@@ -593,17 +598,22 @@ def build_vocab_trie(
     return builder.pack()
 
 
-def _put_row_major(arr: np.ndarray) -> "object":
-    """Device-put a 2-D table with an explicit row-major layout.
+def _put_row_major(arr: np.ndarray, major_to_minor: Tuple[int, int] = (0, 1)) -> "object":
+    """Device-put a 2-D table with an explicit layout (default row-major).
 
-    XLA's gather emitter wants these tables row-major and inserts a
-    whole-table relayout copy into programs that disagree (~1 ms per
-    segment call on a 211 MB trie plane); pinning the layout at upload
-    time removes those copies. (An earlier attempt appeared to corrupt
-    batch-256 outputs; the real culprit was a [::-1] miscompile on the
-    backtrace path — fixed by scan(reverse=True) in engine.py — which the
-    layout change merely perturbed into triggering.) Falls back to a
-    plain transfer on CPU and on layout-API drift.
+    XLA's gather emitter wants the wide (>= 64-word-row) tables row-major
+    and inserts a whole-table relayout copy into programs that disagree
+    (~1 ms per segment call on a 211 MB trie plane); pinning the layout at
+    upload time removes those copies. The narrow packed trie plane is the
+    opposite case: its gather consumes the operand COLUMN-major
+    (sub-128-lane rows tile badly row-major), so callers pass
+    ``major_to_minor=(1, 0)`` for it — measured 35.9 ms of in-program
+    relayout copies per profiled batch otherwise. (An earlier attempt
+    appeared to corrupt batch-256 outputs; the real culprit was a [::-1]
+    miscompile on the backtrace path — fixed by scan(reverse=True) in
+    engine.py — which the layout change merely perturbed into
+    triggering.) Falls back to a plain transfer on CPU and on
+    layout-API drift.
     """
     import jax
     import jax.numpy as jnp
@@ -615,42 +625,93 @@ def _put_row_major(arr: np.ndarray) -> "object":
         dev = jax.devices()[0]
         if dev.platform == "cpu":
             return jnp.asarray(arr)
-        fmt = Format(Layout((0, 1)), SingleDeviceSharding(dev))
+        fmt = Format(Layout(major_to_minor), SingleDeviceSharding(dev))
         return jax.device_put(np.ascontiguousarray(arr), fmt)
     except Exception:  # pragma: no cover - layout API drift
         return jnp.asarray(arr)
 
 
-def _pad_trie_rows(
-    packed: np.ndarray, word_id: np.ndarray, uni: np.ndarray
+def trie_pack_params(n_chars: int) -> Dict[str, int]:
+    """Static cell-packing geometry of the trie plane (see _pack_trie_plane).
+
+    BFS numbering makes every node's children CONTIGUOUS ids ordered by
+    char, so a child pointer compresses from a 32-bit absolute id to its
+    RANK among the node's children (``rb`` bits, all-ones = no child)
+    plus the child's 3 flag bits — one small cell per char instead of a
+    full i32 entry. The row then stores one ``first_child`` word plus
+    ``ncw`` packed cell words. For a ~28-char alphabet this shrinks the
+    826k-row plane from 211 MB (64-word rows) to ~38 MB (12-word rows);
+    round-4 profiles measured in-program gather cost dropping ~1.5x when
+    the plane footprint shrank to this range (the radix experiment,
+    PARITY.md), and unlike the radix layout the unpack here is three
+    elementwise VPU ops with no per-step row reads.
+    """
+    rb = 1
+    while (1 << rb) - 1 < max(n_chars, 1):
+        rb += 1  # sentinel (all-ones) must exceed every rank (< n_chars)
+    bpc = rb + 3  # rank bits + 3 child flag bits
+    cpw = max(32 // bpc, 1)
+    ncw = -(-max(n_chars, 1) // cpw)
+    return {"rb": rb, "cpw": cpw, "ncw": ncw, "width": 1 + ncw + 4}
+
+
+def _pack_trie_plane(
+    trie: PackedTrie, flag3: np.ndarray, uni: np.ndarray
 ) -> np.ndarray:
-    """Pad packed trie rows to a fast-gather width; fold in word data.
+    """Build the cell-packed trie plane (see :func:`trie_pack_params`).
 
-    Rows are padded to multiples of 64 i32 words (the gather emitter's
-    vectorized row-copy tier). The isolated cost model
-    (scripts/gather_cost_model.py) prices 512-byte rows cheaper per row
-    than 256-byte ones, but round-4 A/B profiles of the full serving
-    program measured the per-step trie gather IDENTICAL at widths 64 and
-    128 (~12.4 ns/row both ways — in-program gathers are issue-bound,
-    not width-bound), so the narrower row wins on plane footprint (211
-    vs 423 MB at 826k nodes). The spare columns carry the node's
-    per-word constants so the per-frame child walk, the commit-time
-    word-id fetch AND the word's order-1 probe all ride ONE row-gather:
+    Row layout (width ``1 + ncw + 4`` i32 words):
 
-    * col W-4: the word's unigram log10-prob (f32 bits),
+    * col 0: ``first_child`` — the node's smallest child id (0 if none);
+      child at rank r has id ``first_child + r`` (BFS contiguity,
+      asserted below);
+    * cols 1..ncw: packed cells, ``cpw`` chars per word, char ``c`` in
+      word ``c // cpw`` at bit ``(c % cpw) * bpc``; a cell is
+      ``rank | (child_flag3 << rb)`` or all-ones when no child;
+    * col W-4: the node's word unigram log10-prob (f32 bits),
     * col W-3: its unigram backoff (f32 bits),
     * col W-2: unigram-exists flag,
     * col W-1: the vocab word id (-1 for non-terminal nodes).
+
+    ``flag3`` is the per-node 3-bit flag vector (bit0 IN_VOCAB, bit1
+    UNI_WORD, bit2 UNI_PREFIX — the low bits of the packed-entry flag
+    nibble, shifted to ``DeviceLM.BIT_*`` positions by the device walk).
     """
-    n, c = packed.shape
-    w = 64 * ((c + 4 + 63) // 64)
+    prm = trie_pack_params(trie.next.shape[1])
+    rb, cpw, ncw, w = prm["rb"], prm["cpw"], prm["ncw"], prm["width"]
+    bpc = rb + 3
+    sentinel = np.uint32((1 << bpc) - 1)  # rank all-ones, flags all-ones
+    nxt = trie.next  # [N, C], missing children stored as the dead id
+    n, c = nxt.shape
+    has = nxt != trie.dead
+    rank = np.cumsum(has, axis=1, dtype=np.int64) - has
+    fc = np.where(
+        has.any(axis=1),
+        np.min(np.where(has, nxt, np.iinfo(np.int32).max), axis=1),
+        0,
+    ).astype(np.int64)
+    # BFS contiguity is the layout's correctness contract — verify it
+    if not bool(
+        np.array_equal(np.where(has, nxt, 0), np.where(has, fc[:, None] + rank, 0))
+    ):  # pragma: no cover - BFS numbering guarantees this
+        raise AssertionError("trie children are not BFS-contiguous")
+    cell = np.where(
+        has, rank.astype(np.uint32) | (flag3[nxt].astype(np.uint32) << rb), sentinel
+    ).astype(np.uint32)
+    cells = np.full((n, ncw * cpw), sentinel, dtype=np.uint32)
+    cells[:, :c] = cell
+    words = np.zeros((n, ncw), dtype=np.uint32)
+    for j in range(cpw):
+        words |= cells[:, j::cpw] << np.uint32(j * bpc)
     rows = np.zeros((n, w), dtype=np.int32)
-    rows[:, :c] = packed
-    has = word_id >= 0
-    wid_safe = np.where(has, word_id, 0)
-    rows[:, w - 4] = np.where(has, uni[wid_safe, 0].view(np.int32), 0)
-    rows[:, w - 3] = np.where(has, uni[wid_safe, 1].view(np.int32), 0)
-    rows[:, w - 2] = np.where(has, uni[wid_safe, 2] > 0.5, False).astype(np.int32)
+    rows[:, 0] = fc.astype(np.int32)
+    rows[:, 1 : 1 + ncw] = words.view(np.int32)
+    word_id = trie.word_id
+    has_w = word_id >= 0
+    wid_safe = np.where(has_w, word_id, 0)
+    rows[:, w - 4] = np.where(has_w, uni[wid_safe, 0].view(np.int32), 0)
+    rows[:, w - 3] = np.where(has_w, uni[wid_safe, 1].view(np.int32), 0)
+    rows[:, w - 2] = np.where(has_w, uni[wid_safe, 2] > 0.5, False).astype(np.int32)
     rows[:, w - 1] = word_id
     return rows
 
@@ -703,6 +764,20 @@ class DeviceLM:
         bits |= np.where(self.trie.is_uni_prefix[nodes], self.BIT_UNI_PREFIX, 0)
         return bits
 
+    def _node_flag3(self) -> np.ndarray:
+        """Per-node 3-bit flags (low-bit form packed into trie-plane cells)."""
+        f = (self.trie.word_id >= 0).astype(np.uint32)
+        f |= self.trie.is_uni_word.astype(np.uint32) << 1
+        f |= self.trie.is_uni_prefix.astype(np.uint32) << 2
+        return f
+
+    @property
+    def trie_pack(self) -> Dict[str, int]:
+        """Static packing geometry of the trie plane (+ the dead node id)."""
+        prm = dict(trie_pack_params(self.trie.next.shape[1]))
+        prm["dead"] = self.trie.dead
+        return prm
+
     def as_device(self, include_fp: bool = True) -> Dict:
         """jnp pytree of all arrays (call once, reuse across decodes).
 
@@ -714,9 +789,6 @@ class DeviceLM:
 
         if self.trie.n_nodes >= (1 << 28):
             raise ValueError("vocab trie exceeds the 2^28 packed-node limit")
-        packed = (
-            self.trie.next.astype(np.int64) | self._node_flag_bits(self.trie.next)
-        ).astype(np.int32)
         seed_packed = (
             self.seed_node.astype(np.int64) | self._node_flag_bits(self.seed_node)
         ).astype(np.int32)
@@ -734,7 +806,7 @@ class DeviceLM:
             if include_fp
             else [],
             "trie_rows": _put_row_major(
-                _pad_trie_rows(packed, self.trie.word_id, self.uni)
+                _pack_trie_plane(self.trie, self._node_flag3(), self.uni)
             ),
             "trie_word_id": jnp.asarray(self.trie.word_id),
             "uni_unk_row": jnp.asarray(self.uni[self.unk_id]),
