@@ -406,6 +406,11 @@ def _bucket_readout(jnp, jax, rows, lo, hi, valid):
     bb = jax.lax.bitcast_convert_type(rows[:, 3 * s :], jnp.float32)
     prob = jnp.sum(jnp.where(eq, pb, 0.0), axis=1)
     backoff = jnp.sum(jnp.where(eq, bb, 0.0), axis=1)
+    # (round 5: an explicit [4s, Q] transpose of ``rows`` to hand the
+    # reductions their preferred Q-minor layout was measured a no-op —
+    # XLA canonicalizes it away and the [Q, 64] gather-output relayout
+    # copies stay; they are the gather emitter's canonical form, not
+    # this readout's doing.)
     return found, prob, backoff
 
 
@@ -806,7 +811,8 @@ class DeviceLM:
             if include_fp
             else [],
             "trie_rows": _put_row_major(
-                _pack_trie_plane(self.trie, self._node_flag3(), self.uni)
+                _pack_trie_plane(self.trie, self._node_flag3(), self.uni),
+                major_to_minor=(1, 0),
             ),
             "trie_word_id": jnp.asarray(self.trie.word_id),
             "uni_unk_row": jnp.asarray(self.uni[self.unk_id]),
