@@ -151,6 +151,15 @@ def stats_fields(cfg: EngineConfig) -> List[str]:
     ``probe_queries`` give the order-``n`` full-suffix LM probe hit rate
     of per-frame commit scoring, aggregated over LM members (SURVEY §5.5
     observability).
+
+    Under ``token_timeline`` (the serving configuration) the same vector
+    is produced with these semantics: per-chunk work counters
+    (``beams_alive``, ``candidates_valid``, ``merged_dups``,
+    ``probe_queries``, ``probe_hits_*``) accumulate over VIRTUAL steps
+    (chunks, ~1.1x frames at serving chunk widths), while frame-shaped
+    counters (``frames``, ``window_pruned``, ``selected_alive``,
+    ``history_pruned``, ``words_committed``) count only each frame's
+    final chunk — so per-frame rates read identically to dense mode.
     """
     names = [
         "frames",
@@ -789,10 +798,6 @@ def _make_step(
     lmax = int(tok_dev["raw_chars"].shape[1])
     n_lms = cfg.n_lms
     tl = cfg.token_timeline
-    if tl and cfg.collect_stats:
-        raise ValueError(
-            "token_timeline decoding does not support collect_stats"
-        )
 
     def _flatten(x):
         """[B, K, ...] -> [K*B, ...] in token-major order (ref enumeration)."""
@@ -1136,6 +1141,13 @@ def _make_step(
             top_scores, top_src = jax.lax.top_k(comb_score, b)
             top_src = top_src.astype(jnp.int32)
             win = top_scores[0] + prm["beam_prune_logp"]
+            if cfg.collect_stats:
+                # candidates killed by the window prune (applied on the
+                # frame's final chunk, over the whole frame's pool)
+                tl_win_killed = jnp.sum(
+                    (top_scores > DEAD_THRESH) & (top_scores < win),
+                    dtype=jnp.int32,
+                )
             top_scores = jnp.where(
                 is_final & (top_scores < win), DEAD, top_scores
             )
@@ -1490,18 +1502,32 @@ def _make_step(
             )
 
         if cfg.collect_stats:
+            # timeline mode: per-chunk work counters (beams, candidates,
+            # merges, probes) accumulate every active step; frame-shaped
+            # counters (frames, window prune, selection, history prune,
+            # commits) count only the frame's FINAL chunk, where the pool
+            # promotes to the beam set — so their per-frame rates read
+            # the same as in dense mode (stats_fields docstring).
+            fin_gate = (
+                is_final.astype(jnp.int32) if tl else jnp.int32(1)
+            )
             counts = [
-                jnp.int32(1),  # frames
+                fin_gate,  # frames
                 jnp.sum(alive, dtype=jnp.int32),
                 jnp.sum(valid, dtype=jnp.int32),
                 jnp.sum(to_kb(valid) & dup, dtype=jnp.int32),
-                jnp.sum(
-                    live & (lm_score_flat < mx + prm["beam_prune_logp"]),
-                    dtype=jnp.int32,
-                ),
-                jnp.sum(sel_alive, dtype=jnp.int32),
                 (
-                    jnp.sum(dup_h, dtype=jnp.int32)
+                    fin_gate * tl_win_killed
+                    if tl
+                    else jnp.sum(
+                        live
+                        & (lm_score_flat < mx + prm["beam_prune_logp"]),
+                        dtype=jnp.int32,
+                    )
+                ),
+                fin_gate * jnp.sum(sel_alive, dtype=jnp.int32),
+                (
+                    fin_gate * jnp.sum(dup_h, dtype=jnp.int32)
                     if cfg.prune_history
                     else jnp.int32(0)
                 ),
@@ -1509,7 +1535,8 @@ def _make_step(
                 # transition while holding a partial (cm["commit"] alone
                 # is merely "holds a partial", true for most beams on
                 # most frames)
-                jnp.sum(bnd_w & commit_w & sel_alive, dtype=jnp.int32),
+                fin_gate
+                * jnp.sum(bnd_w & commit_w & sel_alive, dtype=jnp.int32),
             ]
             if n_lms:
                 alive_ct = jnp.sum(alive, dtype=jnp.int32)
@@ -1536,6 +1563,10 @@ def _make_step(
             for key, old in state.items():
                 if key.startswith("pool_"):
                     out_state[key] = jnp.where(active, pool_new[key], old)
+                elif key == "stats":
+                    # counters accumulate every ACTIVE step (frame-shaped
+                    # entries are already final-chunk-gated above)
+                    out_state[key] = jnp.where(active, new_state[key], old)
                 else:
                     out_state[key] = jnp.where(promote, new_state[key], old)
             parent = jnp.where(promote, parent, iota_b)

@@ -253,10 +253,6 @@ class ShardedCTCDecoder:
 
         if not logits_list:
             return []
-        if collect_stats and token_chunking:
-            raise ValueError(
-                "collect_stats is not supported with token_chunking"
-            )
         d = self._decoder
         hot, weight, _ = d._hot_tables(hotwords, hotword_weight)
         v = len(d._labels)

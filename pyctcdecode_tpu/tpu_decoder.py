@@ -1383,10 +1383,6 @@ class TPUBeamSearchDecoderCTC:
         """
         from .utils.logits import normalize_batch, token_timeline_batch
 
-        if collect_stats:
-            raise ValueError(
-                "collect_stats is not supported with token_chunking"
-            )
         jnp = self._jnp
         n = len(logits_list)
         n_pad = ((n + batch_pad - 1) // batch_pad) * batch_pad
@@ -1427,13 +1423,13 @@ class TPUBeamSearchDecoderCTC:
                 seg, timeline, n_frames, params, start, hot,
                 beam_width=beam_width, k=k_chunk,
                 prune_history=prune_history, emit_paths=emit_paths,
-                token_timeline=True,
+                collect_stats=collect_stats, token_timeline=True,
             )
         else:
             fn = self._get_fn(
                 t_pad, beam_width, k_chunk, prune_history, batch=n_pad,
                 use_hotwords=hot is not None, emit_paths=emit_paths,
-                token_timeline=True,
+                collect_stats=collect_stats, token_timeline=True,
             )
             out = fn(
                 tuple(jnp.asarray(a) for a in timeline),
@@ -1443,7 +1439,7 @@ class TPUBeamSearchDecoderCTC:
                 self._tabs,
                 hot,
             )
-        return {
+        handle = {
             "out": dict(out),
             "lens": vlens,
             "n": n,
@@ -1451,6 +1447,17 @@ class TPUBeamSearchDecoderCTC:
             "frame_ids": out_frame_ids,
             "offsets": offsets,
         }
+        if collect_stats:
+            from .engine import stats_fields
+
+            cfg = self._engine_cfg(
+                beam_width, k_chunk, prune_history, hot is not None,
+                emit_paths, collect_stats, True,
+            )
+            # keep the handle async: the device array converts at collect
+            handle["stats_dev"] = handle["out"].pop("stats")
+            handle["stats_names"] = stats_fields(cfg)
+        return handle
 
     def _run_segmented(
         self,

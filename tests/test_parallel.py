@@ -319,3 +319,29 @@ def test_sharded_collect_stats_matches_unsharded():
     )
     assert [r[0].text for r in res] == [r[0].text for r in plain]
     assert stats == plain_stats
+
+
+def test_sharded_timeline_collect_stats():
+    """Mesh timeline decode collects counters (round-5: gate removed)."""
+    import numpy as np
+
+    from pyctcdecode_tpu.alphabet import Alphabet
+    from pyctcdecode_tpu.parallel import ShardedCTCDecoder, make_data_mesh
+    from pyctcdecode_tpu.tpu_decoder import TPUBeamSearchDecoderCTC
+
+    from .helpers import LIBRI_LABELS
+
+    rng = np.random.RandomState(4)
+    logits = [rng.randn(20, len(LIBRI_LABELS) + 1).astype(np.float32) * 2
+              for _ in range(4)]
+    labels = LIBRI_LABELS + [""]
+    dec = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(labels))
+    plain, plain_stats = dec.decode_beams_batch(
+        logits, beam_width=8, token_chunking=4, collect_stats=True
+    )
+    sharded = ShardedCTCDecoder(dec, mesh=make_data_mesh(4))
+    res, stats = sharded.decode_beams_batch(
+        logits, beam_width=8, token_chunking=4, collect_stats=True
+    )
+    assert [r[0].text for r in res] == [r[0].text for r in plain]
+    assert stats == plain_stats

@@ -142,13 +142,14 @@ class TestTimelineDecode(unittest.TestCase):
         dec = TPUBeamSearchDecoderCTC(alphabet)
         self._assert_equal(dec, [logits], kcs=(4,), beam_width=12)
 
-    def test_stats_unsupported(self):
+    def test_stats_supported(self):
+        """Timeline mode collects stats (full test in test_stats.py)."""
         alphabet = Alphabet.build_alphabet(SAMPLE_LABELS)
         dec = TPUBeamSearchDecoderCTC(alphabet)
-        with self.assertRaises(ValueError):
-            dec.decode_beams_batch(
-                [TEST_PROBS], token_chunking=4, collect_stats=True
-            )
+        results, stats = dec.decode_beams_batch(
+            [TEST_PROBS], token_chunking=4, collect_stats=True
+        )
+        self.assertEqual(stats[0]["frames"], TEST_PROBS.shape[0])
 
 
 if __name__ == "__main__":
