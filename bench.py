@@ -435,10 +435,14 @@ def main() -> None:
     # overlap the device run. Reuses the executables compiled above.
     def _time_stream(n_stream=8, dec=None, **extra):
         dec = dec if dec is not None else dev
-        # depth 2: two batches in flight ride over host-CPU jitter (the
-        # shared VM's effective CPU speed swings ~30%, and at depth 1 a
-        # slow host moment flips the pipeline host-bound)
-        conf = dict(kwargs, top_n=1, pipeline_depth=2, **extra)
+        # depth 4: four batches in flight ride over host-CPU jitter (the
+        # shared VM's effective CPU speed swings ~30%; round-5 A/B on
+        # 12-batch streams: depth 2 ~5.1-5.3k, depth 3 ~5.1-6.0k, depth 4
+        # ~5.4-6.9k audio-s/s — the deeper prep runway absorbs multi-batch
+        # host stalls that flip shallower pipelines host-bound). Batch
+        # results still arrive in order; latency per batch is recorded
+        # separately (oneshot_batch_latency_s is the depth-free number).
+        conf = dict(kwargs, top_n=1, pipeline_depth=4, **extra)
         for out in dec.decode_beams_batches([corpus.logits], **conf):
             pass  # warm every bucket's executable
         # mean inter-batch interval per stream (with depth 2 the yields
