@@ -86,7 +86,7 @@ class FPTable:
     """One order's probe table in the single-gather bucket layout.
 
     Entries live in the bucket their base hash selects — never elsewhere —
-    so a probe is: gather ``bucket[h & (size-1)]`` (one row of
+    so a probe is: gather ``bucket[h % size]`` (one row of
     ``_BUCKET_WIDTH`` words), compare the query's 64-bit fingerprint
     against all resident fingerprints in-register, and read the matching
     slot's (prob, backoff). The build grows ``size`` until every bucket fits and
@@ -95,7 +95,7 @@ class FPTable:
     """
 
     n: int  # key width (the order)
-    size: int  # bucket count, power of two
+    size: int  # bucket count (2^k or 3*2^k rung)
     seed_lo: int  # fingerprint lane seeds (reseeded on build-time collision)
     seed_hi: int
     count: int
@@ -131,7 +131,7 @@ def _assemble_fp(
     """Place entries into ``_BUCKET_SLOTS``-slot buckets; pack the plane.
 
     Bucketized placement (no probing across buckets): entry *e* lives in
-    bucket ``base_full[e] & (size - 1)``, at any free slot. The bucket
+    bucket ``base_full[e] % size``, at any free slot. The bucket
     count doubles until the fullest bucket fits (Poisson tails make this
     terminate near load factor ~1/3), then the
     fingerprint lanes (``lane_fn(seed_lo, seed_hi)``) reseed until no two
@@ -142,15 +142,28 @@ def _assemble_fp(
     count = len(base_full)
     probs = np.asarray(probs, dtype=np.float32)
     backoffs = np.asarray(backoffs, dtype=np.float32)
+    # size ladder {2^k, 3*2^k}: pure power-of-two growth overshoots —
+    # the parity bigram table (1.5M entries) trips the max-bucket Poisson
+    # tail at its load-target size and a x2 jump lands it at 134 MB,
+    # while the x1.5 rung (393216 buckets, 100 MB) absorbs the tail.
+    # Round-5 A/B: serving busy time is IDENTICAL at both sizes (fp
+    # gathers are issue-bound, not footprint-bound, in this range), so
+    # the rung buys HBM headroom — 25% less waste, which is what matters
+    # when a big LM's tables push chip memory — at zero speed cost.
+    # Bucket index is ``hash % size`` (mod by a compile-time constant
+    # lowers to mul-shift; measured indistinguishable from the mask).
+    def _next_size(cur: int) -> int:
+        return cur * 3 // 2 if (cur & (cur - 1)) == 0 else cur * 4 // 3
+
     size = _MIN_TABLE
     while size * (3 * _BUCKET_SLOTS // 8) < count:  # ~load factor 1/3
-        size *= 2
+        size = _next_size(size)
     while True:
-        base = (base_full & np.uint32(size - 1)).astype(np.int64)
+        base = (base_full % np.uint32(size)).astype(np.int64)
         if count:
             counts = np.bincount(base, minlength=size)
             if int(counts.max()) > _BUCKET_SLOTS:
-                size *= 2
+                size = _next_size(size)
                 continue
         break
     order_idx = np.argsort(base, kind="stable")
@@ -279,7 +292,7 @@ def probe_fp_host(table: FPTable, keys: np.ndarray) -> Tuple[np.ndarray, np.ndar
         },
         keys,
     )
-    base = (h & np.uint32(table.size - 1)).astype(np.int64)
+    base = (h % np.uint32(table.size)).astype(np.int64)
     rows = table.bucket.view(np.uint32)[base]  # [Q, 64]
     s_ = _BUCKET_SLOTS
     eq = (rows[:, :s_] == lo[:, None]) & (rows[:, s_ : 2 * s_] == hi[:, None])
@@ -382,7 +395,7 @@ def probe_fp_jnp(tab_dev: Dict, query: "object", valid: "object") -> Tuple:
         return _probe_fp_sharded(tab_dev, query, valid)
     size = tab_dev["size"]
     h, lo, hi = _query_hashes(jnp, tab_dev, query)
-    base = (h & jnp.uint32(size - 1)).astype(jnp.int32)
+    base = (h % jnp.uint32(size)).astype(jnp.int32)
     # (round 4: clamping invalid queries' bucket index to 0 for HBM
     # locality was tried and reverted — the extra `where` on the gather
     # index sent the XLA compile time from ~3 min to >25 min per segment
@@ -440,7 +453,7 @@ def _probe_fp_sharded(tab_dev: Dict, query: "object", valid: "object") -> Tuple:
     qa = jax.lax.all_gather(query, axis, tiled=True)  # [n_shards*q, w]
     va = jax.lax.all_gather(valid, axis, tiled=True)  # [n_shards*q]
     h, lo, hi = _query_hashes(jnp, tab_dev, qa)
-    base = (h & jnp.uint32(tab_dev["size"] - 1)).astype(jnp.int32)
+    base = (h % jnp.uint32(tab_dev["size"])).astype(jnp.int32)
     my_first = jax.lax.axis_index(axis).astype(jnp.int32) * rows_local
     local = base - my_first
     mine = (local >= 0) & (local < rows_local)

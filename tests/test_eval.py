@@ -107,14 +107,15 @@ class TestWerRuntimeSweep(unittest.TestCase):
             _write_arpa(arpa, VOCAB)
             result = ws.run_sweep(
                 (1, 5), n=8, host_n=4, arpa=arpa, device=True,
-                lm_vocab_draw=200,
+                lm_vocab_draw=200, reps=1,
             )
         self.assertEqual([p["beam_width"] for p in result["points"]], [1, 5])
         for p in result["points"]:
             self.assertIn("host_ms_per_sample", p)
             self.assertIn("host_wer_subset", p)
             self.assertIn("device_ms_per_sample", p)
-            self.assertIn("device_wer", p)
+            self.assertIn("device_wer_subset", p)
+            self.assertIn("device_wer_full", p)
             self.assertTrue(p["device_matches_host_subset"])
         md = ws.to_markdown(result)
         self.assertIn("| beam |", md)

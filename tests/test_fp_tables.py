@@ -73,7 +73,7 @@ class TestFPTable(unittest.TestCase):
             },
             keys,
         )
-        base = (h & np.uint32(tab.size - 1)).astype(np.int64)
+        base = (h % np.uint32(tab.size)).astype(np.int64)
         for i in range(len(keys)):
             row = b[base[i]]
             fps = {
