@@ -433,36 +433,48 @@ def main() -> None:
     # --- pipelined steady-state throughput (the serving pattern): keep one
     # batch in flight so host prep/post-process and the relay transfers
     # overlap the device run. Reuses the executables compiled above.
-    def _time_stream(n_stream=8, dec=None, **extra):
+    def _time_stream(n_stream=12, depth=3, dec=None, **extra):
+        """STEADY-STATE serving throughput (honest measurement).
+
+        Round-5 methodology fix: the previous measurement averaged the
+        yield-to-yield gaps after the first batch — but a depth-D
+        pipeline's last D yields are a tail DRAIN (their device work
+        happened during earlier gaps; fetching results takes ~0.2 s), so
+        including them credited device work twice and inflated deeper
+        pipelines (measured: depth-4 yield gaps on a 16-batch stream are
+        ~1.40 s steady followed by four 0.2 s drain gaps — the old
+        average read up to ~2x high, and the round-3/4 depth-2 numbers
+        carried up to ~14% of the same inflation). The sustained rate of
+        a serving system is the STEADY gap: drop the first ``depth``
+        gaps (pipeline fill) and the last ``depth`` (drain), average the
+        middle. The whole-stream rate (spin-up included, nothing
+        excluded) is recorded alongside as the conservative bound.
+        """
         dec = dec if dec is not None else dev
-        # depth 4: four batches in flight ride over host-CPU jitter (the
-        # shared VM's effective CPU speed swings ~30%; round-5 A/B on
-        # 12-batch streams: depth 2 ~5.1-5.3k, depth 3 ~5.1-6.0k, depth 4
-        # ~5.4-6.9k audio-s/s — the deeper prep runway absorbs multi-batch
-        # host stalls that flip shallower pipelines host-bound). Batch
-        # results still arrive in order; latency per batch is recorded
-        # separately (oneshot_batch_latency_s is the depth-free number).
-        conf = dict(kwargs, top_n=1, pipeline_depth=4, **extra)
+        conf = dict(kwargs, top_n=1, pipeline_depth=depth, **extra)
         for out in dec.decode_beams_batches([corpus.logits], **conf):
             pass  # warm every bucket's executable
-        # mean inter-batch interval per stream (with depth 2 the yields
-        # alternate long/short gaps, so only the mean is the true rate);
-        # best of four streams, matching the baseline's best-of treatment
-        # (the shared VM's CPU and the device tunnel both swing ~20%
-        # minute to minute; the best window approximates the unloaded
-        # rate the same way the baseline's best-of-2 does)
         best = float("inf")
-        reps = 5 if _left() > 150 else (4 if _left() > 90 else 2)
+        best_whole = float("inf")
+        reps = 3 if _left() > 150 else (2 if _left() > 90 else 1)
         _RESULT["detail"]["pipelined_reps"] = reps
         for _ in range(reps):
-            stream = dec.decode_beams_batches(
-                [corpus.logits] * n_stream, **conf
-            )
-            next(stream)  # spin-up: first batch has nothing to overlap with
+            ts = []
             t0 = time.perf_counter()
-            for out in stream:
-                pass
-            best = min(best, (time.perf_counter() - t0) / (n_stream - 1))
+            for out in dec.decode_beams_batches(
+                [corpus.logits] * n_stream, **conf
+            ):
+                ts.append(time.perf_counter() - t0)
+            gaps = [b - a for a, b in zip(ts, ts[1:])]
+            steady = gaps[depth : len(gaps) - depth]
+            if steady:
+                best = min(best, sum(steady) / len(steady))
+            best_whole = min(best_whole, ts[-1] / n_stream)
+        _RESULT["detail"]["pipelined_whole_stream_audio_sec_per_s"] = round(
+            audio_total / best_whole, 2
+        )
+        _RESULT["detail"]["pipelined_depth"] = depth
+        _RESULT["detail"]["pipelined_n_stream"] = n_stream
         return audio_total / best, best
 
     if _left() > 30:
@@ -562,8 +574,11 @@ def main() -> None:
     # when it still matches the host subset. Budget-gated — it compiles
     # a separate program family.
     ft_exact = None
-    if _left() > 90 and not TOKEN_CHUNK:
-        # (timeline mode ranks with a two-key sort; fast_topk is a no-op)
+    if _left() > 90:
+        # round 5: fast_topk also accelerates timeline mode (the pool
+        # ranking's 600-wide top_k is ~4% of device busy); promoted to
+        # the headline ONLY when the transcripts still match the
+        # collapsed run exactly (checked below)
         dev_fast = dev.with_options(fast_topk=True)
         texts_ft, ft_dt, ft_tput = _time_device(
             dev_fast, corpus.logits, audio_total, reps=2, **kwargs

@@ -537,6 +537,10 @@ def _merge_dense(jnp, keys, valid, logit):
     """
     b = keys[0].shape[-1]
     lead = keys[0].shape[:-1]
+    # (round 5: padding the reduced j axis to a full 128-lane multiple —
+    # so the sweeps never idle lanes at B=100 — measured 1,419 -> 1,806 ms
+    # busy: the pad operands broke the reductions' fusion with the
+    # upstream key compares. Do not retry.)
     eq = valid[..., :, None] & valid[..., None, :]
     for f in keys:
         eq = eq & (f[..., :, None] == f[..., None, :])
@@ -571,6 +575,10 @@ def _merge_dense(jnp, keys, valid, logit):
     fj = ij.astype(jnp.float32)
     m = jnp.max(jnp.where(eq2, lj, -jnp.inf), axis=-1)
     donor_f = jnp.max(jnp.where(eq2, fj, -1.0), axis=-1)
+    # (round 5: replacing this min-reduce with a masked pred-ANY over the
+    # strictly-lower-triangular pattern — the history prune's trick —
+    # measured 1,436 -> 1,480 ms busy end-to-end; the extra [KB, B] mask
+    # operand costs more than the f32 min it saves. Keep the min.)
     first_f = jnp.min(jnp.where(eq2, fj, float(b)), axis=-1)
     tot = jnp.sum(jnp.where(eq2, jnp.exp(lj - m[..., None]), 0.0), axis=-1)
     out_shape = lead + (b,)
@@ -744,6 +752,30 @@ def _decode_trie_cells(jnp, jax, tp, fc, word, cid):
     return jnp.where(rank == (1 << rb) - 1, tp["dead"], entry)
 
 
+def _path_dtype(jnp, vocab_size: int):
+    """Narrowest signed dtype for emitted token ids (+ -1/-2/-3 sentinels).
+
+    The device->host link is the scarce resource for batch decoding
+    (low-MB/s through the relay), and the backpointer/path planes are its
+    dominant payload — int8 quarters the bytes for char alphabets at
+    identical values.
+    """
+    if vocab_size <= 120:
+        return jnp.int8
+    if vocab_size <= 32_000:
+        return jnp.int16
+    return jnp.int32
+
+
+def _parent_dtype(jnp, beam_width: int):
+    """Narrowest signed dtype for emitted parent (beam-slot) indices."""
+    if beam_width <= 127:
+        return jnp.int8
+    if beam_width <= 32_767:
+        return jnp.int16
+    return jnp.int32
+
+
 def _rank(jnp, cfg, lm_score_flat, logit_flat, src_flat, beam_prune_logp):
     """Window prune relative to the best, then top-k (ref decoder.py:536-554)."""
     import jax
@@ -820,7 +852,7 @@ def _make_step(
             # chunk_base (admitted tokens before this chunk) is part of
             # the timeline contract but no longer consumed: ranking ties
             # resolve purely by top_k position (see the ranking comment)
-            toks_in, tok_logp, fin_i, _chunk_base, t = xs
+            toks_in, tok_logp, fin_i, t = xs
             active = t < n_frames
             is_final = fin_i != 0
             admit = toks_in >= 0
@@ -1138,7 +1170,22 @@ def _make_step(
             # two-key sort (~7% of step time).
             iota_b = jnp.arange(b, dtype=jnp.int32)
             comb_score = jnp.concatenate([state["pool_score"], lm_score_flat])
-            top_scores, top_src = jax.lax.top_k(comb_score, b)
+            if cfg.fast_topk:
+                # approx_max_k with recall 1.0: exact top-k SET via
+                # PartialReduce instead of the full sort top_k lowers to;
+                # the re-sort restores position order within the set, so
+                # only exact-score ties ACROSS the selection boundary can
+                # diverge (see EngineConfig.fast_topk — opt-in, and the
+                # bench promotes it only when still output-exact in-run)
+                top_scores, top_src = jax.lax.approx_max_k(
+                    comb_score, b, recall_target=1.0
+                )
+                _, top_src, top_scores = jax.lax.sort(
+                    (-top_scores, top_src.astype(jnp.int32), top_scores),
+                    num_keys=2,
+                )
+            else:
+                top_scores, top_src = jax.lax.top_k(comb_score, b)
             top_src = top_src.astype(jnp.int32)
             win = top_scores[0] + prm["beam_prune_logp"]
             if cfg.collect_stats:
@@ -1270,13 +1317,26 @@ def _make_step(
         # recomputed for the B winners below — ~27 fewer operand rows in
         # the select's bf16 matrix. Only probe-derived m_* quantities
         # (word_fused, contexts, backoffs) still ride the select.
+        # biased narrowings (round 5): the operand matrix is the select's
+        # HBM traffic, so signed fields ride biased-to-nonnegative at
+        # fewer 8-bit chunks and un-bias after selection —
+        # * last_tok ∈ [-2-(b-1), V): +（2+b) fits 16 bits for char/BPE
+        #   vocabularies;
+        # * ctx word ids ∈ {-1} ∪ [0, V): +1 fits 24 bits for any
+        #   realistic vocabulary;
+        # * p_len counts chars of ONE in-progress word: 16 bits.
+        last_narrow = v + b + 3 <= 0xFFFF
+        ctx_narrow = v < 0xFFFFFF  # vocab ids; -1 pad biased to 0
         beam_fields = {
             "c_text_lo": state["text_lo"],
             "c_text_hi": state["text_hi"],
             "c_p_lo": state["p_lo"],
             "c_p_hi": state["p_hi"],
             "c_p_len": state["p_len"],
-            "c_last": state["last_tok"],
+            "c_last": (
+                state["last_tok"] + (2 + b) if last_narrow
+                else state["last_tok"]
+            ),
             "c_force": state["force"],
             "c_fused": state["fused"],
             "m_wfused": cm["word_fused"],
@@ -1285,19 +1345,20 @@ def _make_step(
             "c_ring_hi": state["ring_hi"],
         }
         beam_chunks = {
-            "c_p_len": 3,
+            "c_p_len": 2,
             "c_force": 1,
             "c_nw": 3,
-            # token ids fit 8/16 bits for all realistic vocabularies; the
-            # dead-beam sentinel (-2 - slot) stays representable because
-            # the chunks reassemble the full low bits and sign-extension
-            # is handled by the bitcast only for 4-chunk fields — so keep
-            # 4 chunks when b could push the sentinel past the low range
-            "c_last": 4,
+            "c_last": 2 if last_narrow else 4,
         }
         for i in range(n_lms):
-            beam_fields[f"c_ctx{i}"] = state[f"ctx{i}"]
-            beam_fields[f"m_ctx{i}"] = cm[f"ctx{i}"]
+            if ctx_narrow:
+                beam_fields[f"c_ctx{i}"] = state[f"ctx{i}"] + 1
+                beam_fields[f"m_ctx{i}"] = cm[f"ctx{i}"] + 1
+                beam_chunks[f"c_ctx{i}"] = 3
+                beam_chunks[f"m_ctx{i}"] = 3
+            else:
+                beam_fields[f"c_ctx{i}"] = state[f"ctx{i}"]
+                beam_fields[f"m_ctx{i}"] = cm[f"ctx{i}"]
             beam_fields[f"c_ctx_len{i}"] = state[f"ctx_len{i}"]
             beam_fields[f"m_ctx_len{i}"] = cm[f"ctx_len{i}"]
             beam_fields[f"c_ctx_bo{i}"] = state[f"ctx_bo{i}"]
@@ -1308,6 +1369,12 @@ def _make_step(
         bsel = _select_fields_mxu(
             jnp, beam_fields, top_parent, b, n_chunks=beam_chunks
         )
+        if last_narrow:
+            bsel["c_last"] = bsel["c_last"] - (2 + b)
+        if ctx_narrow:
+            for i in range(n_lms):
+                bsel[f"c_ctx{i}"] = bsel[f"c_ctx{i}"] - 1
+                bsel[f"m_ctx{i}"] = bsel[f"m_ctx{i}"] - 1
         # ---- transition replay for the winners (parity-exact: the same
         # 4-way rules as the [B, K] expansion above, applied to the same
         # (parent, token) pair the top-ranked group member came from).
@@ -1774,17 +1841,16 @@ def make_decode_fn(
         """Full-utterance decode: scan all frames, then finalize.
 
         With ``cfg.token_timeline``, ``logp`` is the host-built timeline
-        tuple ``(toks [Tv,K] i32, tlogp [Tv,K] f32, is_final [Tv] i32,
-        chunk_base [Tv] i32)`` and ``n_frames`` counts VIRTUAL steps.
+        tuple ``(toks [Tv,K] int, tlogp [Tv,K] f32, is_final [Tv] int)`` and ``n_frames`` counts VIRTUAL steps.
         """
         tok_dev, devs = _merge_tables(tabs, meta)
         prm = _params_dict(cfg, params)
         state0 = _init_state(jnp, cfg, start)
         step = _make_step(jnp, cfg, tok_dev, devs, hot, prm, n_frames)
         if cfg.token_timeline:
-            toks_t, tlogp_t, fin_t, cbase_t = logp
+            toks_t, tlogp_t, fin_t = logp
             t_idx = jnp.arange(toks_t.shape[0], dtype=jnp.int32)
-            xs = (toks_t, tlogp_t, fin_t, cbase_t, t_idx)
+            xs = (toks_t, tlogp_t, fin_t, t_idx)
         else:
             t_idx = jnp.arange(logp.shape[0], dtype=jnp.int32)
             xs = (logp, t_idx)
@@ -1799,8 +1865,8 @@ def make_decode_fn(
                 "lm_score": fin["score"],
                 "ctx": fin["ctx"],
                 "ctx_len": fin["ctx_len"],
-                "parents": parents,
-                "trace": trace,
+                "parents": parents.astype(_parent_dtype(jnp, cfg.beam_width)),
+                "trace": trace.astype(_path_dtype(jnp, cfg.vocab_size)),
             }
             if cfg.collect_stats:
                 out["stats"] = final_state["stats"]
@@ -1834,7 +1900,10 @@ def make_decode_fn(
                 "lm_score": fin["score"][:r],
                 "ctx": tuple(c[:r] for c in fin["ctx"]),
                 "ctx_len": tuple(c[:r] for c in fin["ctx_len"]),
-                "paths": toks.swapaxes(0, 1),  # [N, Tp]
+                # narrow on device: the path plane is the transfer payload
+                "paths": toks.swapaxes(0, 1).astype(
+                    _path_dtype(jnp, cfg.vocab_size)
+                ),  # [N, Tp]
             }
             if cfg.collect_stats:
                 out["stats"] = final_state["stats"]
@@ -1895,8 +1964,8 @@ def make_segment_decode_fns(
         """Advance the beam state through ``seg_frames`` unrolled frames.
 
         With ``cfg.token_timeline`` the per-segment input is the timeline
-        slice ``(toks [S,K] i32, tlogp [S,K] f32, is_final [S] i32,
-        chunk_base [S] i32)`` and ``n_frames`` counts virtual steps.
+        slice ``(toks [S,K] int, tlogp [S,K] f32, is_final [S] int)``
+        and ``n_frames`` counts virtual steps.
         """
         tok_dev, devs = _merge_tables(tabs, meta)
         prm = _params_dict(cfg, params)
@@ -1904,8 +1973,8 @@ def make_segment_decode_fns(
         parents, trace = [], []
         for i in range(seg_frames):
             if cfg.token_timeline:
-                toks_t, tlogp_t, fin_t, cbase_t = logp_seg
-                xs = (toks_t[i], tlogp_t[i], fin_t[i], cbase_t[i], t0 + i)
+                toks_t, tlogp_t, fin_t = logp_seg
+                xs = (toks_t[i], tlogp_t[i], fin_t[i], t0 + i)
             else:
                 xs = (logp_seg[i], t0 + i)
             state, (par, tok) = step(state, xs)
@@ -1936,7 +2005,11 @@ def make_segment_decode_fns(
             if pack:
                 out["ptrace"] = ptrace  # host unpacks: halves the transfer
             else:
-                out["parents"], out["trace"] = ptrace
+                par_raw, tr_raw = ptrace
+                out["parents"] = par_raw.astype(
+                    _parent_dtype(jnp, cfg.beam_width)
+                )
+                out["trace"] = tr_raw.astype(_path_dtype(jnp, cfg.vocab_size))
             if cfg.collect_stats:
                 out["stats"] = state["stats"]
             return out
@@ -1964,7 +2037,10 @@ def make_segment_decode_fns(
             "lm_score": fin["score"][:r],
             "ctx": tuple(c[:r] for c in fin["ctx"]),
             "ctx_len": tuple(c[:r] for c in fin["ctx_len"]),
-            "paths": toks.swapaxes(0, 1),  # [N, Tp]
+            # narrow on device: the path plane is the transfer payload
+            "paths": toks.swapaxes(0, 1).astype(
+                _path_dtype(jnp, cfg.vocab_size)
+            ),  # [N, Tp]
         }
         if cfg.collect_stats:
             out["stats"] = state["stats"]
@@ -2013,7 +2089,13 @@ def make_stream_fns(
         step = _make_step(jnp, cfg, tok_dev, devs, hot, prm, n_frames)
         t_idx = jnp.arange(logp.shape[0], dtype=jnp.int32)
         state1, (parents, trace) = jax.lax.scan(step, state, (logp, t_idx))
-        return state1, parents, trace
+        # narrow on device: per-chunk backpointers are the streaming
+        # path's dominant device->host payload
+        return (
+            state1,
+            parents.astype(_parent_dtype(jnp, cfg.beam_width)),
+            trace.astype(_path_dtype(jnp, cfg.vocab_size)),
+        )
 
     def finalize_fn(state, params, do_commit, is_end, tabs, hot=None):
         """Rank the current hypotheses (traced commit/eos flags)."""

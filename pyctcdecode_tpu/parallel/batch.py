@@ -288,24 +288,27 @@ class ShardedCTCDecoder:
             t_pad = _bucket(max(max(lens), 1))
             per_dev = (n + n_dev - 1) // n_dev
             n_pad = per_dev * n_dev
-            toks = np.full((n_pad, t_pad, k), -1, dtype=np.int32)
+            v_lab = len(d._labels)
+            tok_dt = (
+                np.int8 if v_lab <= 127 else
+                (np.int16 if v_lab <= 32_767 else np.int32)
+            )
+            toks = np.full((n_pad, t_pad, k), -1, dtype=tok_dt)
             tlogp = np.zeros((n_pad, t_pad, k), dtype=np.float32)
-            fin = np.zeros((n_pad, t_pad), dtype=np.int32)
-            cbase = np.zeros((n_pad, t_pad), dtype=np.int32)
+            fin = np.zeros((n_pad, t_pad), dtype=np.int8)
             vf_ids: list = []
             for i, (tk, tp, fi, cb, fids) in enumerate(tls):
                 tv = tk.shape[0]
                 toks[i, :tv] = tk
                 tlogp[i, :tv] = tp
                 fin[i, :tv] = fi
-                cbase[i, :tv] = cb
                 if frame_ids_list is not None:
                     vf_ids.append(np.asarray(frame_ids_list[i])[fids])
                 else:
                     vf_ids.append(fids.astype(np.int64))
             frame_ids_list = vf_ids
             logp_in = tuple(
-                jnp.asarray(a) for a in (toks, tlogp, fin, cbase)
+                jnp.asarray(a) for a in (toks, tlogp, fin)
             )
         else:
             t_pad = _bucket(max(max(lens), 1))

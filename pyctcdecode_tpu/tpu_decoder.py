@@ -197,6 +197,94 @@ def replay_token_path_np(
     return words, frames
 
 
+def replay_token_paths_batch(
+    toks: np.ndarray,
+    labels: Sequence[str],
+    blank_id: int,
+    space_id: int,
+    frame_ids: Optional[np.ndarray] = None,
+) -> List[Tuple[List[str], List[Tuple[int, int]]]]:
+    """Batched :func:`replay_token_path_np`: one numpy pass over ALL rows.
+
+    ``toks``: ``[R, T]`` chosen-token paths (entries < 0 skipped — the
+    -1 pad and -3 timeline carry markers); ``frame_ids``: optional
+    ``[R, T]`` original frame index per position (blank-collapse /
+    timeline mapping). Only for char alphabets without ``-2``
+    force-commit markers, same contract as the single-row fast replay.
+    Returns one ``(words, word_frames)`` pair per row.
+
+    The per-utterance replay was the collect phase's dominant cost at
+    serving batch sizes (~0.5 s per 768-utterance batch: hundreds of
+    small numpy calls under the GIL); flattening all rows into one
+    event stream makes it ~15 numpy passes total. Row boundaries join
+    the word-segmentation key, so no word or repeat-run can straddle
+    rows. Fuzz-pinned against the per-row replay in tests.
+    """
+    r_rows, t_pad = toks.shape
+    out: List[Tuple[List[str], List[Tuple[int, int]]]] = [
+        ([], []) for _ in range(r_rows)
+    ]
+    flat = toks.reshape(-1)
+    keep = flat >= 0
+    if not keep.any():
+        return out
+    pos = np.flatnonzero(keep)
+    seq = flat[pos].astype(np.int64)
+    row = pos // t_pad
+    if frame_ids is not None:
+        t = np.asarray(frame_ids).reshape(-1)[pos].astype(np.int64)
+    else:
+        t = (pos % t_pad).astype(np.int64)
+    first_of_row = np.empty(seq.shape, dtype=bool)
+    first_of_row[0] = True
+    first_of_row[1:] = row[1:] != row[:-1]
+    prev = np.empty_like(seq)
+    prev[0] = -1
+    prev[1:] = seq[:-1]
+    new = (seq != prev) | first_of_row
+    letters = (seq != blank_id) & (seq != space_id)
+    emit_letter = letters & new
+    if not emit_letter.any():
+        return out
+    emit_space = (seq == space_id) & new
+    # global segment id: increments at every space emit AND at row starts,
+    # so segments (words) never merge across rows
+    word_of = np.cumsum(emit_space | first_of_row)
+    wl = word_of[emit_letter]
+    first = np.flatnonzero(np.diff(wl, prepend=wl[0] - 1))
+    last_plus = np.append(first[1:], wl.size)
+    lab1 = np.array(
+        [labels[i] if labels[i] else "\x00" for i in range(len(labels))],
+        dtype="U1",
+    )
+    chars = lab1[seq[emit_letter]]
+    words = ["".join(chars[a:b]) for a, b in zip(first, last_plus)]
+    # spans: start = the word's first letter EMIT; end = its last letter
+    # event (emit or repeat) + 1. A letter repeat shares its word's
+    # segment id (a space/blank in between would break the repeat), so
+    # grouping by segment id is exact — see replay_token_path_np.
+    ws = word_of[letters]
+    t_letters = t[letters]
+    first_ws = np.flatnonzero(np.diff(ws, prepend=ws[0] - 1))
+    last_ws = np.append(first_ws[1:], ws.size) - 1
+    starts = t[emit_letter][first]
+    ends = t_letters[last_ws] + 1
+    row_of_word = row[emit_letter][first]
+    # regroup flat words into rows (row_of_word is non-decreasing)
+    bounds = np.searchsorted(row_of_word, np.arange(r_rows + 1))
+    starts_l = starts.tolist()
+    ends_l = ends.tolist()
+    for i in range(r_rows):
+        a, b = bounds[i], bounds[i + 1]
+        if a == b:
+            continue
+        out[i] = (
+            words[a:b],
+            list(zip(starts_l[a:b], ends_l[a:b])),
+        )
+    return out
+
+
 @dataclasses.dataclass
 class DeviceStreamState:
     """Caller-held streaming decode state (ref decoder.py:669-728 analog).
@@ -1397,17 +1485,27 @@ class TPUBeamSearchDecoderCTC:
         seg = self._segment_frames_effective()
         if seg:
             t_pad = ((t_pad + seg - 1) // seg) * seg
-        toks = np.full((n_pad, t_pad, k_chunk), -1, dtype=np.int32)
+        # upload dtypes: the timeline planes are the serving pipeline's
+        # dominant HOST->device payload (~33 MB/batch as i32 at parity
+        # shapes over a ~30 MB/s relay — the host-side gate of the
+        # steady-state rate). Token ids ride the narrowest int that holds
+        # them plus the -1 pad; the is-final flag is one byte; the
+        # chunk_base plane is part of the host timeline contract but no
+        # longer consumed by the engine and is not uploaded at all.
+        v_lab = len(self._labels)
+        tok_dt = (
+            np.int8 if v_lab <= 127 else
+            (np.int16 if v_lab <= 32_767 else np.int32)
+        )
+        toks = np.full((n_pad, t_pad, k_chunk), -1, dtype=tok_dt)
         tlogp = np.zeros((n_pad, t_pad, k_chunk), dtype=np.float32)
-        fin = np.zeros((n_pad, t_pad), dtype=np.int32)
-        cbase = np.zeros((n_pad, t_pad), dtype=np.int32)
+        fin = np.zeros((n_pad, t_pad), dtype=np.int8)
         out_frame_ids: List[np.ndarray] = []
         for i, (tk, tp, fi, cb, fids) in enumerate(tls):
             tv = tk.shape[0]
             toks[i, :tv] = tk
             tlogp[i, :tv] = tp
             fin[i, :tv] = fi
-            cbase[i, :tv] = cb
             if frame_ids_list is not None:
                 out_frame_ids.append(np.asarray(frame_ids_list[i])[fids])
             else:
@@ -1417,7 +1515,7 @@ class TPUBeamSearchDecoderCTC:
         emit_paths = min(top_n, beam_width) if top_n is not None else None
         params = self._params_vector(token_min_logp, beam_prune_logp, weight)
         start = self._start_ctx(None)
-        timeline = (toks, tlogp, fin, cbase)
+        timeline = (toks, tlogp, fin)
         if seg:
             out = self._run_segmented(
                 seg, timeline, n_frames, params, start, hot,
@@ -1485,7 +1583,7 @@ class TPUBeamSearchDecoderCTC:
         """
         jnp = self._jnp
         if token_timeline:
-            n_pad, t_pad = logp[2].shape  # (toks, tlogp, fin, cbase)
+            n_pad, t_pad = logp[2].shape  # (toks, tlogp, fin)
         else:
             n_pad, t_pad, _ = logp.shape
         init_fn, seg_fn, fin_fn = self._get_segment_fns(
@@ -1524,20 +1622,123 @@ class TPUBeamSearchDecoderCTC:
             ptrace = jnp.concatenate(blobs, axis=1)
         return fin_fn(state, prm, self._tabs, ptrace, hot)
 
+    def _collect_batch_fast(
+        self, handle: Dict[str, Any], host: Dict[str, Any]
+    ) -> Optional[List[List[OutputBeam]]]:
+        """Batched output assembly for device-backtraced non-BPE batches.
+
+        One :func:`replay_token_paths_batch` pass over every (utterance,
+        rank) row replaces the per-utterance replay loop (~0.5 s of
+        GIL-bound small numpy calls per 768-utterance serving batch).
+        Returns ``None`` when the batch needs the general path (BPE
+        alphabets, raw backpointer outputs, or ``-2`` force-commit
+        markers) — exactness is pinned by the whole batch-decode test
+        surface running through this path on char alphabets.
+        """
+        if "paths" not in host or self._alphabet.is_bpe:
+            return None
+        n = handle["n"]
+        paths = np.asarray(host["paths"])[:n]  # [n, r, T]
+        lm_score = np.asarray(host["lm_score"])[:n]
+        logit = np.asarray(host["logit"])[:n]
+        if (paths == -2).any():
+            return None
+        limit = paths.shape[1]
+        if handle["top_n"] is not None:
+            limit = min(limit, handle["top_n"])
+        live = np.cumprod(lm_score[:, :limit] > -1.0e29, axis=1).astype(bool)
+        ui, ri = np.nonzero(live)  # utterance-major, rank ascending
+        results: List[List[OutputBeam]] = [[] for _ in range(n)]
+        if ui.size == 0:
+            return results
+        toks_flat = paths[ui, ri]  # [R, T]
+        frame_ids_list = handle.get("frame_ids")
+        fid = None
+        if frame_ids_list is not None:
+            fid = np.zeros(toks_flat.shape, dtype=np.int64)
+            for k in range(ui.size):
+                fi = frame_ids_list[ui[k]]
+                fid[k, : len(fi)] = fi
+        space_id = self._labels.index(" ") if " " in self._labels else -100
+        pairs = replay_token_paths_batch(
+            toks_flat, self._labels, self._blank_id, space_id, frame_ids=fid
+        )
+        offsets = handle.get("offsets")
+        ctxs = tuple(np.asarray(c)[:n] for c in host.get("ctx", ()))
+        ctx_lens = tuple(np.asarray(c)[:n] for c in host.get("ctx_len", ()))
+        from .models.base import MultiLMState
+
+        for k in range(ui.size):
+            u, r = int(ui[k]), int(ri[k])
+            words, frames = pairs[k]
+            off = float(offsets[u]) if offsets is not None else 0.0
+            if not self._lm_members:
+                last_state: Optional[AbstractLMState] = None
+            else:
+                states = []
+                for ctx, ctx_len in zip(ctxs, ctx_lens):
+                    n_ctx = int(ctx_len[u, r])
+                    width = ctx.shape[-1]
+                    states.append(
+                        NGramLMState(
+                            tuple(
+                                int(w) for w in ctx[u, r, width - n_ctx :]
+                            )
+                            if n_ctx
+                            else ()
+                        )
+                    )
+                last_state = (
+                    states[0] if len(states) == 1 else MultiLMState(states)
+                )
+            results[u].append(
+                OutputBeam(
+                    text=" ".join(words),
+                    last_lm_state=last_state,
+                    text_frames=list(zip(words, frames)),
+                    logit_score=float(logit[u, r]) + off,
+                    lm_score=float(lm_score[u, r]) + off,
+                )
+            )
+        return results
+
     def _collect_batch(
         self, handle: Optional[Dict[str, Any]]
     ) -> List[List[OutputBeam]]:
         """Block on a dispatched batch and build its OutputBeam lists."""
         if handle is None:
             return []
-        host = {
-            key: (
-                tuple(np.asarray(v) for v in val)
-                if isinstance(val, tuple)
-                else np.asarray(val)
-            )
-            for key, val in handle["out"].items()
-        }
+        # fetch every output array CONCURRENTLY: each device->host fetch
+        # pays the relay's fixed round-trip (~25-30 ms measured), so a
+        # dozen sequential np.asarray calls were ~0.34 s of pure latency
+        # per serving batch; threaded fetches overlap it (the conversion
+        # releases the GIL)
+        from .utils.logits import _host_pool
+
+        flat: List[Any] = []
+        spec: List[Tuple[str, Optional[int]]] = []
+        host: Dict[str, Any] = {}
+        for key, val in handle["out"].items():
+            if isinstance(val, tuple):
+                host[key] = ()  # placeholder keeps empty tuples (no-LM ctx)
+                for j, v in enumerate(val):
+                    flat.append(v)
+                    spec.append((key, j))
+            else:
+                flat.append(val)
+                spec.append((key, None))
+        fetched = list(_host_pool().map(np.asarray, flat))
+        tuples: Dict[str, Dict[int, np.ndarray]] = {}
+        for (key, j), arr in zip(spec, fetched):
+            if j is None:
+                host[key] = arr
+            else:
+                tuples.setdefault(key, {})[j] = arr
+        for key, parts in tuples.items():
+            host[key] = tuple(parts[j] for j in range(len(parts)))
+        fast = self._collect_batch_fast(handle, host)
+        if fast is not None:
+            return fast
         frame_ids_list = handle.get("frame_ids")
         offsets = handle.get("offsets")
 

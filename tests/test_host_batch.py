@@ -127,3 +127,39 @@ def test_replay_token_path_np_matches_python():
         w2, f2 = replay_token_path_np(path, labels, 4, 0, frame_ids=fids)
         assert words == w2
         assert frames == f2
+
+
+def test_replay_token_paths_batch_matches_python():
+    """Batched replay == per-row exact loop over fuzzed ragged rows."""
+    from pyctcdecode_tpu.tpu_decoder import replay_token_paths_batch
+
+    labels = [" ", "a", "b", "c", ""]
+    rng = np.random.RandomState(7)
+    for _ in range(120):
+        rows = rng.randint(1, 12)
+        t_pad = rng.randint(1, 40)
+        toks = rng.choice(
+            [-3, -1, 0, 1, 2, 3, 4],
+            size=(rows, t_pad),
+            p=[0.1, 0.1, 0.2, 0.2, 0.15, 0.05, 0.2],
+        )
+        use_fids = rng.rand() < 0.5
+        if use_fids:
+            fids = np.sort(rng.randint(0, 100, size=(rows, t_pad)), axis=1)
+        else:
+            fids = None
+        got = replay_token_paths_batch(
+            toks, labels, 4, 0, frame_ids=fids
+        )
+        for i in range(rows):
+            words, frames, (partial, pframes) = replay_token_path(
+                toks[i].tolist(),
+                labels,
+                False,
+                frame_ids=fids[i] if use_fids else None,
+            )
+            if partial:
+                words.append(partial)
+                frames.append(pframes)
+            assert got[i][0] == words, (i, got[i][0], words)
+            assert got[i][1] == frames, (i, got[i][1], frames)

@@ -142,6 +142,23 @@ class TestTimelineDecode(unittest.TestCase):
         dec = TPUBeamSearchDecoderCTC(alphabet)
         self._assert_equal(dec, [logits], kcs=(4,), beam_width=12)
 
+
+    def test_fast_topk_timeline_matches(self):
+        """approx_max_k pool ranking == exact top_k on non-tied inputs."""
+        import json
+
+        if not os.path.exists(LIBRI):
+            self.skipTest("reference fixtures absent")
+        logits = np.array(json.load(open(LIBRI)), dtype=np.float32)
+        alphabet = Alphabet.build_alphabet(LIBRI_LABELS)
+        dec = TPUBeamSearchDecoderCTC(alphabet)
+        fast = dec.with_options(fast_topk=True)
+        want = dec.decode_beams_batch([logits], token_chunking=4, beam_width=12)
+        got = fast.decode_beams_batch([logits], token_chunking=4, beam_width=12)
+        self.assertEqual(
+            [b.text for b in want[0]], [b.text for b in got[0]]
+        )
+
     def test_stats_supported(self):
         """Timeline mode collects stats (full test in test_stats.py)."""
         alphabet = Alphabet.build_alphabet(SAMPLE_LABELS)
