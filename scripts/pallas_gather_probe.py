@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 R, W, Q = 524_288, 64, 38_400
+INTERPRET = bool(__import__("os").environ.get("PG_INTERPRET"))
 BQ = 128  # queries per grid instance
 NBUF = 16  # outstanding row DMAs
 
@@ -65,6 +66,7 @@ def main() -> None:
         gather_kernel,
         out_shape=jax.ShapeDtypeStruct((Q, W), jnp.int32),
         grid_spec=grid_spec,
+        interpret=INTERPRET,
     )
 
     rng = np.random.RandomState(0)
