@@ -749,10 +749,6 @@ class TPUBeamSearchDecoderCTC:
             ss.beam_state, self._jnp.asarray(logp_pad), np.int32(t),
             self._jnp.asarray(params), self._tabs, hot,
         )
-        if t:
-            ss.chunks.append(
-                (np.asarray(parents)[:t], np.asarray(trace)[:t], ss.processed_frames)
-            )
         committed = force_next_word or is_end
         fin = finalize_fn(
             state1,
@@ -762,9 +758,19 @@ class TPUBeamSearchDecoderCTC:
             self._tabs,
             hot,
         )
-        beam_src = np.asarray(fin["src"])
-        scores = np.asarray(fin["score"])
-        logits_out = np.asarray(fin["logit"])
+        # fetch every per-chunk output CONCURRENTLY: each device->host
+        # fetch pays the relay's fixed round trip (~25 ms), and five
+        # serial fetches were most of the per-chunk latency
+        from .utils.logits import _host_pool
+
+        parents_h, trace_h, beam_src, scores, logits_out = _host_pool().map(
+            np.asarray,
+            [parents, trace, fin["src"], fin["score"], fin["logit"]],
+        )
+        if t:
+            ss.chunks.append(
+                (parents_h[:t], trace_h[:t], ss.processed_frames)
+            )
 
         beams: List[LMBeam] = []
         view_slots: List[int] = []  # carried slot behind each ranked view row

@@ -163,3 +163,43 @@ def test_replay_token_paths_batch_matches_python():
                 frames.append(pframes)
             assert got[i][0] == words, (i, got[i][0], words)
             assert got[i][1] == frames, (i, got[i][1], frames)
+
+
+def test_collect_batch_fast_matches_general_path():
+    """The batched collect == the per-utterance path on a real LM batch."""
+    import os
+
+    import pytest
+
+    from pyctcdecode_tpu import Alphabet, LanguageModel
+    from pyctcdecode_tpu.models.ngram import NGramModel
+    from pyctcdecode_tpu.tpu_decoder import TPUBeamSearchDecoderCTC
+
+    arpa = "/root/reference/pyctcdecode/tests/sample_data/bugs_bunny_kenlm.arpa"
+    if not os.path.exists(arpa):
+        pytest.skip("reference fixtures absent")
+    from .helpers import SAMPLE_LABELS, TEST_PROBS
+
+    lm = LanguageModel(NGramModel.from_file(arpa), ["bugs", "bunny"])
+    dec = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(SAMPLE_LABELS), lm)
+    rng = np.random.RandomState(9)
+    batch = [TEST_PROBS] + [
+        np.clip(TEST_PROBS + rng.randn(*TEST_PROBS.shape) * s, 1e-6, 1.0)
+        for s in (0.02, 0.05, 0.1)
+    ]
+    kw = dict(beam_width=10, top_n=3, token_chunking=4, blank_collapse=True)
+    fast = dec.decode_beams_batch(batch, **kw)
+    orig = TPUBeamSearchDecoderCTC._collect_batch_fast
+    try:
+        TPUBeamSearchDecoderCTC._collect_batch_fast = lambda self, h, host: None
+        slow = dec.decode_beams_batch(batch, **kw)
+    finally:
+        TPUBeamSearchDecoderCTC._collect_batch_fast = orig
+    assert len(fast) == len(slow)
+    for fu, su in zip(fast, slow):
+        assert [b.text for b in fu] == [b.text for b in su]
+        for bf, bs in zip(fu, su):
+            assert bf.text_frames == bs.text_frames
+            assert abs(bf.logit_score - bs.logit_score) < 1e-5
+            assert abs(bf.lm_score - bs.lm_score) < 1e-5
+            assert bf.last_lm_state == bs.last_lm_state
