@@ -265,8 +265,46 @@ def _time_single_core(decode_fn, mats, audio_secs, reps=2):
     return texts, sum(audio_secs) / best
 
 
+def _backend_reachable(timeout_s: float = 150.0) -> bool:
+    """Probe the accelerator backend in a SUBPROCESS with a hard timeout.
+
+    A wedged device tunnel (observed round 5: a runaway remote compile
+    held the chip claim and ``jax.devices()`` blocked forever inside
+    PJRT client init) would otherwise hang the whole bench past the
+    driver's timeout and record nothing. On probe failure the bench
+    falls back to the CPU backend with an explicit label — a degraded,
+    clearly-marked number beats an empty round.
+    """
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax; print(jax.devices()[0].platform)",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return probe.returncode == 0
+
+
 def main() -> None:
     import jax
+
+    if not _backend_reachable():
+        _note("accelerator backend unreachable (probe timeout); "
+              "falling back to CPU — throughput numbers will NOT be "
+              "TPU numbers")
+        jax.config.update("jax_platforms", "cpu")
+        _RESULT["detail"]["backend_fallback"] = (
+            "accelerator backend unreachable at bench start (device "
+            "tunnel wedged); measured on CPU instead — not a chip number"
+        )
 
     from pyctcdecode_tpu.alphabet import Alphabet
     from pyctcdecode_tpu.decoder import BeamSearchDecoderCTC
