@@ -253,11 +253,12 @@ def replay_token_paths_batch(
     wl = word_of[emit_letter]
     first = np.flatnonzero(np.diff(wl, prepend=wl[0] - 1))
     last_plus = np.append(first[1:], wl.size)
-    lab1 = np.array(
-        [labels[i] if labels[i] else "\x00" for i in range(len(labels))],
-        dtype="U1",
-    )
-    chars = lab1[seq[emit_letter]]
+    # width set by the longest label: a fixed U1 would silently truncate
+    # multi-char labels, which non-BPE alphabets may technically carry
+    # (the blank's empty string is fine — blanks never reach emit_letter)
+    lab_w = max(1, max(len(lab) for lab in labels))
+    lab_arr = np.array(list(labels), dtype=f"U{lab_w}")
+    chars = lab_arr[seq[emit_letter]]
     words = ["".join(chars[a:b]) for a, b in zip(first, last_plus)]
     # spans: start = the word's first letter EMIT; end = its last letter
     # event (emit or repeat) + 1. A letter repeat shares its word's
