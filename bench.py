@@ -440,6 +440,23 @@ def main() -> None:
     except Exception as err:  # keep the bench runnable, but say what broke
         print(f"reference baseline failed: {err!r}", file=sys.stderr)
 
+    if "backend_fallback" in detail:
+        # No chip: compiling the batch-768 serving programs on CPU would
+        # eat the whole budget and still time out mid-compile. Record
+        # the host oracle's single-core number as the clearly-labeled
+        # stand-in and stop — BASELINE.md carries the real chip numbers
+        # and the incident note.
+        _set_headline(
+            host_tput, sum(audio_secs[:n_base]) / host_tput,
+            "HOST ORACLE on CPU — device tunnel unreachable; NOT a chip "
+            "number (see BASELINE.md round-5 incident note)",
+            baseline_tput,
+        )
+        _note("device unreachable: emitting host-oracle stand-in and "
+              "stopping")
+        _emit()
+        return
+
     # --- device batch decode: the serving configuration first -------------
     # (token-timeline chunking + balanced length bucketing + blank
     # collapse — exact admission by construction, collapse offsets
