@@ -78,7 +78,7 @@ WordFrames = Tuple[str, Frames]
 NULL_FRAMES: Frames = (-1, -1)
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, slots=True)
 class Beam:
     """One beam hypothesis during decoding.
 
@@ -110,7 +110,7 @@ class Beam:
         )
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, slots=True)
 class LMBeam:
     """Beam plus its fused (logit + LM + hotword) score.
 
@@ -129,7 +129,7 @@ class LMBeam:
     force_next_break: bool = False
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, slots=True)
 class OutputBeam:
     """Final decoded hypothesis."""
 
