@@ -112,3 +112,22 @@ def test_streaming_chunked_equals_oneshot(libri_logits):
         )
     assert out[0].text == full
     BeamSearchDecoderCTC.clear_class_models()
+
+
+def test_timeline_stats_on_chip():
+    """Timeline-mode decode counters work under XLA:TPU lowering."""
+    import numpy as np
+
+    dev = build_ctcdecoder(LIBRI_LABELS, engine="tpu")
+    rng = np.random.RandomState(6)
+    mats = [rng.randn(30, len(LIBRI_LABELS)).astype(np.float32) * 2.0
+            for _ in range(3)]
+    plain = dev.decode_batch(mats, token_chunking=4)
+    res, stats = dev.decode_beams_batch(
+        mats, token_chunking=4, collect_stats=True
+    )
+    assert [r[0].text for r in res] == plain
+    for st, m in zip(stats, mats):
+        assert st["frames"] == m.shape[0]
+        assert st["beams_alive"] > 0
+    BeamSearchDecoderCTC.clear_class_models()
