@@ -299,3 +299,23 @@ class TestStreamingLMPlusHotwords(unittest.TestCase):
         )
         self.assertEqual(full[0].text, out[0].text)
         self.assertAlmostEqual(full[0].lm_score, out[0].lm_score, delta=SCORE_TOL)
+
+
+def test_empty_chunk_is_noop():
+    """A zero-frame chunk changes nothing (state or ranked view)."""
+    import numpy as np
+
+    from pyctcdecode_tpu import Alphabet
+    from pyctcdecode_tpu.tpu_decoder import TPUBeamSearchDecoderCTC
+
+    from .helpers import SAMPLE_LABELS, TEST_PROBS
+
+    dec = TPUBeamSearchDecoderCTC(Alphabet.build_alphabet(SAMPLE_LABELS))
+    st = dec.get_starting_state(beam_width=6)
+    before = dec.partial_decode_beams(st, TEST_PROBS[:6])
+    empty = np.zeros((0, len(SAMPLE_LABELS)), dtype=np.float32)
+    mid = dec.partial_decode_beams(st, empty)
+    assert [b.text for b in mid] == [b.text for b in before]
+    assert [b.partial_word for b in mid] == [b.partial_word for b in before]
+    after = dec.partial_decode_beams(st, TEST_PROBS[6:], is_end=True)
+    assert after[0].text == "bunny bunny"
