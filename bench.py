@@ -545,6 +545,45 @@ def main() -> None:
             )
         _note(f"pipelined: {stream_tput:.1f} audio_s/s")
 
+    # --- fast_topk ranking (exact top-k SET, enumeration tie order
+    # restored within it; only equal-score ties across the selection
+    # boundary may resolve differently): promote to the headline only
+    # when it still matches the host subset. Budget-gated — it compiles
+    # a separate program family.
+    ft_exact = None
+    if _left() > 60:
+        # round 5: fast_topk also accelerates timeline mode (the pool
+        # ranking's 600-wide top_k is ~4% of device busy); promoted to
+        # the headline ONLY when the transcripts still match the
+        # collapsed run exactly (checked below)
+        dev_fast = dev.with_options(fast_topk=True)
+        texts_ft, ft_dt, ft_tput = _time_device(
+            dev_fast, corpus.logits, audio_total, reps=2, **kwargs
+        )
+        ft_exact = texts_ft == texts_bc
+        detail["fast_topk"] = {
+            "oneshot_collapsed_audio_sec_per_s": round(ft_tput, 2),
+            "texts_match_collapsed": ft_exact,
+        }
+        if ft_exact and ft_tput > (_RESULT["value"] or 0.0):
+            _set_headline(
+                ft_tput, ft_dt,
+                "oneshot + length bucketing + blank collapse + fast_topk "
+                "(output-exact on this corpus)",
+                baseline_tput,
+            )
+            if _left() > 30:
+                stream_tput, stream_dt = _time_stream(dec=dev_fast)
+                if stream_tput > (_RESULT["value"] or 0.0):
+                    _set_headline(
+                        stream_tput, stream_dt,
+                        "pipelined + length bucketing + blank collapse "
+                        "+ fast_topk (output-exact)",
+                        baseline_tput,
+                    )
+                _note(f"pipelined fast_topk: {stream_tput:.1f} audio_s/s")
+        _note(f"fast_topk: {ft_tput:.1f} audio_s/s, exact={ft_exact}")
+
     # --- FULL-corpus exactness + same-set WER pair: decode every utterance
     # with the host parity oracle (fork pool — correctness only, not a
     # timing) and assert whole-set text equality against the device run.
@@ -622,45 +661,6 @@ def main() -> None:
             )
         except Exception as err:
             print(f"streaming phase failed: {err!r}", file=sys.stderr)
-
-    # --- fast_topk ranking (exact top-k SET, enumeration tie order
-    # restored within it; only equal-score ties across the selection
-    # boundary may resolve differently): promote to the headline only
-    # when it still matches the host subset. Budget-gated — it compiles
-    # a separate program family.
-    ft_exact = None
-    if _left() > 90:
-        # round 5: fast_topk also accelerates timeline mode (the pool
-        # ranking's 600-wide top_k is ~4% of device busy); promoted to
-        # the headline ONLY when the transcripts still match the
-        # collapsed run exactly (checked below)
-        dev_fast = dev.with_options(fast_topk=True)
-        texts_ft, ft_dt, ft_tput = _time_device(
-            dev_fast, corpus.logits, audio_total, reps=2, **kwargs
-        )
-        ft_exact = texts_ft == texts_bc
-        detail["fast_topk"] = {
-            "oneshot_collapsed_audio_sec_per_s": round(ft_tput, 2),
-            "texts_match_collapsed": ft_exact,
-        }
-        if ft_exact and ft_tput > (_RESULT["value"] or 0.0):
-            _set_headline(
-                ft_tput, ft_dt,
-                "oneshot + length bucketing + blank collapse + fast_topk "
-                "(output-exact on this corpus)",
-                baseline_tput,
-            )
-            if _left() > 30:
-                stream_tput, stream_dt = _time_stream(dec=dev_fast)
-                if stream_tput > (_RESULT["value"] or 0.0):
-                    _set_headline(
-                        stream_tput, stream_dt,
-                        "pipelined + length bucketing + blank collapse "
-                        "+ fast_topk (output-exact)",
-                        baseline_tput,
-                    )
-                _note(f"pipelined fast_topk: {stream_tput:.1f} audio_s/s")
-        _note(f"fast_topk: {ft_tput:.1f} audio_s/s, exact={ft_exact}")
 
     # --- no-collapse variant (a second exactness angle: collapsed vs
     # plain decode on device must produce identical transcripts)
