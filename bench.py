@@ -470,7 +470,8 @@ def main() -> None:
         length_bucketing=True, blank_collapse=True,
     )
     texts_bc, bc_dt, bc_tput = _time_device(
-        dev, corpus.logits, audio_total, reps=2, **kwargs
+        dev, corpus.logits, audio_total,
+        reps=3 if _left() > 240 else 2, **kwargs
     )
     bc_exact = texts_bc[:n_base] == host_texts
     detail["device_matches_host"] = bc_exact

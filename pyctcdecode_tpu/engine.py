@@ -59,6 +59,8 @@ from .models.device_tables import (
     HOT_WORD_BIT,
     DeviceLM,
     lm_score_words_jnp,
+    mark_empty_fp_rows,
+    trie_fetch_rows,
 )
 
 # packed vocab-trie entry bits (see DeviceLM.as_device)
@@ -242,7 +244,7 @@ def build_table_args(
                     # < size) and their fp lanes are the empty sentinel,
                     # so a stray gather of one can never match a query
                     empty = np.zeros((pad, plane.shape[1]), dtype=np.uint32)
-                    empty[:, : plane.shape[1] // 4] = 0xFFFFFFFF
+                    mark_empty_fp_rows(empty)
                     plane = np.concatenate(
                         [plane, empty.view(np.int32)], axis=0
                     )
@@ -488,7 +490,9 @@ def _commit_quantities(
         row_i = (
             trie_rows[i]
             if trie_rows is not None
-            else dev["trie_rows"][state[f"p_node{i}"]]
+            else trie_fetch_rows(
+                jnp, dev["trie_rows"], dev["trie_pack"], state[f"p_node{i}"]
+            )
         )
         member_stats: Optional[Dict] = {} if cfg.collect_stats else None
         fused_i, new_ctx, new_ctx_len, new_bo = _member_word_score(
@@ -907,7 +911,11 @@ def _make_step(
 
         alive = state["logit"] > DEAD_THRESH
         trie_rows_b = [
-            devs[i]["trie_rows"][state[f"p_node{i}"]] for i in range(n_lms)
+            trie_fetch_rows(
+                jnp, devs[i]["trie_rows"], devs[i]["trie_pack"],
+                state[f"p_node{i}"],
+            )
+            for i in range(n_lms)
         ]
         # NOTE (round-4 dead end, kept for the record): wrapping the
         # commit scoring in a per-utterance lax.cond on "this frame has
@@ -1006,8 +1014,11 @@ def _make_step(
                 for i in range(n_lms):
                     tp = devs[i]["trie_pack"]
                     node = ext_entries[i] & _NODE_MASK
-                    word = devs[i]["trie_rows"][node, 1 + cid_b // tp["cpw"]]
-                    fc = devs[i]["trie_rows"][node, 0]
+                    slot = (node % tp["pack"]) * tp["stride"]
+                    word = devs[i]["trie_rows"][
+                        node // tp["pack"], slot + 1 + cid_b // tp["cpw"]
+                    ]
+                    fc = devs[i]["trie_rows"][node // tp["pack"], slot]
                     ent = _decode_trie_cells(jnp, jax, tp, fc, word, cid_b)
                     ext_entries[i] = jnp.where(has, ent, ext_entries[i])
                 if cfg.use_hotwords:

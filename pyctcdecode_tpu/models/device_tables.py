@@ -64,21 +64,39 @@ _FP_SEED_LO = 0x811C9DC5 ^ 0x5BD1E995
 _FP_SEED_HI = 0x811C9DC5 ^ 0xC2B2AE35
 
 
-# slots per bucket. One bucket row is 4 * _BUCKET_SLOTS i32 words; at >= 64
-# words (256 B) the TPU gather emitter uses its vectorized row-copy path
-# (scripts/gather_cost_model.py), and the round-4 serving profiles measured
-# in-program gather cost PER ROW flat in width — so the bucket holds the
-# fewest slots whose row still rides the fast path: 16 slots = 64 words.
-# Halving from 32 (round 4) kept the single-gather probe and halved the
-# fingerprint-compare lanes of every readout; the bucket count doubles at
-# the same total bytes. (Round 5 A/B: going back to 32 slots to absorb
-# the parity bigram table's max-bucket Poisson-tail doubling DID halve
-# that plane to 67 MB and its gather time 576 -> 339 ms, but total busy
-# REGRESSED 1,471 -> 1,901 ms: the 128-lane readout reshaped the step's
-# fusion graph and the unrelated packed-trie gathers slowed 3x. Totals
-# rule; 16 slots stays.)
-_BUCKET_SLOTS = 16
-_BUCKET_WIDTH = 4 * _BUCKET_SLOTS
+# Bucket geometry. A bucket row is ``_SUB_BUCKETS`` independent 16-slot
+# sub-blocks, each laid out [lo x16 | hi x16 | prob x16 | backoff x16], so
+# one row-gather serves a 32-resident bucket while every readout fusion
+# still sees the 64-word (16-lane-compare) shapes the scheduler likes.
+# History behind the split layout:
+#   * round 4 measured in-program gather cost per ROW flat in row width,
+#     and 16-slot/64-word rows halved the fingerprint-compare lanes —
+#     so 16 slots became the readout granularity;
+#   * a round-5 A/B with plain 32-slot buckets (rows [lo x32 | hi x32 |
+#     ...]) cut the fp gather wall 576 -> 339 ms/batch (the halved
+#     bucket count absorbs the Poisson max-bucket tail AND the smaller
+#     plane gathers faster), but the 128-lane readout reshaped the
+#     step's fusion graph and total busy REGRESSED 1,471 -> 1,901 ms.
+# The sub-bucket split keeps that gather win while the readout stays two
+# of the proven 64-word passes (found = f0|f1; the masked sums stay
+# single-touch because fingerprints are pairwise distinct across the
+# WHOLE row by construction).
+_BUCKET_SLOTS = 16  # slots per sub-block = readout compare lanes
+_SUB_BUCKETS = 2
+_BUCKET_CAP = _BUCKET_SLOTS * _SUB_BUCKETS  # residents per gathered row
+_SUB_WIDTH = 4 * _BUCKET_SLOTS
+_BUCKET_WIDTH = _SUB_WIDTH * _SUB_BUCKETS
+
+
+def mark_empty_fp_rows(rows_u32: np.ndarray) -> None:
+    """Set every sub-block's fp_lo lanes to the empty sentinel, in place.
+
+    Zero-filled rows are NOT safe vacancies — 0 is a valid fingerprint
+    lane value — so padding/vacant rows must carry the sentinel in each
+    sub-block's lo field (the hi/prob/backoff fields can stay zero).
+    """
+    for sub in range(_SUB_BUCKETS):
+        rows_u32[:, sub * _SUB_WIDTH : sub * _SUB_WIDTH + _BUCKET_SLOTS] = _FP_EMPTY
 
 
 @dataclasses.dataclass
@@ -156,13 +174,13 @@ def _assemble_fp(
         return cur * 3 // 2 if (cur & (cur - 1)) == 0 else cur * 4 // 3
 
     size = _MIN_TABLE
-    while size * (3 * _BUCKET_SLOTS // 8) < count:  # ~load factor 1/3
+    while size * (3 * _BUCKET_CAP // 8) < count:  # ~load factor 1/3
         size = _next_size(size)
     while True:
         base = (base_full % np.uint32(size)).astype(np.int64)
         if count:
             counts = np.bincount(base, minlength=size)
-            if int(counts.max()) > _BUCKET_SLOTS:
+            if int(counts.max()) > _BUCKET_CAP:
                 size = _next_size(size)
                 continue
         break
@@ -203,12 +221,14 @@ def _assemble_fp(
             "inputs are identical (duplicate keys?)"
         )
     bucket = np.zeros((size, _BUCKET_WIDTH), dtype=np.uint32)
-    bucket[:, 0:_BUCKET_SLOTS] = _FP_EMPTY
+    mark_empty_fp_rows(bucket)
     if count:
-        bucket[sb, pos] = lo
-        bucket[sb, _BUCKET_SLOTS + pos] = hi
-        bucket[sb, 2 * _BUCKET_SLOTS + pos] = probs[order_idx].view(np.uint32)
-        bucket[sb, 3 * _BUCKET_SLOTS + pos] = backoffs[order_idx].view(np.uint32)
+        # resident ``pos`` (0.._BUCKET_CAP-1) fills sub-block 0 first
+        col = (pos // _BUCKET_SLOTS) * _SUB_WIDTH + pos % _BUCKET_SLOTS
+        bucket[sb, col] = lo
+        bucket[sb, _BUCKET_SLOTS + col] = hi
+        bucket[sb, 2 * _BUCKET_SLOTS + col] = probs[order_idx].view(np.uint32)
+        bucket[sb, 3 * _BUCKET_SLOTS + col] = backoffs[order_idx].view(np.uint32)
     return FPTable(
         n=n,
         size=size,
@@ -293,16 +313,23 @@ def probe_fp_host(table: FPTable, keys: np.ndarray) -> Tuple[np.ndarray, np.ndar
         keys,
     )
     base = (h % np.uint32(table.size)).astype(np.int64)
-    rows = table.bucket.view(np.uint32)[base]  # [Q, 64]
+    all_rows = table.bucket.view(np.uint32)[base]  # [Q, _BUCKET_WIDTH]
     s_ = _BUCKET_SLOTS
-    eq = (rows[:, :s_] == lo[:, None]) & (rows[:, s_ : 2 * s_] == hi[:, None])
-    found = eq.any(axis=1)
-    prob = np.where(eq, rows[:, 2 * s_ : 3 * s_], 0).sum(
-        axis=1, dtype=np.uint64
-    ).astype(np.uint32)
-    backoff = np.where(eq, rows[:, 3 * s_ :], 0).sum(
-        axis=1, dtype=np.uint64
-    ).astype(np.uint32)
+    found = np.zeros(nq, dtype=bool)
+    prob = np.zeros(nq, dtype=np.uint32)
+    backoff = np.zeros(nq, dtype=np.uint32)
+    for sub in range(all_rows.shape[1] // _SUB_WIDTH):
+        rows = all_rows[:, sub * _SUB_WIDTH : (sub + 1) * _SUB_WIDTH]
+        eq = (rows[:, :s_] == lo[:, None]) & (
+            rows[:, s_ : 2 * s_] == hi[:, None]
+        )
+        found |= eq.any(axis=1)
+        prob += np.where(eq, rows[:, 2 * s_ : 3 * s_], 0).sum(
+            axis=1, dtype=np.uint64
+        ).astype(np.uint32)
+        backoff += np.where(eq, rows[:, 3 * s_ :], 0).sum(
+            axis=1, dtype=np.uint64
+        ).astype(np.uint32)
     prob = np.where(found, prob, np.uint32(0)).view(np.float32)
     backoff = np.where(found, backoff, np.uint32(0)).view(np.float32)
     return found, prob.astype(np.float32), backoff.astype(np.float32)
@@ -408,17 +435,29 @@ def _bucket_readout(jnp, jax, rows, lo, hi, valid):
     """(found, prob, backoff) from gathered bucket rows ``[Q, _BUCKET_WIDTH]``.
 
     Residents of a bucket have pairwise-distinct 64-bit fingerprints by
-    construction, so the masked sums touch at most one slot each.
+    construction (checked across the WHOLE row, sub-blocks included), so
+    the masked sums touch at most one slot each and at most one sub-block
+    contributes — summing the per-sub results stays single-touch. Each
+    sub-block runs the proven 16-lane-compare pass so fusion shapes match
+    the 64-word layout the scheduler was tuned on.
     """
     s = _BUCKET_SLOTS
-    rl = rows[:, :s].astype(jnp.uint32)
-    rh = rows[:, s : 2 * s].astype(jnp.uint32)
-    eq = (rl == lo[:, None]) & (rh == hi[:, None]) & valid[:, None]
-    found = jnp.any(eq, axis=1)
-    pb = jax.lax.bitcast_convert_type(rows[:, 2 * s : 3 * s], jnp.float32)
-    bb = jax.lax.bitcast_convert_type(rows[:, 3 * s :], jnp.float32)
-    prob = jnp.sum(jnp.where(eq, pb, 0.0), axis=1)
-    backoff = jnp.sum(jnp.where(eq, bb, 0.0), axis=1)
+    found = None
+    prob = None
+    backoff = None
+    for sub in range(rows.shape[-1] // _SUB_WIDTH):
+        blk = rows[:, sub * _SUB_WIDTH : (sub + 1) * _SUB_WIDTH]
+        rl = blk[:, :s].astype(jnp.uint32)
+        rh = blk[:, s : 2 * s].astype(jnp.uint32)
+        eq = (rl == lo[:, None]) & (rh == hi[:, None]) & valid[:, None]
+        f = jnp.any(eq, axis=1)
+        pb = jax.lax.bitcast_convert_type(blk[:, 2 * s : 3 * s], jnp.float32)
+        bb = jax.lax.bitcast_convert_type(blk[:, 3 * s :], jnp.float32)
+        p = jnp.sum(jnp.where(eq, pb, 0.0), axis=1)
+        b = jnp.sum(jnp.where(eq, bb, 0.0), axis=1)
+        found = f if found is None else (found | f)
+        prob = p if prob is None else (prob + p)
+        backoff = b if backoff is None else (backoff + b)
     # (round 5: an explicit [4s, Q] transpose of ``rows`` to hand the
     # reductions their preferred Q-minor layout was measured a no-op —
     # XLA canonicalizes it away and the [Q, 64] gather-output relayout
@@ -649,6 +688,9 @@ def _put_row_major(arr: np.ndarray, major_to_minor: Tuple[int, int] = (0, 1)) ->
         return jnp.asarray(arr)
 
 
+_TRIE_ROW_WORDS = 64  # target plane-row width (nodes folded per gather row)
+
+
 def trie_pack_params(n_chars: int) -> Dict[str, int]:
     """Static cell-packing geometry of the trie plane (see _pack_trie_plane).
 
@@ -656,13 +698,14 @@ def trie_pack_params(n_chars: int) -> Dict[str, int]:
     char, so a child pointer compresses from a 32-bit absolute id to its
     RANK among the node's children (``rb`` bits, all-ones = no child)
     plus the child's 3 flag bits — one small cell per char instead of a
-    full i32 entry. The row then stores one ``first_child`` word plus
-    ``ncw`` packed cell words. For a ~28-char alphabet this shrinks the
-    826k-row plane from 211 MB (64-word rows) to ~38 MB (12-word rows);
-    round-4 profiles measured in-program gather cost dropping ~1.5x when
-    the plane footprint shrank to this range (the radix experiment,
-    PARITY.md), and unlike the radix layout the unpack here is three
-    elementwise VPU ops with no per-step row reads.
+    full i32 entry. The node's slot stores one ``first_child`` word plus
+    ``ncw`` packed cell words (+ 4 unigram/word-id words). For a ~28-char
+    alphabet this shrinks a node's entry from 64 words to 13 (round-4
+    cell packing), and the round-5 multi-node fold (``pack`` slots per
+    512-B plane row) moves the per-step row gather onto the wide-row
+    fast path — see the ``stride``/``pack`` note below. The unpack is
+    elementwise VPU work with no per-step row reads (unlike the radix
+    experiment recorded in PARITY.md).
     """
     rb = 1
     while (1 << rb) - 1 < max(n_chars, 1):
@@ -670,7 +713,21 @@ def trie_pack_params(n_chars: int) -> Dict[str, int]:
     bpc = rb + 3  # rank bits + 3 child flag bits
     cpw = max(32 // bpc, 1)
     ncw = -(-max(n_chars, 1) // cpw)
-    return {"rb": rb, "cpw": cpw, "ncw": ncw, "width": 1 + ncw + 4}
+    w = 1 + ncw + 4
+    # Multiple nodes share one PLANE row (node's slot at ``stride``-word
+    # alignment, ``pack`` per row): a round-5 A/B measured the gather
+    # emitter's per-row cost collapsing ~5x once rows reach 512 B and the
+    # plane's ROW COUNT shrinks accordingly (the sub-bucket fp planes:
+    # 576 -> 107 ms/batch at [131k, 128] vs [393k, 64]), while a 13-word
+    # 826k-row plane gathers at the ~8 ns/row issue floor. The walk
+    # gathers ``node // pack`` and extracts the slot with a masked sum —
+    # the same proven pattern as the child pick.
+    stride = -(-w // 8) * 8
+    pack = max(1, _TRIE_ROW_WORDS // stride)
+    return {
+        "rb": rb, "cpw": cpw, "ncw": ncw, "width": w,
+        "stride": stride, "pack": pack,
+    }
 
 
 def _pack_trie_plane(
@@ -731,7 +788,38 @@ def _pack_trie_plane(
     rows[:, w - 3] = np.where(has_w, uni[wid_safe, 1].view(np.int32), 0)
     rows[:, w - 2] = np.where(has_w, uni[wid_safe, 2] > 0.5, False).astype(np.int32)
     rows[:, w - 1] = word_id
-    return rows
+    # fold ``pack`` consecutive nodes into each 512-B plane row (slots at
+    # ``stride``-word alignment); trailing pad slots are unreachable —
+    # node ids stay < n, so no gather ever selects them
+    stride, pack = prm["stride"], prm["pack"]
+    n_rows = -(-n // pack)
+    plane = np.zeros((n_rows * pack, stride), dtype=np.int32)
+    plane[:n, :w] = rows
+    return plane.reshape(n_rows, pack * stride)
+
+
+def trie_fetch_rows(jnp, trie_rows, tp: Dict[str, int], nodes):
+    """Per-node trie rows ``[..., width]`` from the multi-node-packed plane.
+
+    One 512-B row-gather of ``nodes // pack`` (the fast-path granularity,
+    see :func:`trie_pack_params`), then a masked sum over the row's
+    ``pack`` slots extracts each node's ``width`` words — elementwise VPU
+    work, no second gather.
+    """
+    pack, stride, w = tp["pack"], tp["stride"], tp["width"]
+    if pack == 1:
+        return trie_rows[nodes][..., :w]
+    packed = trie_rows[nodes // pack]  # [..., pack*stride]
+    sub = nodes % pack
+    out = None
+    for s_i in range(pack):
+        blk = jnp.where(
+            (sub == s_i)[..., None],
+            packed[..., s_i * stride : s_i * stride + w],
+            0,
+        )
+        out = blk if out is None else out + blk
+    return out
 
 
 def trie_seed_nodes(trie: PackedTrie, tokens: TokenArrays) -> np.ndarray:
@@ -823,9 +911,11 @@ class DeviceLM:
             ]
             if include_fp
             else [],
+            # multi-node 512-B rows ride the wide-row gather fast path,
+            # which wants its operand ROW-major (the narrow 13-word plane
+            # wanted column-major — that pin moved with the old layout)
             "trie_rows": _put_row_major(
-                _pack_trie_plane(self.trie, self._node_flag3(), self.uni),
-                major_to_minor=(1, 0),
+                _pack_trie_plane(self.trie, self._node_flag3(), self.uni)
             ),
             "trie_word_id": jnp.asarray(self.trie.word_id),
             "uni_unk_row": jnp.asarray(self.uni[self.unk_id]),

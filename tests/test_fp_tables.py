@@ -41,9 +41,24 @@ class TestFPTable(unittest.TestCase):
         fingerprints pairwise distinct, empty slots carry the sentinel."""
         from pyctcdecode_tpu.models.device_tables import (
             _BUCKET_SLOTS,
+            _BUCKET_WIDTH,
             _FP_EMPTY,
+            _SUB_WIDTH,
             _query_hashes,
         )
+
+        def row_fps(row, occupied_only=False):
+            """Fingerprint pairs of one bucket row, across sub-blocks."""
+            out = []
+            for base_col in range(0, _BUCKET_WIDTH, _SUB_WIDTH):
+                for j in range(_BUCKET_SLOTS):
+                    pair = (
+                        int(row[base_col + j]),
+                        int(row[base_col + _BUCKET_SLOTS + j]),
+                    )
+                    if not occupied_only or pair[0] != int(_FP_EMPTY):
+                        out.append(pair)
+            return out
 
         rng = np.random.RandomState(7)
         keys = np.unique(rng.randint(0, 9999, size=(300, 2)), axis=0).astype(np.int32)
@@ -51,17 +66,13 @@ class TestFPTable(unittest.TestCase):
             keys, rng.randn(len(keys)).astype(np.float32),
             rng.randn(len(keys)).astype(np.float32),
         )
-        self.assertEqual(tab.bucket.shape, (tab.size, 4 * _BUCKET_SLOTS))
+        self.assertEqual(tab.bucket.shape, (tab.size, _BUCKET_WIDTH))
         b = tab.bucket.view(np.uint32)
-        occ = b[:, :_BUCKET_SLOTS] != _FP_EMPTY
-        self.assertEqual(int(occ.sum()), len(keys))
-        # residents of one bucket are fingerprint-distinct
+        n_occ = sum(len(row_fps(b[r], occupied_only=True)) for r in range(tab.size))
+        self.assertEqual(n_occ, len(keys))
+        # residents of one bucket (both sub-blocks) are fingerprint-distinct
         for row in range(tab.size):
-            fps = [
-                (int(b[row, j]), int(b[row, _BUCKET_SLOTS + j]))
-                for j in range(_BUCKET_SLOTS)
-                if occ[row, j]
-            ]
+            fps = row_fps(b[row], occupied_only=True)
             self.assertEqual(len(fps), len(set(fps)))
         # each key's fingerprint is present in its own bucket
         h, lo, hi = _query_hashes(
@@ -75,12 +86,9 @@ class TestFPTable(unittest.TestCase):
         )
         base = (h % np.uint32(tab.size)).astype(np.int64)
         for i in range(len(keys)):
-            row = b[base[i]]
-            fps = {
-                (int(row[j]), int(row[_BUCKET_SLOTS + j]))
-                for j in range(_BUCKET_SLOTS)
-            }
-            self.assertIn((int(lo[i]), int(hi[i])), fps)
+            self.assertIn(
+                (int(lo[i]), int(hi[i])), set(row_fps(b[base[i]]))
+            )
 
     def test_device_probe_matches_host(self):
         import jax.numpy as jnp
